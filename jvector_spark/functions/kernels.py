@@ -1,0 +1,107 @@
+"""numpy kernels for the Arrow-batched fast paths.
+
+These mirror the reference's vector expression library
+(``vector/VectorUtil.java``, scalar/Panama/native triplicate — see
+SURVEY.md §2.3). numpy over Arrow batches is our single "SIMD backend":
+one implementation instead of the reference's three-tier dispatch
+(``vector/VectorizationProvider.java``), because BLAS-backed numpy on a
+pandas-UDF batch plays the same role as Highway/Panama on a per-vector call.
+
+Score normalization MUST match ``vector/VectorSimilarityFunction.java:37-69``:
+
+    EUCLIDEAN: 1 / (1 + ||a-b||^2)
+    DOT_PRODUCT: (1 + a.b) / 2
+    COSINE: (1 + cos(a,b)) / 2
+
+All kernels take/return float64 for oracle reproducibility; callers cast to
+float32 at storage boundaries only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+EUCLIDEAN = "EUCLIDEAN"
+DOT_PRODUCT = "DOT_PRODUCT"
+COSINE = "COSINE"
+METRICS = (EUCLIDEAN, DOT_PRODUCT, COSINE)
+
+
+def as_matrix(column) -> np.ndarray:
+    """Stack a pandas Series / sequence of float lists into an (n, d) float64 matrix."""
+    return np.asarray(np.stack([np.asarray(v, dtype=np.float64) for v in column]))
+
+
+def dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise dot products: (m, d) x (n, d) -> (m, n). Ref VectorUtil.java:45."""
+    return a @ b.T
+
+
+def l2sq(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise squared L2 distance matrix (m, n). Ref VectorUtil.java:84."""
+    # ||a-b||^2 = ||a||^2 + ||b||^2 - 2 a.b  (BLAS-friendly)
+    aa = np.einsum("ij,ij->i", a, a)[:, None]
+    bb = np.einsum("ij,ij->i", b, b)[None, :]
+    d = aa + bb - 2.0 * (a @ b.T)
+    np.maximum(d, 0.0, out=d)
+    return d
+
+
+def cosine(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise cosine similarity matrix (m, n). Ref VectorUtil.java:70."""
+    na = np.sqrt(np.einsum("ij,ij->i", a, a))[:, None]
+    nb = np.sqrt(np.einsum("ij,ij->i", b, b))[None, :]
+    denom = na * nb
+    denom[denom == 0.0] = 1.0
+    return (a @ b.T) / denom
+
+
+def l2_normalize(a: np.ndarray) -> np.ndarray:
+    """Row-wise unit-normalize. Ref VectorUtil.java:108."""
+    n = np.linalg.norm(a, axis=-1, keepdims=True)
+    n[n == 0.0] = 1.0
+    return a / n
+
+
+def similarity(metric: str, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise normalized similarity scores in (0, 1].
+
+    Exactly the reference's VectorSimilarityFunction contract
+    (``VectorSimilarityFunction.java:37-69``).
+    """
+    if metric == EUCLIDEAN:
+        return 1.0 / (1.0 + l2sq(a, b))
+    if metric == DOT_PRODUCT:
+        return (1.0 + dot(a, b)) / 2.0
+    if metric == COSINE:
+        return (1.0 + cosine(a, b)) / 2.0
+    raise ValueError(f"unknown metric {metric!r}; expected one of {METRICS}")
+
+
+def hamming_similarity(a: np.ndarray, b: np.ndarray, dim: int) -> np.ndarray:
+    """1 - popcount(a XOR b)/dim over packed uint64 words.
+
+    Pairwise over (m, w) x (n, w) packed arrays. Ref VectorUtil.java:177,
+    BQVectors.java:116-117.
+    """
+    x = np.bitwise_xor(a[:, None, :], b[None, :, :])
+    # popcount via uint8 view + lookup-free bit_count (numpy >= 1.26 has bit_count)
+    pop = np.unpackbits(x.view(np.uint8), axis=-1).sum(axis=-1)
+    return 1.0 - pop / float(dim)
+
+
+def topk_per_row(scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row top-k (indices, values) sorted by score desc then index asc.
+
+    Tie-break matches reference ``SearchResult.java:101-106`` (score desc,
+    node id asc) given that column index maps to ascending node id.
+    """
+    m, n = scores.shape
+    k = min(k, n)
+    part = np.argpartition(-scores, k - 1, axis=1)[:, :k]
+    part_scores = np.take_along_axis(scores, part, axis=1)
+    # stable sort on (-score, idx): lexsort with idx as secondary key
+    order = np.lexsort((part, -part_scores), axis=1)
+    idx = np.take_along_axis(part, order, axis=1)
+    vals = np.take_along_axis(part_scores, order, axis=1)
+    return idx, vals

@@ -1,0 +1,81 @@
+"""Similarity expression library vs numpy kernels (reference E1-E5).
+
+Mirrors the reference's cross-provider agreement tests
+(jvector-tests/.../vector/TestVectorizationProvider.java): the JVM column
+expressions and the numpy kernels must agree to float64 precision, and the
+score normalization must match VectorSimilarityFunction.java:37-69.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from jvector_spark.functions import kernels, similarity as S
+
+
+@pytest.fixture(scope="module")
+def pair_df(spark, rng):
+    a = rng.uniform(-1, 1, size=(200, 16)).astype(np.float32)
+    b = rng.uniform(-1, 1, size=(200, 16)).astype(np.float32)
+    rows = [(i, a[i].tolist(), b[i].tolist()) for i in range(200)]
+    df = spark.createDataFrame(rows, "i long, a array<float>, b array<float>")
+    return df, a.astype(np.float64), b.astype(np.float64)
+
+
+def test_dot_matches_numpy(pair_df):
+    df, a, b = pair_df
+    got = np.array([r[0] for r in df.orderBy("i").select(S.dot_product("a", "b")).collect()])
+    want = np.einsum("ij,ij->i", a, b)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_l2sq_matches_numpy(pair_df):
+    df, a, b = pair_df
+    got = np.array([r[0] for r in df.orderBy("i").select(S.l2_distance_sq("a", "b")).collect()])
+    want = np.einsum("ij,ij->i", a - b, a - b)
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_cosine_matches_numpy(pair_df):
+    df, a, b = pair_df
+    got = np.array([r[0] for r in df.orderBy("i").select(S.cosine("a", "b")).collect()])
+    want = np.einsum("ij,ij->i", a, b) / (
+        np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+@pytest.mark.parametrize("metric", list(kernels.METRICS))
+def test_similarity_normalization(pair_df, metric):
+    """Scores land in (0,1] with the reference formulas (E5)."""
+    df, a, b = pair_df
+    got = np.array(
+        [r[0] for r in df.orderBy("i").select(S.similarity(metric, "a", "b")).collect()]
+    )
+    want = np.array([kernels.similarity(metric, a[i : i + 1], b[i : i + 1])[0, 0] for i in range(len(a))])
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+    # cosine/euclidean scores always in (0,1]; dot on [-1,1) data can exceed
+    if metric == "EUCLIDEAN":
+        assert (got > 0).all() and (got <= 1).all()
+
+
+def test_l2_normalize(pair_df):
+    df, a, _ = pair_df
+    got = df.orderBy("i").select(S.l2_norm(S.l2_normalize("a")).alias("n")).collect()
+    np.testing.assert_allclose([r["n"] for r in got], 1.0, rtol=1e-9)
+
+
+def test_kernels_pairwise_shapes(rng):
+    a = rng.uniform(-1, 1, size=(5, 8))
+    b = rng.uniform(-1, 1, size=(7, 8))
+    for metric in kernels.METRICS:
+        s = kernels.similarity(metric, a, b)
+        assert s.shape == (5, 7)
+
+
+def test_topk_per_row_tiebreak():
+    scores = np.array([[0.5, 0.9, 0.9, 0.1]])
+    idx, vals = kernels.topk_per_row(scores, 3)
+    # score desc, index asc on ties (ref SearchResult.java:101-106)
+    assert idx.tolist() == [[1, 2, 0]]
+    np.testing.assert_allclose(vals, [[0.9, 0.9, 0.5]])
