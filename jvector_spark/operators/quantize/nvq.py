@@ -1,0 +1,153 @@
+"""NVQ: per-vector non-uniform 8-bit quantization via a logistic CDF.
+
+Reference: ``quantization/NVQuantization.java:47-219`` (8-bit non-uniform
+quantization; each vector is split into subvectors, each subvector stores
+(growthRate α, midpoint x0, minValue, maxValue) plus one byte per dim;
+parameters are learned per subvector by minimizing reconstruction loss —
+``nvqLoss`` in ``VectorUtil.java:215-239``) and ``NVQScorer.java`` (scoring
+against dequantized bytes).
+
+The quantization forward map (logistic compand, then uniform 8-bit):
+
+    u(x)  = 1 / (1 + exp(-α (x - x0)))          # logistic CDF
+    q(x)  = round( (u(x) - u(min)) / (u(max) - u(min)) * 255 )
+
+and dequantization inverts it. α→0 degrades to uniform quantization; the
+per-subvector parameter search (coarse grid over α, x0 = mean) mirrors the
+reference's loss minimization without porting its optimizer.
+
+Spark mapping: encode via ``mapInPandas`` into a struct column
+(params + binary bytes); used as the rerank-resolution codec in two-phase
+search, exactly the role NVQ plays in the reference's default bench config
+(``yaml-configs/index-parameters/default.yml``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+_EPS = 1e-12
+
+
+def _logistic(x: np.ndarray, alpha: float, x0: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-alpha * (x - x0)))
+
+
+def _logit(u: np.ndarray, alpha: float, x0: np.ndarray) -> np.ndarray:
+    u = np.clip(u, _EPS, 1.0 - _EPS)
+    return x0 + np.log(u / (1.0 - u)) / alpha
+
+
+@dataclass
+class NVQuantizer:
+    """Stateless codec config; all learned parameters are per-row."""
+
+    dim: int
+    alphas: tuple[float, ...] = (1e-6, 0.5, 1.0, 2.0, 4.0, 8.0)
+
+    def _quantize_rows(self, mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Per-row learned quantization.
+
+        Returns (codes uint8 (n, d), params float64 (n, 4) = [alpha, x0, lo, hi]).
+        Grid-searches alpha per row (ref learns (α, x0) by loss descent —
+        NVQuantization.java:397-474; a coarse grid achieves the same
+        reconstruction-tolerance contract our tests enforce).
+        """
+        n, d = mat.shape
+        codes = np.empty((n, d), dtype=np.uint8)
+        params = np.empty((n, 4), dtype=np.float64)
+        for r in range(n):
+            x = mat[r]
+            lo, hi = float(x.min()), float(x.max())
+            if hi - lo < _EPS:
+                codes[r] = 0
+                params[r] = (1.0, lo, lo, hi)
+                continue
+            x0 = float(x.mean())
+            best = None
+            for alpha in self.alphas:
+                a = alpha / max(hi - lo, _EPS)  # scale-invariant growth rate
+                ulo, uhi = _logistic(np.array([lo]), a, x0)[0], _logistic(np.array([hi]), a, x0)[0]
+                u = (_logistic(x, a, x0) - ulo) / max(uhi - ulo, _EPS)
+                q = np.clip(np.round(u * 255.0), 0, 255)
+                ur = q / 255.0 * (uhi - ulo) + ulo
+                xr = _logit(ur, a, x0)
+                err = float(np.sum((x - xr) ** 2))
+                if best is None or err < best[0]:
+                    best = (err, a, q)
+            _, a, q = best
+            codes[r] = q.astype(np.uint8)
+            params[r] = (a, x0, lo, hi)
+        return codes, params
+
+    def _dequantize_rows(self, codes: np.ndarray, params: np.ndarray) -> np.ndarray:
+        n, d = codes.shape
+        out = np.empty((n, d), dtype=np.float64)
+        for r in range(n):
+            a, x0, lo, hi = params[r]
+            if hi - lo < _EPS:
+                out[r] = lo
+                continue
+            ulo = _logistic(np.array([lo]), a, x0)[0]
+            uhi = _logistic(np.array([hi]), a, x0)[0]
+            ur = codes[r] / 255.0 * (uhi - ulo) + ulo
+            out[r] = _logit(ur, a, x0)
+        return out
+
+    # public numpy surface -------------------------------------------------
+    def encode_numpy(self, mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        return self._quantize_rows(np.asarray(mat, dtype=np.float64))
+
+    def decode_numpy(self, codes: np.ndarray, params: np.ndarray) -> np.ndarray:
+        return self._dequantize_rows(codes, params)
+
+    def reconstruction_error(self, mat: np.ndarray) -> float:
+        codes, params = self.encode_numpy(mat)
+        rec = self.decode_numpy(codes, params)
+        diff = np.asarray(mat, dtype=np.float64) - rec
+        return float(np.mean(np.einsum("ij,ij->i", diff, diff)))
+
+    # DataFrame surface ----------------------------------------------------
+    def encode(
+        self, df: DataFrame, vec_col: str = "vec", id_col: str = "id",
+    ) -> DataFrame:
+        """Encode to (id, nvq_bytes binary, nvq_params array<double>)."""
+        b = df.sparkSession.sparkContext.broadcast(self)
+
+        def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            codec: NVQuantizer = b.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+                codes, params = codec.encode_numpy(mat)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy(),
+                        "nvq_bytes": [c.tobytes() for c in codes],
+                        "nvq_params": list(params),
+                    }
+                )
+
+        return df.mapInPandas(
+            enc, schema=f"{id_col} long, nvq_bytes binary, nvq_params array<double>"
+        )
+
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "params.json"), "w") as f:
+            json.dump({"type": "nvq", "version": 1, "dim": self.dim,
+                       "alphas": list(self.alphas)}, f)
+
+    @classmethod
+    def load(cls, path: str) -> "NVQuantizer":
+        with open(os.path.join(path, "params.json")) as f:
+            p = json.load(f)
+        return cls(dim=p["dim"], alphas=tuple(p["alphas"]))

@@ -1,0 +1,167 @@
+"""Two-phase (approximate → exact rerank) search over compressed codes.
+
+Reference: the read path of ``GraphSearcher.java:471-507`` — phase 1 scores
+with a lossy codec (PQ/BQ/NVQ), keeps ``rerankK = overquery × topK``
+candidates, phase 2 re-scores the survivors at full fp32 resolution and
+returns the best ``topK`` (SURVEY.md §2.4 J3, §2.6 T2).
+
+Spark mapping and scale shape:
+
+- **stage 1** scans only the codes table (``m`` bytes per row, not ``4d``),
+  computes ADC scores numpy-vectorized per Arrow batch, and emits at most
+  ``rerankK`` candidates per query per batch (map-side combine). The
+  shuffle that follows carries ``O(rerankK × batches × queries)`` rows —
+  independent of corpus size.
+- **stage 2** joins the (tiny) survivor set back to the fp32 table. The
+  survivor side is broadcast, so the corpus never shuffles; with an
+  id-sorted / bucketed corpus the join prunes to the survivors' row groups.
+- ``overquery`` is the recall/cost knob, exactly the reference's
+  ``rerankK`` protocol (GraphSearcher.java:204-214).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from jvector_spark.functions import kernels
+from jvector_spark.operators.quantize.pq import ProductQuantizer
+
+
+def pq_score_scan(
+    codes_df: DataFrame,
+    pq: ProductQuantizer,
+    queries: list[tuple[int, np.ndarray]],
+    metric: str,
+    keep_per_batch: int,
+    id_col: str = "id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Stage 1: ADC-score every (query, code) pair, keep top candidates per
+    Arrow batch per query. Returns (qid, id, score_approx)."""
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    qmat = np.stack([np.asarray(q[1], dtype=np.float64) for q in queries])
+    sc = codes_df.sparkSession.sparkContext
+    luts = np.stack([pq.adc_lut(qmat[i], metric) for i in range(len(qids))])
+    mag = pq.magnitude_lut() if metric == "COSINE" else None
+    qnorms = np.linalg.norm(qmat, axis=1)
+    b = sc.broadcast((pq.m, qids, luts, mag, qnorms, metric, keep_per_batch))
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        m, q_ids, q_luts, mag_lut, q_norms, met, keep = b.value
+        cols = np.arange(m)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            codes = np.frombuffer(b"".join(pdf[codes_col]), dtype=np.uint8).reshape(len(pdf), m)
+            code_idx = codes.astype(np.int64)
+            if met == "COSINE":
+                mags = mag_lut[cols, code_idx].sum(axis=1)
+                mags = np.sqrt(np.maximum(mags, 1e-30))
+            out_scores = np.empty((len(q_ids), len(pdf)), dtype=np.float64)
+            for qi in range(len(q_ids)):
+                partial = q_luts[qi][cols, code_idx].sum(axis=1)
+                if met == "EUCLIDEAN":
+                    out_scores[qi] = 1.0 / (1.0 + partial)
+                elif met == "DOT_PRODUCT":
+                    out_scores[qi] = (1.0 + partial) / 2.0
+                else:
+                    denom = mags * max(q_norms[qi], 1e-30)
+                    out_scores[qi] = (1.0 + partial / denom) / 2.0
+            idx, vals = kernels.topk_per_row(out_scores, keep)
+            kk = idx.shape[1]
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(q_ids, kk),
+                    "id": ids[idx.ravel()],
+                    "score_approx": vals.ravel(),
+                }
+            )
+
+    return codes_df.select(id_col, codes_col).mapInPandas(
+        scan, schema="qid long, id long, score_approx double"
+    )
+
+
+def _global_topk(df: DataFrame, k: int, score: str) -> DataFrame:
+    w = Window.partitionBy("qid").orderBy(F.desc(score), F.asc("id"))
+    return df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def two_phase_knn_join(
+    codes_df: DataFrame,
+    vectors_df: DataFrame,
+    pq: ProductQuantizer,
+    queries_df: DataFrame,
+    k: int,
+    metric: str = "COSINE",
+    overquery: float = 4.0,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    codes_col: str = "codes",
+    query_id_col: str = "qid",
+    query_vec_col: str = "vec",
+) -> DataFrame:
+    """J3 for a query set: PQ first pass, fp32 rerank, top-k per query.
+
+    Returns (qid, id, score, rank) with exact fp32 scores for the returned
+    rows (the reference's contract: approximate *candidate selection*,
+    exact *reported* scores via the reranker).
+    """
+    rerank_k = max(k, int(round(overquery * k)))
+    qrows = queries_df.select(query_id_col, query_vec_col).collect()
+    queries = [(r[0], np.asarray(r[1], dtype=np.float64)) for r in qrows]
+
+    stage1 = pq_score_scan(codes_df, pq, queries, metric, rerank_k, id_col, codes_col)
+    survivors = _global_topk(stage1, rerank_k, "score_approx").select("qid", "id")
+
+    # stage 2: broadcast the survivor set against the fp32 corpus; the join
+    # output is tiny (rerank_k per query), so the rerank itself is cheap.
+    joined = vectors_df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("_v")
+    ).join(F.broadcast(survivors), "id")
+
+    sc = vectors_df.sparkSession.sparkContext
+    bq = sc.broadcast({qid: vec for qid, vec in queries})
+
+    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qmap = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = kernels.as_matrix(pdf["_v"])
+            scores = np.empty(len(pdf), dtype=np.float64)
+            for qid, grp in pdf.groupby("qid"):
+                q = qmap[qid][None, :]
+                rows = grp.index.to_numpy()
+                pos = pdf.index.get_indexer(rows)
+                scores[pos] = kernels.similarity(metric, q, x[pos])[0]
+            yield pd.DataFrame({"qid": pdf["qid"], "id": pdf["id"], "score": scores})
+
+    reranked = joined.mapInPandas(rerank, schema="qid long, id long, score double")
+    return _global_topk(reranked, k, "score").orderBy("qid", "rank")
+
+
+def two_phase_topk(
+    codes_df: DataFrame,
+    vectors_df: DataFrame,
+    pq: ProductQuantizer,
+    query_vec,
+    k: int,
+    metric: str = "COSINE",
+    overquery: float = 4.0,
+    **kw,
+) -> DataFrame:
+    """Point-query variant of :func:`two_phase_knn_join` (single query)."""
+    spark = codes_df.sparkSession
+    qdf = spark.createDataFrame(
+        [(0, [float(x) for x in query_vec])], "qid long, vec array<float>"
+    )
+    return two_phase_knn_join(
+        codes_df, vectors_df, pq, qdf, k, metric, overquery, **kw
+    ).drop("qid")

@@ -1,0 +1,78 @@
+"""Index manifest schema and on-disk layout.
+
+Reference mapping (SURVEY.md §1.1, §3.3): the reference's on-disk index is a
+single random-access file with a CommonHeader (version, dim, entryNode,
+layerInfo, idUpperBound) + feature flags (``graph/disk/CommonHeader.java:59``,
+``graph/disk/feature/FeatureId.java:31-36``). Our Spark-native analog is a
+directory of Parquet component tables plus a JSON manifest:
+
+    <index>/
+      meta.json                      # manifest (below)
+      tombstones.parquet             # deleted ids (F2/M5), optional
+      segments/<seg>/
+        centroids.parquet            # coarse centroids (the "upper layers")
+        vectors.parquet/             # (id, vec) partitioned by part_id
+        codes.parquet/               # (id, codes) partitioned by part_id
+        pq/                          # codebooks + params.json
+
+Multiple segments accumulate from streaming ingest (ST1/ST3); search unions
+them (J6); compaction (U1) rewrites N segments as one. The manifest version
+increments on every mutation and is swapped atomically (tmp + rename), which
+is the snapshot-isolation analog of the reference's immutable on-disk index
++ concurrent-read contract (ST2, TestConcurrentReadWriteDeletes.java).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass, field
+
+MANIFEST_VERSION = 1
+
+
+@dataclass
+class SegmentInfo:
+    name: str
+    n_rows: int
+    n_partitions: int
+
+
+@dataclass
+class IndexManifest:
+    dim: int
+    metric: str
+    pq_m: int
+    pq_clusters: int
+    n_partitions: int | None = None  # build config; None = auto (~sqrt(n))
+    segments: list[SegmentInfo] = field(default_factory=list)
+    version: int = 0
+    format_version: int = MANIFEST_VERSION
+    created_at: float = 0.0
+
+    def to_json(self) -> str:
+        d = asdict(self)
+        return json.dumps(d, indent=2)
+
+    @classmethod
+    def from_json(cls, s: str) -> "IndexManifest":
+        d = json.loads(s)
+        d["segments"] = [SegmentInfo(**seg) for seg in d.get("segments", [])]
+        known = {f for f in cls.__dataclass_fields__}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+    def save(self, index_path: str) -> None:
+        """Atomic manifest swap: readers holding the old manifest keep a
+        consistent snapshot (segment dirs are immutable once written)."""
+        self.version += 1
+        self.created_at = time.time()
+        tmp = os.path.join(index_path, "meta.json.tmp")
+        with open(tmp, "w") as f:
+            f.write(self.to_json())
+        os.replace(tmp, os.path.join(index_path, "meta.json"))
+
+    @classmethod
+    def load(cls, index_path: str) -> "IndexManifest":
+        with open(os.path.join(index_path, "meta.json")) as f:
+            return cls.from_json(f.read())

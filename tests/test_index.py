@@ -1,0 +1,129 @@
+"""IVF index lifecycle tests mirroring FIXTURES.md invariants 4-8.
+
+- build → search recall threshold (Test2DThreshold-style property)
+- write → load → identical results (TestOnDiskGraphIndex.java:80-198)
+- delete → tombstoned ids never returned (TestDeletions.java:42-159)
+- append segments → union search == whole-corpus search (J6)
+- compact → results equal fresh-build on live set (TestOnDiskGraphIndexCompactor)
+"""
+
+import numpy as np
+import pytest
+
+from jvector_spark.metrics import recall_at_k
+from jvector_spark.operators import exact
+from jvector_spark.operators.index import IVFIndex, IVFIndexBuilder
+
+N, DIM, K = 4000, 32, 10
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark, rng):
+    mat = rng.uniform(-1.0, 1.0, size=(N, DIM)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(N)], "id long, vec array<float>"
+    ).cache()
+    df.count()
+    return df, mat
+
+
+@pytest.fixture(scope="module")
+def queries_df(spark, corpus_df):
+    _, mat = corpus_df
+    return spark.createDataFrame(
+        [(i, mat[(i * 53) % N].tolist()) for i in range(16)],
+        "qid long, vec array<float>",
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus_df, tmp_path_factory):
+    df, _ = corpus_df
+    path = str(tmp_path_factory.mktemp("ivf") / "index")
+    builder = IVFIndexBuilder(metric="COSINE", n_partitions=32, pq_m=8)
+    return builder.fit(df, path)
+
+
+def test_search_recall(index, corpus_df, queries_df):
+    df, _ = corpus_df
+    got = index.search(queries_df, K, n_probe=16, overquery=4.0)
+    gt = exact.knn_join(df, queries_df, K, metric="COSINE", strategy="numpy")
+    r = recall_at_k(got, gt, K)
+    assert r >= 0.9, f"recall@{K}={r}"
+
+
+def test_nprobe_improves_recall(index, corpus_df, queries_df):
+    df, _ = corpus_df
+    gt = exact.knn_join(df, queries_df, K, metric="COSINE", strategy="numpy").cache()
+    r_all = recall_at_k(index.search(queries_df, K, n_probe=32, overquery=8.0), gt, K)
+    r_few = recall_at_k(index.search(queries_df, K, n_probe=2, overquery=8.0), gt, K)
+    assert r_all >= r_few
+    assert r_all >= 0.98  # probing every partition ≈ full PQ scan
+
+
+def test_load_identical_results(spark, index, queries_df):
+    """Round-trip: a freshly loaded index returns identical rows."""
+    reloaded = IVFIndex.load(spark, index.path)
+    a = index.search(queries_df, K, n_probe=8).select("qid", "id", "rank").collect()
+    b = reloaded.search(queries_df, K, n_probe=8).select("qid", "id", "rank").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_delete_excludes_tombstoned(spark, corpus_df, queries_df, tmp_path_factory):
+    df, mat = corpus_df
+    path = str(tmp_path_factory.mktemp("ivf_del") / "index")
+    idx = IVFIndexBuilder(metric="COSINE", n_partitions=16, pq_m=8).fit(df, path)
+    before = idx.search(queries_df, K, n_probe=16).collect()
+    victim_ids = sorted({r["id"] for r in before})[:5]
+    idx.delete(victim_ids)
+    after = idx.search(queries_df, K, n_probe=16).collect()
+    assert not ({r["id"] for r in after} & set(victim_ids))
+    # still returns K rows per query (deleted rows replaced by next-best)
+    counts = {}
+    for r in after:
+        counts[r["qid"]] = counts.get(r["qid"], 0) + 1
+    assert all(c == K for c in counts.values())
+
+
+def test_append_segment_union_search(spark, corpus_df, queries_df, tmp_path_factory):
+    """Index built on half the data + appended other half == single search
+    over everything (multi-segment merge J6)."""
+    df, mat = corpus_df
+    path = str(tmp_path_factory.mktemp("ivf_seg") / "index")
+    half1 = df.filter("id < 2000")
+    half2 = df.filter("id >= 2000")
+    idx = IVFIndexBuilder(metric="COSINE", n_partitions=16, pq_m=8).fit(half1, path)
+    idx.append(half2)
+    assert len(idx.manifest.segments) == 2
+    got = idx.search(queries_df, K, n_probe=16, overquery=8.0)
+    gt = exact.knn_join(df, queries_df, K, metric="COSINE", strategy="numpy")
+    r = recall_at_k(got, gt, K)
+    assert r >= 0.9, f"multi-segment recall@{K}={r}"
+
+
+def test_compact_preserves_results(spark, corpus_df, queries_df, tmp_path_factory):
+    df, mat = corpus_df
+    path = str(tmp_path_factory.mktemp("ivf_cmp") / "index")
+    idx = IVFIndexBuilder(metric="COSINE", n_partitions=16, pq_m=8).fit(
+        df.filter("id < 2000"), path
+    )
+    idx.append(df.filter("id >= 2000"))
+    idx.delete(list(range(0, 100)))
+    live_gt_results = idx.search(queries_df, K, n_probe=16, overquery=8.0).cache()
+
+    compacted = idx.compact()
+    assert len(compacted.manifest.segments) == 1
+    assert compacted.tombstones() is None
+    after = compacted.search(queries_df, K, n_probe=16, overquery=8.0)
+    gt = exact.knn_join(
+        df.filter("id >= 100"), queries_df, K, metric="COSINE", strategy="numpy"
+    )
+    r = recall_at_k(after, gt, K)
+    assert r >= 0.9, f"post-compaction recall@{K}={r}"
+    assert not ({row["id"] for row in after.collect()} & set(range(100)))
+
+
+def test_stats(index):
+    s = index.stats()
+    assert s["segments"][0]["n_rows"] == N
+    assert s["segments"][0]["n_partitions"] == 32

@@ -1,0 +1,157 @@
+"""Quantization codec tests mirroring the reference's tolerance contracts.
+
+- Perfect reconstruction when clusters >= distinct points
+  (TestProductQuantization.java:56).
+- Reconstruction error within tolerance bands (TestReconstructionError.java:54-106).
+- Saved/loaded equality (TestCompressedVectors.java).
+- BQ sign-bit packing + hamming similarity (TestBinaryQuantization.java).
+"""
+
+import numpy as np
+import pytest
+
+from jvector_spark.functions import kernels
+from jvector_spark.operators.quantize.bq import BinaryQuantizer
+from jvector_spark.operators.quantize.nvq import NVQuantizer
+from jvector_spark.operators.quantize.pq import ProductQuantizer
+
+
+@pytest.fixture(scope="module")
+def corpus(rng):
+    return rng.uniform(-1.0, 1.0, size=(2000, 32)).astype(np.float64)
+
+
+def test_pq_perfect_reconstruction_when_clusters_cover_points(rng):
+    """clusterCount >= distinct points -> zero reconstruction error."""
+    pts = rng.uniform(-1, 1, size=(50, 8))
+    pq = ProductQuantizer.fit_numpy(pts, m=2, clusters=64)
+    err = pq.reconstruction_error(pts)
+    assert err < 1e-12
+
+
+def test_pq_reconstruction_error_band(corpus):
+    pq = ProductQuantizer.fit_numpy(corpus, m=8, clusters=256)
+    err = pq.reconstruction_error(corpus)
+    # 32 dims, uniform [-1,1): variance per dim = 1/3; 256 centroids per
+    # 4-dim subspace should cut MSE well below the no-codec baseline (~10.7)
+    assert 0 < err < 2.0
+
+
+def test_pq_more_clusters_lower_error(corpus):
+    e64 = ProductQuantizer.fit_numpy(corpus, m=4, clusters=64).reconstruction_error(corpus)
+    e256 = ProductQuantizer.fit_numpy(corpus, m=4, clusters=256).reconstruction_error(corpus)
+    assert e256 < e64
+
+
+def test_pq_centered_roundtrip(corpus):
+    shifted = corpus + 5.0
+    pq = ProductQuantizer.fit_numpy(shifted, m=8, clusters=256, center=True)
+    assert pq.global_centroid is not None
+    np.testing.assert_allclose(pq.global_centroid, shifted.mean(axis=0))
+    err = pq.reconstruction_error(shifted)
+    assert err < 2.0
+
+
+def test_pq_save_load_identical(tmp_path, corpus):
+    pq = ProductQuantizer.fit_numpy(corpus, m=4, clusters=32)
+    pq.save(str(tmp_path / "pq"))
+    pq2 = ProductQuantizer.load(str(tmp_path / "pq"))
+    np.testing.assert_array_equal(pq.codebooks, pq2.codebooks)
+    codes = pq.encode_numpy(corpus[:100])
+    np.testing.assert_array_equal(codes, pq2.encode_numpy(corpus[:100]))
+
+
+def test_pq_encode_dataframe_matches_numpy(spark, corpus):
+    pq = ProductQuantizer.fit_numpy(corpus, m=4, clusters=64)
+    df = spark.createDataFrame(
+        [(i, corpus[i].tolist()) for i in range(200)], "id long, vec array<float>"
+    )
+    got = {r["id"]: r["codes"] for r in pq.encode(df).collect()}
+    want = pq.encode_numpy(np.stack([np.asarray(corpus[i], dtype=np.float64) for i in range(200)]).astype(np.float32).astype(np.float64))
+    for i in range(200):
+        assert got[i] == want[i].tobytes()
+
+
+def test_pq_adc_approximates_exact(corpus):
+    """ADC score vs exact similarity: correlated and close on average."""
+    pq = ProductQuantizer.fit_numpy(corpus, m=8, clusters=256)
+    codes = pq.encode_numpy(corpus)
+    q = corpus[7]
+    for metric in kernels.METRICS:
+        approx = pq.adc_score(codes, q, metric)
+        exact = kernels.similarity(metric, q[None, :], corpus)[0]
+        # rank correlation proxy: top-50 by approx should contain most of top-10 exact
+        top10 = set(np.argsort(-exact)[:10].tolist())
+        top50 = set(np.argsort(-approx)[:50].tolist())
+        assert len(top10 & top50) >= 8, metric
+
+
+def test_pq_refine_reduces_error(corpus):
+    pq = ProductQuantizer.fit_numpy(corpus[:500], m=4, clusters=64)
+    before = pq.reconstruction_error(corpus)
+    after = pq.refine(corpus, iterations=2).reconstruction_error(corpus)
+    assert after <= before + 1e-9
+
+
+def test_bq_roundtrip_bits(rng):
+    bq = BinaryQuantizer(dim=70)  # not a multiple of 64: exercises padding
+    mat = rng.uniform(-1, 1, size=(100, 70))
+    words = bq.encode_numpy(mat)
+    assert words.shape == (100, 2)
+    # bit i of word w must equal sign of dim 64w+i
+    for r in range(0, 100, 17):
+        for d in range(70):
+            bit = (int(words[r, d // 64]) >> (d % 64)) & 1
+            assert bit == (1 if mat[r, d] > 0 else 0)
+
+
+def test_bq_similarity_self_is_one(rng):
+    bq = BinaryQuantizer(dim=64)
+    mat = rng.uniform(-1, 1, size=(20, 64))
+    w = bq.encode_numpy(mat).astype(np.int64)
+    s = bq.similarity(w, w)
+    np.testing.assert_allclose(np.diag(s), 1.0)
+    assert (s >= 0).all() and (s <= 1).all()
+
+
+def test_bq_dataframe_encode(spark, rng):
+    bq = BinaryQuantizer(dim=32)
+    mat = rng.uniform(-1, 1, size=(50, 32))
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(50)], "id long, vec array<float>"
+    )
+    got = {r["id"]: np.array(r["bq_words"], dtype=np.int64) for r in bq.encode(df).collect()}
+    want = bq.encode_numpy(mat.astype(np.float32).astype(np.float64)).astype(np.int64)
+    for i in range(50):
+        np.testing.assert_array_equal(got[i], want[i])
+
+
+def test_nvq_reconstruction_better_than_uniform(rng):
+    """NVQ's learned nonlinearity must beat naive uniform 8-bit on skewed data."""
+    nvq = NVQuantizer(dim=32)
+    # skewed data: mostly small values, occasional large (where NVQ shines)
+    mat = rng.standard_normal((50, 32)) ** 3
+    err_nvq = nvq.reconstruction_error(mat)
+    # uniform baseline = alpha ~ 0 path only
+    uni = NVQuantizer(dim=32, alphas=(1e-6,))
+    err_uni = uni.reconstruction_error(mat)
+    assert err_nvq <= err_uni + 1e-12
+    # and 8-bit should be tight in absolute terms
+    scale = float(np.mean(np.max(np.abs(mat), axis=1)))
+    assert err_nvq < (scale / 100.0) ** 2 * 32 * 10
+
+
+def test_nvq_roundtrip_dataframe(spark, rng):
+    nvq = NVQuantizer(dim=16)
+    mat = rng.uniform(-2, 2, size=(40, 16))
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(40)], "id long, vec array<float>"
+    )
+    rows = nvq.encode(df).collect()
+    assert len(rows) == 40
+    for r in rows[:5]:
+        codes = np.frombuffer(r["nvq_bytes"], dtype=np.uint8)[None, :]
+        params = np.array(r["nvq_params"], dtype=np.float64)[None, :]
+        rec = nvq.decode_numpy(codes, params)[0]
+        orig = mat[r["id"]].astype(np.float32).astype(np.float64)
+        assert np.max(np.abs(rec - orig)) < 0.1

@@ -1,0 +1,65 @@
+"""Two-phase PQ search: recall contract vs exact ground truth.
+
+Mirrors FIXTURES.md invariant 4 / the reference's recall-threshold property
+tests (Test2DThreshold.java:36-49, TestLowCardinalityFiltering.java:53-55):
+PQ two-phase recall@10 must clear a threshold at a given overquery, and the
+returned scores must be exact fp32 scores.
+"""
+
+import numpy as np
+import pytest
+
+from jvector_spark.functions import kernels
+from jvector_spark.metrics import recall_at_k
+from jvector_spark.operators import exact
+from jvector_spark.operators.quantize.pq import ProductQuantizer
+from jvector_spark.operators.search import two_phase_knn_join
+
+N, DIM, M_QUERIES, K = 4000, 64, 20, 10
+
+
+@pytest.fixture(scope="module")
+def pq_fixture(spark, rng):
+    mat = rng.uniform(-1.0, 1.0, size=(N, DIM)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(N)], "id long, vec array<float>"
+    ).cache()
+    pq = ProductQuantizer.fit_numpy(mat.astype(np.float64), m=16, clusters=256)
+    codes_df = pq.encode(df).cache()
+    queries = spark.createDataFrame(
+        [(i, mat[i * 37 % N].tolist()) for i in range(M_QUERIES)],
+        "qid long, vec array<float>",
+    ).cache()
+    return df, codes_df, pq, queries, mat
+
+
+@pytest.mark.parametrize("metric", ["COSINE", "EUCLIDEAN"])
+def test_two_phase_recall(pq_fixture, metric):
+    df, codes_df, pq, queries, mat = pq_fixture
+    got = two_phase_knn_join(codes_df, df, pq, queries, K, metric=metric, overquery=5.0)
+    gt = exact.knn_join(df, queries, K, metric=metric, strategy="numpy")
+    r = recall_at_k(got, gt, K)
+    assert r >= 0.95, f"recall@{K}={r} below threshold for {metric}"
+
+
+def test_two_phase_scores_are_exact(pq_fixture):
+    """Returned scores come from the fp32 reranker, not the ADC approximation."""
+    df, codes_df, pq, queries, mat = pq_fixture
+    got = two_phase_knn_join(codes_df, df, pq, queries, K, metric="COSINE", overquery=5.0)
+    rows = got.filter("qid = 0").collect()
+    q = mat[0].astype(np.float64)
+    for r in rows:
+        want = kernels.similarity("COSINE", q[None, :], mat[r["id"]].astype(np.float64)[None, :])[0, 0]
+        assert abs(r["score"] - want) < 1e-9
+
+
+def test_overquery_improves_recall(pq_fixture):
+    df, codes_df, pq, queries, mat = pq_fixture
+    gt = exact.knn_join(df, queries, K, metric="COSINE", strategy="numpy").cache()
+    r1 = recall_at_k(
+        two_phase_knn_join(codes_df, df, pq, queries, K, "COSINE", overquery=1.0), gt, K
+    )
+    r5 = recall_at_k(
+        two_phase_knn_join(codes_df, df, pq, queries, K, "COSINE", overquery=5.0), gt, K
+    )
+    assert r5 >= r1
