@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's headline queries at a scale-factor
+directory and prints ONE JSON line.
+
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python bench.py
+
+Measures batch workloads (the honest Spark reading of BASELINE.md §6):
+exact k-NN join throughput, two-phase (PQ first pass -> fp32 rerank)
+search, IVF index build, PQ encode, plus the pipeline operators
+(dedup / text analysis) once registered in __spark_entry__.queries().
+
+Each timed run materializes the result with a count of a fully-computed
+projection (collect() would time driver transfer, not the engine).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from jvector_spark.session import get_spark  # noqa: E402
+
+# queries() entries benched as-is (name -> None), in registration order.
+# Anything not listed here is still correctness-checked by the driver but
+# kept out of the bench line to bound runtime.
+BENCH_QUERIES = [
+    "knn_topk_cosine",
+    "knn_join",
+    "threshold_search",
+    "vector_centroids",
+    "l2_normalize",
+    "vector_arith",
+    # pipeline operators (registered in later rounds; skipped if absent)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding",
+    "text_quality",
+    "text_language_id",
+    "text_token_count",
+    "doc_fingerprint",
+    "events_rollup",
+    "knn_join_wide",
+]
+
+
+def _materialize(df) -> int:
+    # Force full evaluation of every column (count alone lets Catalyst
+    # prune the projection away).
+    return (
+        df.select(F.xxhash64(*df.columns).alias("h"))
+        .agg(F.expr("bit_xor(h)"))
+        .collect()[0][0]
+        or 0
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    spark = get_spark("jvector_spark_bench")
+
+    # Warm the JVM + Arrow path so query 1 doesn't pay startup.
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+
+    queries = entry_mod.queries()
+    timings: dict[str, float] = {}
+
+    for name in BENCH_QUERIES:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        _materialize(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # Index lifecycle bench: build IVF+PQ over embeddings, then batch
+    # two-phase search (BASELINE.md: build time + batch k-NN throughput).
+    try:
+        from jvector_spark.operators.index import IVFIndexBuilder
+
+        emb = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+        )
+        tmp = tempfile.mkdtemp(prefix="jvs_bench_idx_")
+        try:
+            t0 = time.perf_counter()
+            idx = IVFIndexBuilder(metric="COSINE", pq_m=8).fit(emb, tmp)
+            timings["ivf_build"] = round(time.perf_counter() - t0, 3)
+
+            qdf = emb.limit(64).select(F.col("id").alias("qid"), "vec")
+            t0 = time.perf_counter()
+            res = idx.search(qdf, k=10, n_probe=8, overquery=4.0)
+            _materialize(res)
+            timings["ivf_search_64q"] = round(time.perf_counter() - t0, 3)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    except Exception as e:  # pragma: no cover - bench must always emit JSON
+        timings["ivf_error"] = -1.0
+        print(f"ivf bench failed: {e}", file=sys.stderr)
+
+    total = round(sum(v for v in timings.values() if v >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
