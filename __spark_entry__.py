@@ -285,6 +285,95 @@ FROM embeddings
 
 
 # ---------------------------------------------------------------------------
+# Training-data pipeline operators (SURVEY §7.9: dedup / text analysis)
+# ---------------------------------------------------------------------------
+
+
+def _pipeline_q(spark_fn, oracle: str, *tables: str):
+    """Register a (docs|embeddings)-table pipeline query + its oracle."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        dfs = [spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in tables]
+        return spark_fn(*dfs)
+
+    return run
+
+
+def _register_pipeline() -> None:
+    from jvector_spark.pipeline import dedup as D
+    from jvector_spark.pipeline import text as T
+
+    specs = {
+        "dedup_exact": (lambda docs: D.exact_dedup(docs), D.exact_dedup_sql(), ["documents"]),
+        "dedup_ngram_jaccard": (
+            lambda docs: D.ngram_jaccard_pairs(docs, threshold=0.32),
+            D.ngram_jaccard_pairs_sql(threshold=0.32),
+            ["documents"],
+        ),
+        "dedup_minhash_lsh": (
+            lambda docs: D.minhash_lsh_pairs(docs, threshold=0.3),
+            D.minhash_lsh_pairs_sql(threshold=0.3),
+            ["documents"],
+        ),
+        "dedup_simhash": (
+            lambda docs: D.simhash_pairs(docs, max_hamming=6),
+            D.simhash_pairs_sql(max_hamming=6),
+            ["documents"],
+        ),
+        "dedup_embedding": (
+            lambda emb: D.embedding_neardup(emb, threshold=0.35),
+            D.embedding_neardup_sql(threshold=0.35),
+            ["embeddings"],
+        ),
+        "text_token_count": (lambda docs: T.token_stats(docs), T.token_stats_sql(), ["documents"]),
+        "text_quality": (lambda docs: T.quality_score(docs), T.quality_score_sql(), ["documents"]),
+        "text_language_id": (lambda docs: T.language_id(docs), T.language_id_sql(), ["documents"]),
+        "doc_fingerprint": (lambda docs: T.fingerprint(docs), T.fingerprint_sql(), ["documents"]),
+    }
+    for name, (fn, oracle, tabs) in specs.items():
+        _QUERIES[name] = _pipeline_q(fn, oracle, *tabs)
+        _ORACLES[name] = oracle
+
+
+_register_pipeline()
+
+
+@_register("events_rollup")
+def _events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event rollup (batch form of the streaming windowed agg —
+    jvector_spark.streaming runs the same plan via readStream)."""
+    # events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
+    # rejects by default; read nanos as long and convert to micros.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts = F.col("ts")
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ts = F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", ts), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+    )
+
+
+_oracle(
+    "events_rollup",
+    """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+       COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+""",
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

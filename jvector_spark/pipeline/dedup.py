@@ -1,0 +1,398 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding near-dup.
+
+Scale design (100 TB posture):
+- **exact**: one hash-groupBy shuffle on a 16-byte digest — the minimum
+  possible; canonical = min doc_id per group (deterministic).
+- **minhash_lsh**: shingle -> minhash signature (map-only) -> explode to
+  ``bands`` rows/doc -> self-join on band bucket (shuffle carries doc_id +
+  band key only, not text) -> candidate pairs -> exact Jaccard verify on
+  the (small) candidate set. The classic shuffle-bounded near-dup join:
+  no O(n^2) stage exists anywhere.
+- **simhash**: 32-bit fingerprint (map-only), banded into 4 x 8-bit keys
+  (pigeonhole: any pair within Hamming distance <= 3 agrees on >= 1 of 4
+  bands), candidates verified by bit_count(xor).
+- **ngram_jaccard**: exact pairwise Jaccard *within a blocking key*
+  (``source``) — the honest exact variant; unblocked it would be O(n^2),
+  so the LSH operator above is the scale path.
+- **embedding near-dup**: exact cosine-threshold self-join with
+  precomputed norms; the IVF index threshold search (operators/index.py)
+  is the approximate scale path.
+
+All hashes derive from md5 (first 15 hex digits -> int64) so the DuckDB
+oracle replicates them bit-for-bit; every stage is JVM-side Catalyst
+expressions — no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from jvector_spark.pipeline.text import norm_text, sql_norm_text
+
+# ---------------------------------------------------------------------------
+# shared hash helpers (Spark + DuckDB twins)
+# ---------------------------------------------------------------------------
+
+
+def h64(c: Column) -> Column:
+    """Deterministic 60-bit hash from md5 hex prefix (both engines agree)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def sql_h64(c: str) -> str:
+    return f"('0x' || substr(md5({c}), 1, 15))::BIGINT"
+
+
+def shingles(c: Column, n: int = 3) -> Column:
+    """Distinct, sorted character n-grams of the (already normalized) text."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - F.lit(n - 1), F.lit(1))),
+        lambda i: c.substr(i, F.lit(n)),
+    )
+    return F.array_sort(F.array_distinct(grams))
+
+
+def sql_shingles(c: str, n: int = 3) -> str:
+    return (
+        f"list_sort(list_distinct(list_transform("
+        f"range(1, greatest(length({c}) - {n - 1}, 1) + 1), "
+        f"i -> substring({c}, i, {n}))))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# D1: exact dedup — hash groupBy
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by md5 of normalized text.
+
+    Returns (doc_id, content_hash, group_size, is_canonical) where the
+    canonical row is the min doc_id of its group. One shuffle on the digest.
+    """
+    hashed = docs.select("doc_id", F.md5(norm_text(text_col)).alias("content_hash"))
+    groups = hashed.groupBy("content_hash").agg(
+        F.count("*").alias("group_size"), F.min("doc_id").alias("_canon")
+    )
+    return hashed.join(groups, "content_hash").select(
+        "doc_id",
+        "content_hash",
+        "group_size",
+        (F.col("doc_id") == F.col("_canon")).alias("is_canonical"),
+    )
+
+
+def exact_dedup_sql(text_col: str = "text") -> str:
+    n = sql_norm_text(text_col)
+    return f"""
+WITH h AS (SELECT doc_id, md5({n}) AS content_hash FROM documents),
+g AS (
+  SELECT content_hash, COUNT(*) AS group_size, MIN(doc_id) AS canon
+  FROM h GROUP BY content_hash
+)
+SELECT h.doc_id, h.content_hash, g.group_size, h.doc_id = g.canon AS is_canonical
+FROM h JOIN g USING (content_hash)
+"""
+
+
+# ---------------------------------------------------------------------------
+# D2: n-gram Jaccard (exact, blocked)
+# ---------------------------------------------------------------------------
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard over distinct-element arrays: |a ∩ b| / |a ∪ b|."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    return inter / (F.size(a) + F.size(b) - inter)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    block_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs within a blocking key.
+
+    The self-join shuffles on ``block_col``; pair count is bounded by the
+    largest block squared. For unblocked corpora use minhash_lsh_pairs.
+    """
+    sh = docs.select(
+        F.col("doc_id"),
+        F.col(block_col).alias("_blk"),
+        shingles(norm_text(text_col), n).alias("_sh"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    j = jaccard(F.col("a._sh"), F.col("b._sh"))
+    return (
+        a.join(b, F.col("a._blk") == F.col("b._blk"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(j, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs_sql(
+    threshold: float = 0.8, n: int = 3, block_col: str = "source", text_col: str = "text"
+) -> str:
+    norm = sql_norm_text(text_col)
+    return f"""
+WITH s AS (
+  SELECT doc_id, {block_col} AS blk, {sql_shingles(norm, n)} AS sh FROM documents
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         ROUND(len(list_intersect(a.sh, b.sh))
+               / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) AS jaccard
+  FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# D3: MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def _seed_hash(i: int):
+    # NOTE: single-parameter lambda on purpose — a 2-param lambda would be
+    # interpreted by transform() as (element, index).
+    return lambda g: h64(F.concat(F.lit(f"{i}:"), g))
+
+
+def minhash_signature(sh: Column, n_hashes: int) -> Column:
+    """MinHash signature: per seed i, min over shingles of h64('i:' || g)."""
+    return F.array(
+        *[F.array_min(F.transform(sh, _seed_hash(i))) for i in range(n_hashes)]
+    )
+
+
+def _band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """Band bucket keys as strings; the band index prefixes the key so
+    buckets from different bands never collide."""
+    keys = []
+    for b in range(bands):
+        part = F.slice(sig, b * rows_per_band + 1, rows_per_band)
+        keys.append(F.concat_ws("_", F.lit(str(b)), *[part[i] for i in range(rows_per_band)]))
+    return F.array(*keys)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash/LSH near-dup pairs, verified with exact Jaccard.
+
+    shingle -> n_hashes minhashes -> bands -> explode band keys -> self-join
+    on key -> distinct candidate pairs -> exact Jaccard >= threshold.
+    """
+    rows_per_band = n_hashes // bands
+    sh = docs.select("doc_id", shingles(norm_text(text_col), n).alias("_sh")).withColumn(
+        "_sig", minhash_signature(F.col("_sh"), n_hashes)
+    )
+    banded = sh.select(
+        "doc_id", "_sh", F.explode(_band_keys(F.col("_sig"), bands, rows_per_band)).alias("bkey")
+    )
+    a, b2 = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b2, F.col("a.bkey") == F.col("b.bkey"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a._sh").alias("sh_a"),
+            F.col("b._sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    j = jaccard(F.col("sh_a"), F.col("sh_b"))
+    return cand.select("doc_a", "doc_b", F.round(j, 6).alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def minhash_lsh_pairs_sql(
+    threshold: float = 0.5,
+    n_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+) -> str:
+    rows_per_band = n_hashes // bands
+    norm = sql_norm_text(text_col)
+    seed_hash = [sql_h64(f"'{i}:' || g") for i in range(n_hashes)]
+    sig_elems = ", ".join(f"list_min(list_transform(sh, g -> {h}))" for h in seed_hash)
+    band_keys = ", ".join(
+        "concat_ws('_', '{b}', {elems})".format(
+            b=b,
+            elems=", ".join(f"sig[{b * rows_per_band + i + 1}]" for i in range(rows_per_band)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id, {sql_shingles(norm, n)} AS sh FROM documents
+), sig AS (
+  SELECT doc_id, sh, [{sig_elems}] AS sig FROM s
+), banded AS (
+  SELECT doc_id, unnest([{band_keys}]) AS bkey FROM sig
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+), verified AS (
+  SELECT c.doc_a, c.doc_b,
+         ROUND(len(list_intersect(sa.sh, sb.sh))
+               / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE), 6) AS jaccard
+  FROM cand c
+  JOIN s sa ON sa.doc_id = c.doc_a
+  JOIN s sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# D4: SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """32-bit SimHash per doc: bit b set iff the sum over token hashes of
+    (bit b set ? +1 : -1) is positive. Map-only.
+
+    Token hashes are materialized once per row (projection) so the 32
+    per-bit votes reuse the same array instead of re-hashing 32 times.
+    """
+    toks = F.split(norm_text(text_col), " ")
+    hashed = docs.select("doc_id", F.transform(toks, h64).alias("_hs"))
+    hs = F.col("_hs")
+
+    def _vote(bit: int):
+        return lambda acc, h: acc + (F.shiftright(h, bit) % F.lit(2)) * F.lit(2) - F.lit(1)
+
+    fp_expr = None
+    for b in range(32):
+        vote = F.aggregate(hs, F.lit(0).cast("long"), _vote(b))
+        bit = F.when(vote > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp_expr = bit if fp_expr is None else fp_expr + bit
+    return hashed.select("doc_id", fp_expr.alias("fp"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text") -> DataFrame:
+    """SimHash near-dup pairs: fingerprints banded into 4 bytes for
+    candidate generation, verified with bit_count(xor) <= max_hamming.
+
+    The 4-band pigeonhole guarantees full recall only for pairs within
+    Hamming distance 3; beyond that recall degrades gracefully (a looser
+    ``max_hamming`` keeps whatever candidates banding surfaces).
+    """
+    fp = simhash_fingerprints(docs, text_col)
+
+    band_keys = F.array(
+        *[
+            F.concat_ws("_", F.lit(str(b)), (F.shiftright(F.col("fp"), 8 * b) % F.lit(256)))
+            for b in range(4)
+        ]
+    )
+    banded = fp.select("doc_id", "fp", F.explode(band_keys).alias("bkey"))
+    a, b2 = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+    return (
+        a.join(b2, F.col("a.bkey") == F.col("b.bkey"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_pairs_sql(max_hamming: int = 3, text_col: str = "text") -> str:
+    norm = sql_norm_text(text_col)
+    g_hash = sql_h64("g")
+    vote_terms = ", ".join(
+        f"CASE WHEN list_sum(list_transform(hs, h -> ((h >> {b}) % 2) * 2 - 1)) > 0 "
+        f"THEN CAST({2**b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(32)
+    )
+    band_keys = ", ".join(
+        f"concat_ws('_', '{b}', CAST((fp >> {8 * b}) % 256 AS VARCHAR))" for b in range(4)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_transform(string_split({norm}, ' '), g -> {g_hash}) AS hs
+  FROM documents
+), f AS (
+  SELECT doc_id, list_sum([{vote_terms}]) AS fp FROM t
+), banded AS (
+  SELECT doc_id, fp, unnest([{band_keys}]) AS bkey FROM f
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+  FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= {max_hamming}
+"""
+
+
+# ---------------------------------------------------------------------------
+# D5: embedding cosine near-dup (exact threshold self-join)
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine near-dup pairs over an embedding column.
+
+    Norms are precomputed per side so the O(n^2) stage does one dot product
+    per pair. Score is raw cosine (dedup thresholds are cosine-native, not
+    the search engine's (1+cos)/2 normalization). The approximate scale
+    path is IVFIndex threshold search over the same column.
+    """
+    from jvector_spark.functions.similarity import dot_product, l2_norm
+
+    v = F.col(vec_col)
+    sides = emb.select(F.col(id_col).alias("id"), v.alias("_v"), l2_norm(v).alias("_n"))
+    a = sides.select(F.col("id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    b = sides.select(F.col("id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    cos = dot_product(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def embedding_neardup_sql(threshold: float = 0.95) -> str:
+    return f"""
+WITH n AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos FROM p WHERE cos >= {threshold}
+"""

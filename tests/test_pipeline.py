@@ -1,0 +1,120 @@
+"""Tests for training-data pipeline operators (dedup + text analysis).
+
+Semantics checks on tiny in-memory corpora; cross-engine parity with the
+DuckDB oracles is covered by tools/check_oracle.py at the driver level.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jvector_spark.pipeline import dedup as D
+from jvector_spark.pipeline import text as T
+
+DOCS = [
+    # (doc_id, text, lang, source, n_chars)
+    (0, "the quick brown fox jumps over the lazy dog", "en", "s0", 43),
+    (1, "The quick  brown fox jumps over the lazy dog ", "en", "s0", 45),  # ws/case dup of 0
+    (2, "the quick brown fox jumps over the lazy cat", "en", "s0", 43),  # near-dup of 0
+    (3, "der hund und die katze sind mit von auf das", "de", "s1", 43),
+    (4, "le chat est dans la maison et pour les oiseaux", "fr", "s1", 46),
+    (5, "completely different words appear here nothing shared", "en", "s1", 53),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        DOCS, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_exact_dedup_groups_whitespace_case_variants(docs):
+    rows = {r.doc_id: r for r in D.exact_dedup(docs).collect()}
+    assert rows[0].content_hash == rows[1].content_hash
+    assert rows[0].group_size == 2 and rows[1].group_size == 2
+    assert rows[0].is_canonical and not rows[1].is_canonical
+    assert rows[2].group_size == 1 and rows[2].is_canonical
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.5, block_col="source").collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0  # identical after norm
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert (3, 4) not in pairs  # different block
+    assert all(a < b for a, b in pairs)
+
+
+def test_minhash_lsh_recovers_high_jaccard_pairs(docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    # identical docs always share all bands; near-dup 0-2 shares most shingles
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs
+    verified = D.minhash_lsh_pairs(docs, threshold=0.99).collect()
+    assert {(r.doc_a, r.doc_b) for r in verified} == {(0, 1)}
+
+
+def test_simhash_identical_docs_hamming_zero(docs):
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in D.simhash_pairs(docs, max_hamming=3).collect()}
+    assert pairs.get((0, 1)) == 0  # identical after norm -> same fingerprint
+    # every reported pair respects the verify threshold
+    assert all(h <= 3 for h in pairs.values())
+
+
+def test_simhash_fingerprints_norm_invariant_and_bounded(docs):
+    fp = {r.doc_id: r.fp for r in D.simhash_fingerprints(docs).collect()}
+    assert fp[0] == fp[1]
+    assert all(0 <= v < 2**32 for v in fp.values())
+    # near-dup docs are closer in hamming than unrelated docs
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(fp[0], fp[2]) < ham(fp[0], fp[5])
+
+
+def test_embedding_neardup_threshold(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.999, 0.04, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {(r.id_a, r.id_b): r.cos for r in D.embedding_neardup(emb, threshold=0.95).collect()}
+    assert set(pairs) == {(0, 1)} and pairs[(0, 1)] > 0.99
+
+
+def test_token_stats(docs):
+    rows = {r.doc_id: r for r in T.token_stats(docs).collect()}
+    assert rows[0].n_tokens == 9
+    assert rows[1].n_tokens == 9  # whitespace runs collapse
+    assert rows[0].n_regex_tokens == 9
+    assert abs(rows[0].avg_token_len - (43 - 8) / 9) < 1e-6  # column is ROUND(x, 6)
+
+
+def test_quality_score_bounds_and_monotonicity(docs):
+    rows = {r.doc_id: r for r in T.quality_score(docs).collect()}
+    for r in rows.values():
+        assert 0.0 <= r.quality <= 1.0
+        assert 0.0 <= r.stopword_ratio <= 1.0
+    # doc 5 has no stopwords -> lower stopword_ratio than doc 0
+    assert rows[5].stopword_ratio < rows[0].stopword_ratio
+
+
+def test_language_id_predicts_stopword_language(docs):
+    rows = {r.doc_id: r for r in T.language_id(docs).collect()}
+    assert rows[0].pred_lang == "en"
+    assert rows[3].pred_lang == "de"
+    assert rows[4].pred_lang == "fr"
+    assert rows[5].pred_lang == "und"  # no stopword hits
+
+
+def test_fingerprint_deterministic_and_norm_invariant(docs):
+    fp = {r.doc_id: r.fp for r in T.fingerprint(docs).collect()}
+    assert fp[0] == fp[1]  # normalization-invariant
+    assert fp[0] != fp[2]
+    assert all(0 <= v < T.MOD for v in fp.values())
