@@ -378,12 +378,25 @@ class IVFIndex:
         os.replace(tmp, final)
         self.manifest.save(self.path)
 
-    def append(self, df: DataFrame, id_col: str = "id", vec_col: str = "vec") -> None:
-        """ST1/M1 analog: new data becomes a new immutable segment."""
+    def append(
+        self,
+        df: DataFrame,
+        id_col: str = "id",
+        vec_col: str = "vec",
+        seg_name: str | None = None,
+    ) -> None:
+        """ST1/M1 analog: new data becomes a new immutable segment.
+
+        ``seg_name`` makes the append idempotent for streaming replays: a
+        re-delivered micro-batch overwrites its own segment dir and is not
+        re-added to the manifest.
+        """
         n = df.count()
         if n == 0:
             return
-        seg_name = f"seg-{self.manifest.version:06d}"
+        seg_name = seg_name or f"seg-{self.manifest.version:06d}"
+        if any(s.name == seg_name for s in self.manifest.segments):
+            return  # replayed batch: segment already durable
         builder = IVFIndexBuilder(
             metric=self.manifest.metric,
             n_partitions=self.manifest.n_partitions,

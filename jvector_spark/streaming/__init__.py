@@ -1,0 +1,24 @@
+"""Structured Streaming surface: incremental vector ingest + windowed rollups.
+
+Reference mapping (SURVEY.md §2.9): jvector has no stream-time semantics —
+its streaming story is incremental ingest (encode -> writeInline ->
+addGraphNode per vector, ``SiftSmall.java:216-275``), concurrent
+read/write/delete (``TestConcurrentReadWriteDeletes.java``), and segment
+accumulation + N:1 compaction (``docs/compaction.md``). Our analogs:
+
+- ST1 incremental build  -> ``ingest.stream_ingest``: foreachBatch appends
+  an immutable IVF segment per micro-batch.
+- ST2 concurrent R/W     -> manifest snapshot isolation (types.IndexManifest
+  atomic swap); readers keep the segment set they loaded.
+- ST3 compaction         -> ``IVFIndex.compact()`` run as a scheduled batch
+  job between micro-batches.
+
+Watermark/window operators are additive (Spark-native, no reference
+counterpart): ``rollup.windowed_event_rollup`` is the streaming twin of the
+batch ``events_rollup`` driver query.
+"""
+
+from jvector_spark.streaming.ingest import stream_ingest
+from jvector_spark.streaming.rollup import windowed_event_rollup
+
+__all__ = ["stream_ingest", "windowed_event_rollup"]

@@ -1,0 +1,114 @@
+"""Streaming surface tests: micro-batch segment ingest (ST1/ST3) and
+watermarked windowed rollup.
+
+File-source streaming with availableNow triggers keeps the tests
+deterministic: every parquet file in the input dir becomes part of one
+run, processAllAvailable() blocks until done.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from jvector_spark.operators.index import IVFIndex, IVFIndexBuilder
+from jvector_spark.streaming import stream_ingest, windowed_event_rollup
+
+DIM = 16
+
+
+def _mk_batch(spark, rng, start_id, n):
+    mat = rng.uniform(-1.0, 1.0, size=(n, DIM)).astype(np.float32)
+    return spark.createDataFrame(
+        [(start_id + i, mat[i].tolist()) for i in range(n)], "id long, vec array<float>"
+    )
+
+
+def test_stream_ingest_appends_segments(spark, rng, tmp_path):
+    idx_path = str(tmp_path / "idx")
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = _mk_batch(spark, rng, 0, 300)
+    idx = IVFIndexBuilder(metric="COSINE", pq_m=4, n_partitions=8).fit(base, idx_path)
+    assert len(idx.manifest.segments) == 1
+
+    # two parquet files land (flat) in the source dir -> micro-batches
+    _mk_batch(spark, rng, 1000, 120).coalesce(1).write.mode("append").parquet(in_dir)
+    _mk_batch(spark, rng, 2000, 130).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema("id long, vec array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    seen = []
+    q = stream_ingest(
+        stream,
+        idx,
+        ckpt,
+        on_batch=lambda bid, n: seen.append((bid, n)),
+        trigger={"availableNow": True},
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    assert sum(n for _, n in seen) == 250
+    reloaded = IVFIndex.load(spark, idx_path)
+    assert len(reloaded.manifest.segments) == 3
+    total = reloaded.vectors().count()
+    assert total == 300 + 250
+
+    # search must see streamed vectors: query = an appended vector
+    target = reloaded.vectors().filter(F.col("id") == 2005).collect()[0]
+    qdf = spark.createDataFrame([(0, list(target.vec))], "qid long, vec array<float>")
+    res = reloaded.search(qdf, k=3, n_probe=8, overquery=4.0).collect()
+    assert res[0].id == 2005  # self is nearest
+
+
+def test_windowed_rollup_stream_equals_batch(spark, tmp_path):
+    rows = [
+        (i, f"2024-01-01 {h:02d}:{m:02d}:00", "click" if i % 2 else "view", float(i))
+        for i, (h, m) in enumerate((h, m) for h in range(3) for m in (5, 25, 45))
+    ]
+    batch = spark.createDataFrame(
+        rows, "event_id long, ts_s string, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+
+    in_dir = str(tmp_path / "ev_in")
+    batch.coalesce(1).write.mode("append").parquet(in_dir)
+
+    expected = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in windowed_event_rollup(batch).collect()
+    }
+    assert len(expected) == 6  # 3 hours x 2 event types
+    assert all(n == 3 or n == 2 or n == 1 for n, _ in expected.values())
+
+    stream = spark.readStream.schema(batch.schema).parquet(in_dir)
+    out = (
+        windowed_event_rollup(stream)
+        .writeStream.format("memory")
+        .queryName("rollup_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    out.processAllAvailable()
+    out.stop()
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.sql("select * from rollup_test").collect()
+    }
+    assert got == expected
+
+
+def test_replayed_batch_is_idempotent(spark, rng, tmp_path):
+    idx_path = str(tmp_path / "idx2")
+    base = _mk_batch(spark, rng, 0, 200)
+    idx = IVFIndexBuilder(metric="COSINE", pq_m=4, n_partitions=4).fit(base, idx_path)
+
+    extra = _mk_batch(spark, rng, 500, 50)
+    idx.append(extra, seg_name="seg-b000000")
+    idx.append(extra, seg_name="seg-b000000")  # replay: must be a no-op
+    assert len(idx.manifest.segments) == 2
+    assert idx.vectors().count() == 250
