@@ -338,6 +338,40 @@ def _register_pipeline() -> None:
 _register_pipeline()
 
 
+@_register("multimodal_features")
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing: documents' text bytes become opaque
+    binary content; the fake feature extractor (md5-derived, deterministic)
+    runs through the real Arrow/mapInPandas path. Oracle replicates the
+    hash math in SQL."""
+    from jvector_spark.pipeline.multimodal import extract_features
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        F.lit("text").alias("modality"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+    )
+    feats = extract_features(docs, dim=4)
+    return feats.select(
+        "id",
+        *[F.round(F.col("feature")[i], 6).alias(f"f{i}") for i in range(4)],
+    )
+
+
+def _multimodal_oracle() -> str:
+    from jvector_spark.pipeline.multimodal import sql_fake_features
+
+    feats = sql_fake_features("text", 4)
+    cols = ", ".join(f"ROUND(f[{i + 1}], 6) AS f{i}" for i in range(4))
+    return f"""
+WITH f AS (SELECT doc_id AS id, {feats} AS f FROM documents)
+SELECT id, {cols} FROM f
+"""
+
+
+_oracle("multimodal_features", _multimodal_oracle())
+
+
 @_register("events_rollup")
 def _events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly event rollup (batch form of the streaming windowed agg —
