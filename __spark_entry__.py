@@ -285,6 +285,159 @@ FROM embeddings
 
 
 # ---------------------------------------------------------------------------
+# Wide exact k-NN join (J1 at corpus scale, numpy/BLAS path)
+# ---------------------------------------------------------------------------
+
+
+@_register("knn_join_wide")
+def _knn_join_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self k-NN join: every vector queries the whole corpus (k=3, no
+    self-match) via the Arrow/BLAS map-side partial top-k path."""
+    from jvector_spark.operators import exact
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    queries = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("vec"))
+    res = exact.knn_join(corpus, queries, k=4, metric="COSINE", strategy="numpy")
+    # drop self-matches, keep top-3, re-rank
+    kept = res.filter(F.col("qid") != F.col("id"))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        kept.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "id", F.round("score", 6).alias("score"), "rank")
+    )
+
+
+_oracle(
+    "knn_join_wide",
+    f"""
+WITH s AS (
+  SELECT q.vec_id AS qid, e.vec_id AS id,
+         {sql_similarity("COSINE", "e.embedding", "q.embedding")} AS _s
+  FROM embeddings e, embeddings q WHERE e.vec_id <> q.vec_id
+),
+r AS (
+  SELECT qid, id, _s,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY _s DESC, id ASC) AS BIGINT) AS rank
+  FROM s
+)
+SELECT qid, id, ROUND(_s, 6) AS score, rank FROM r WHERE rank <= 3
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Quantized scoring (BQ E10; PQ/IVF J2/J3 — approximate, rows-only checks)
+# ---------------------------------------------------------------------------
+
+
+@_register("bq_hamming")
+def _bq_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BQ sign-bit codes + pairwise Hamming similarity (E10/A6), JVM-side:
+    codes from the BinaryQuantizer mapInPandas encoder, pair scoring via
+    aggregate(zip_with(bit_count(xor))) — no Python in the join."""
+    from jvector_spark.operators.quantize.bq import BinaryQuantizer
+
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 40)
+    dim = len(emb.select("embedding").first()[0])
+    codes = BinaryQuantizer(dim=dim).encode(
+        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    )
+    a = codes.select(F.col("id").alias("id_a"), F.col("bq_words").alias("wa"))
+    b = codes.select(F.col("id").alias("id_b"), F.col("bq_words").alias("wb"))
+    ham = F.aggregate(
+        F.zip_with("wa", "wb", lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            ham.alias("hamming"),
+            F.round(F.lit(1.0) - ham / F.lit(float(dim)), 6).alias("bq_sim"),
+        )
+    )
+
+
+_oracle(
+    "bq_hamming",
+    """
+WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 40),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(len(list_filter(range(len(a.embedding)),
+                   i -> (a.embedding[i+1] > 0) <> (b.embedding[i+1] > 0))) AS BIGINT) AS hamming,
+         len(a.embedding) AS dim
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, hamming, ROUND(1.0 - hamming / CAST(dim AS DOUBLE), 6) AS bq_sim
+FROM p
+""",
+)
+
+
+@_register("ann_two_phase")
+def _ann_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase PQ search (J3): ADC first pass keeps overquery*k
+    candidates, fp32 rerank returns exact scores for the reported rows.
+    Approximate candidate selection -> rows-only correctness check."""
+    from jvector_spark.operators.quantize.pq import ProductQuantizer
+    from jvector_spark.operators.search import two_phase_knn_join
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    pq = ProductQuantizer.fit(corpus, m=8, seed=42)
+    codes = pq.encode(corpus)
+    queries = corpus.filter(F.col("id") < 16).selectExpr("id as qid", "vec")
+    res = two_phase_knn_join(codes, corpus, pq, queries, k=5, metric="COSINE", overquery=4.0)
+    return res.select("qid", "id", F.round("score", 6).alias("score"), F.col("rank").cast("long").alias("rank"))
+
+
+@_register("ann_ivf_topk")
+def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF partition-pruned two-phase search (J2): build a temp index,
+    probe n_probe centroids per query. Approximate -> rows-only check."""
+    import tempfile
+
+    from jvector_spark.operators.index import IVFIndexBuilder
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    tmp = tempfile.mkdtemp(prefix="jvs_entry_ivf_")
+    idx = IVFIndexBuilder(metric="COSINE", pq_m=8).fit(corpus, tmp)
+    queries = corpus.filter(F.col("id") < 16).selectExpr("id as qid", "vec")
+    res = idx.search(queries, k=5, n_probe=8, overquery=4.0)
+    return res.select("qid", "id", F.round("score", 6).alias("score"), F.col("rank").cast("long").alias("rank"))
+
+
+@_register("ann_recall")
+def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the two-phase PQ path vs the exact oracle (A9) at
+    overquery {1,2,4}: the reference's headline quality metric as a query."""
+    from jvector_spark.metrics import recall_at_k
+    from jvector_spark.operators import exact
+    from jvector_spark.operators.quantize.pq import ProductQuantizer
+    from jvector_spark.operators.search import two_phase_knn_join
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    queries = corpus.filter(F.col("id") < 16).selectExpr("id as qid", "vec")
+    gt = exact.knn_join(corpus, queries, k=10, metric="COSINE", strategy="numpy")
+    pq = ProductQuantizer.fit(corpus, m=8, seed=42)
+    codes = pq.encode(corpus).cache()
+    rows = []
+    for oq in (1.0, 2.0, 4.0):
+        res = two_phase_knn_join(codes, corpus, pq, queries, k=10, metric="COSINE", overquery=oq)
+        rows.append((oq, recall_at_k(res, gt, 10)))
+    codes.unpersist()
+    return spark.createDataFrame(rows, "overquery double, recall double")
+
+
+# ---------------------------------------------------------------------------
 # Training-data pipeline operators (SURVEY §7.9: dedup / text analysis)
 # ---------------------------------------------------------------------------
 
