@@ -459,13 +459,13 @@ def _register_pipeline() -> None:
     specs = {
         "dedup_exact": (lambda docs: D.exact_dedup(docs), D.exact_dedup_sql(), ["documents"]),
         "dedup_ngram_jaccard": (
-            lambda docs: D.ngram_jaccard_pairs(docs, threshold=0.32),
-            D.ngram_jaccard_pairs_sql(threshold=0.32),
+            lambda docs: D.ngram_jaccard_pairs(docs, threshold=0.6),
+            D.ngram_jaccard_pairs_sql(threshold=0.6),
             ["documents"],
         ),
         "dedup_minhash_lsh": (
-            lambda docs: D.minhash_lsh_pairs(docs, threshold=0.3),
-            D.minhash_lsh_pairs_sql(threshold=0.3),
+            lambda docs: D.minhash_lsh_pairs(docs, threshold=0.7),
+            D.minhash_lsh_pairs_sql(threshold=0.7),
             ["documents"],
         ),
         "dedup_simhash": (

@@ -83,6 +83,7 @@ def main() -> None:
         t0 = time.perf_counter()
         _materialize(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"bench {name}: {timings[name]}s", file=sys.stderr)
 
     # Index lifecycle bench: build IVF+PQ over embeddings, then batch
     # two-phase search (BASELINE.md: build time + batch k-NN throughput).

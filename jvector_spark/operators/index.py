@@ -8,29 +8,39 @@ batch engine; the idiomatic Spark strategy with the same observable contract
 (approximate top-k with a tunable recall/cost knob) is IVF partition
 pruning:
 
-- **build** (ref ``build(ravv)``, GraphIndexBuilder.java:436): sample →
-  k-means coarse centroids (the "upper layers" / entry points) → every
-  vector assigned to its nearest centroid (``part_id``) → PQ codebooks
-  trained on the same sample → codes + vectors written as Parquet
-  partitioned by ``part_id``.
-- **search** (ref ``GraphSearcher.search``, hierarchical descent → beam):
-  queries are assigned to their ``n_probe`` nearest centroids (the descent
-  analog — centroids are broadcast like the RAM-cached upper layers,
-  OnDiskGraphIndex.java:119-161); stage 1 ADC-scans only the probed
-  ``part_id`` Parquet partitions (partition pruning = traversal pruning);
-  stage 2 reranks survivors at fp32 (GraphSearcher.java:471-507).
-  ``n_probe`` ≈ beam width, ``overquery`` = rerankK factor.
+- **build** (ref ``build(ravv)``, GraphIndexBuilder.java:436): sample ->
+  k-means coarse centroids (the "upper layers" / entry points) + PQ
+  codebooks trained on the same sample -> ONE fused map-only pass assigns
+  every vector to its nearest centroid and PQ-encodes it -> one Parquet
+  table (id, vec, codes) partitioned by ``part_id``. Exactly one shuffle
+  (the partitioned write), amortized over every later query.
+- **search** (ref ``GraphSearcher.search`` hierarchical descent -> beam ->
+  rerank, GraphSearcher.java:222-507): queries are assigned to their
+  ``n_probe`` nearest centroids on the driver (the descent analog —
+  centroids are broadcast like the RAM-cached upper layers,
+  OnDiskGraphIndex.java:119-161). ONE fused scan of the probed ``part_id``
+  partitions then does both phases per Arrow batch: ADC-score the codes,
+  keep ``rerankK = overquery*k`` batch-local candidates, exact-rerank just
+  those rows at fp32 (the vectors are in the same batch — no join), and
+  emit the batch-local exact top-k. A single global window merges.
+  Batch-local reranking can only ADD candidates relative to the
+  reference's global-rerankK protocol, so recall at a given overquery is
+  >= the reference contract.
+- **IO shape at scale**: the fused scan reads (codes + vec) of
+  n_probe/n_partitions of the corpus — the same bytes the classic
+  two-stage plan reads in total (codes scan + fp32 rerank join), with one
+  scan, one shuffle, and one Python stage fewer. For survivor-only fp32
+  IO (id-bucketed corpus, point lookups) use
+  operators/search.two_phase_knn_join instead.
 - **segments + compaction**: streaming appends accumulate segment dirs;
   search unions segments (J6 multi-index merge, free in a batch engine);
-  ``compact()`` rewrites N segments as one with PQ retrain on a balanced
-  per-segment sample (ref OnDiskGraphIndexCompactor.java:296, PQRetrainer
-  ≥1000/source), dropping tombstoned ids (M5 two-phase delete).
+  ``compact()`` rewrites N segments as one with retrained PQ (ref
+  OnDiskGraphIndexCompactor.java:296, PQRetrainer), dropping tombstoned
+  ids (M5 two-phase delete).
 
 Scale: centroid count defaults to ~sqrt(n) capped so centroids stay
-broadcast-able; the stage-1 scan reads n_probe/n_partitions of the codes
-table (bytes/row = pq_m); nothing in build or search shuffles the fp32
-corpus except the initial partitioned write (one shuffle, amortized over
-every later query).
+broadcast-able; partition sizes stay bounded as n grows because
+n_partitions grows with sqrt(n) at build/compaction time.
 """
 
 from __future__ import annotations
@@ -50,28 +60,7 @@ from jvector_spark.types import IndexManifest, SegmentInfo
 
 MAX_CENTROIDS = 4096  # keep the broadcast "upper layer" small
 
-
-def _assign_partitions(
-    df: DataFrame, centroids: np.ndarray, vec_col: str, out_col: str = "part_id"
-) -> DataFrame:
-    """Nearest-centroid assignment (map-only, broadcast centroids)."""
-    b = df.sparkSession.sparkContext.broadcast(centroids)
-
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cents = b.value
-        cc = np.einsum("ij,ij->i", cents, cents)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            x = kernels.as_matrix(pdf[vec_col])
-            d = -2.0 * x @ cents.T + cc[None, :]
-            pdf = pdf.copy()
-            pdf[out_col] = np.argmin(d, axis=1).astype(np.int32)
-            yield pdf
-
-    fields = [f"{fld.name} {fld.dataType.simpleString()}" for fld in df.schema.fields]
-    fields.append(f"{out_col} int")
-    return df.mapInPandas(assign, schema=", ".join(fields))
+_DATA_SCHEMA = "id long, vec array<float>, codes binary, part_id int"
 
 
 class IVFIndexBuilder:
@@ -142,22 +131,33 @@ class IVFIndexBuilder:
         seg_dir = os.path.join(path, "segments", seg_name)
         os.makedirs(seg_dir, exist_ok=True)
 
-        assigned = _assign_partitions(df, centroids, "vec").cache()
+        b = spark.sparkContext.broadcast((centroids, pq))
+
+        def assign_encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cents, codec = b.value
+            cc = np.einsum("ij,ij->i", cents, cents)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                x = kernels.as_matrix(pdf["vec"])
+                d = -2.0 * x @ cents.T + cc[None, :]
+                codes = codec.encode_numpy(x)
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"].to_numpy(dtype=np.int64),
+                        "vec": pdf["vec"],
+                        "codes": [c.tobytes() for c in codes],
+                        "part_id": np.argmin(d, axis=1).astype(np.int32),
+                    }
+                )
+
+        data = df.mapInPandas(assign_encode, schema=_DATA_SCHEMA)
         (
-            assigned.repartition("part_id")
+            data.repartition("part_id")
             .write.mode("overwrite")
             .partitionBy("part_id")
-            .parquet(os.path.join(seg_dir, "vectors.parquet"))
+            .parquet(os.path.join(seg_dir, "data.parquet"))
         )
-        codes = pq.encode(assigned, vec_col="vec", id_col="id")
-        codes = codes.join(assigned.select("id", "part_id"), "id")
-        (
-            codes.repartition("part_id")
-            .write.mode("overwrite")
-            .partitionBy("part_id")
-            .parquet(os.path.join(seg_dir, "codes.parquet"))
-        )
-        assigned.unpersist()
 
         cent_df = spark.createDataFrame(
             [(i, centroids[i].tolist()) for i in range(len(centroids))],
@@ -184,16 +184,19 @@ class IVFIndex:
         self.manifest = manifest
         self._segments: dict[str, dict] = {}
         for seg in manifest.segments:
-            seg_dir = os.path.join(path, "segments", seg.name)
-            cents = spark.read.parquet(os.path.join(seg_dir, "centroids.parquet")).collect()
-            arr = np.zeros((len(cents), manifest.dim), dtype=np.float64)
-            for r in cents:
-                arr[r["part_id"]] = np.asarray(r["centroid"])
-            self._segments[seg.name] = {
-                "dir": seg_dir,
-                "centroids": arr,
-                "pq": ProductQuantizer.load(os.path.join(seg_dir, "pq")),
-            }
+            self._load_segment_meta(seg.name)
+
+    def _load_segment_meta(self, seg_name: str) -> None:
+        seg_dir = os.path.join(self.path, "segments", seg_name)
+        cents = self.spark.read.parquet(os.path.join(seg_dir, "centroids.parquet")).collect()
+        arr = np.zeros((len(cents), self.manifest.dim), dtype=np.float64)
+        for r in cents:
+            arr[r["part_id"]] = np.asarray(r["centroid"])
+        self._segments[seg_name] = {
+            "dir": seg_dir,
+            "centroids": arr,
+            "pq": ProductQuantizer.load(os.path.join(seg_dir, "pq")),
+        }
 
     # ------------------------------------------------------------------ load
     @classmethod
@@ -201,12 +204,14 @@ class IVFIndex:
         return cls(spark, path, IndexManifest.load(path))
 
     # ----------------------------------------------------------------- state
+    def _segment_data(self, seg_name: str) -> DataFrame:
+        return self.spark.read.parquet(
+            os.path.join(self._segments[seg_name]["dir"], "data.parquet")
+        )
+
     def vectors(self, segment: str | None = None) -> DataFrame:
         segs = [segment] if segment else [s.name for s in self.manifest.segments]
-        dfs = [
-            self.spark.read.parquet(os.path.join(self._segments[s]["dir"], "vectors.parquet"))
-            for s in segs
-        ]
+        dfs = [self._segment_data(s).select("id", "vec") for s in segs]
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
@@ -217,6 +222,12 @@ class IVFIndex:
         if os.path.exists(p):
             return self.spark.read.parquet(p)
         return None
+
+    def _tombstone_ids(self) -> frozenset:
+        t = self.tombstones()
+        if t is None:
+            return frozenset()
+        return frozenset(r[0] for r in t.select("id").collect())
 
     def live_vectors(self) -> DataFrame:
         """F2 liveness filter: anti-join against the tombstone table."""
@@ -234,67 +245,48 @@ class IVFIndex:
         query_id_col: str = "qid",
         query_vec_col: str = "vec",
     ) -> DataFrame:
-        """Two-phase partition-pruned k-NN join over all live segments."""
+        """Fused two-phase partition-pruned k-NN join over live segments.
+
+        Per probed Arrow batch: ADC approximate scores -> top
+        ``overquery*k`` batch-local candidates -> exact fp32 rerank of just
+        those rows -> batch-local exact top-k. One global window merges
+        batch/segment results (J6). Reported scores are exact
+        (GraphSearcher.java:471-507 contract).
+        """
         metric = self.manifest.metric
         rerank_k = max(k, int(round(overquery * k)))
         qrows = queries_df.select(query_id_col, query_vec_col).collect()
         qids = np.array([r[0] for r in qrows], dtype=np.int64)
         qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+        dead = self._tombstone_ids()
 
-        stage1_parts = []
-        for seg in self.manifest.segments:
-            info = self._segments[seg.name]
-            stage1_parts.append(
-                self._segment_stage1(info, qids, qmat, metric, rerank_k, n_probe)
+        parts = [
+            self._segment_fused_scan(
+                self._segments[seg.name], qids, qmat, metric, k, rerank_k, n_probe, dead
             )
-        stage1 = stage1_parts[0]
-        for d in stage1_parts[1:]:
-            stage1 = stage1.unionByName(d)  # J6: multi-segment merge
+            for seg in self.manifest.segments
+        ]
+        scanned = parts[0]
+        for d in parts[1:]:
+            scanned = scanned.unionByName(d)  # J6: multi-segment merge
 
-        w = Window.partitionBy("qid").orderBy(F.desc("score_approx"), F.asc("id"))
-        survivors = (
-            stage1.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") <= rerank_k)
-            .select("qid", "id")
-        )
-
-        t = self.tombstones()
-        if t is not None:
-            survivors = survivors.join(F.broadcast(t.select("id")), "id", "left_anti")
-
-        joined = self.vectors().join(F.broadcast(survivors), "id")
-        bq = self.spark.sparkContext.broadcast({int(qids[i]): qmat[i] for i in range(len(qids))})
-
-        def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            qmap = bq.value
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                x = kernels.as_matrix(pdf["vec"])
-                scores = np.empty(len(pdf), dtype=np.float64)
-                for qid, grp in pdf.groupby("qid"):
-                    pos = pdf.index.get_indexer(grp.index.to_numpy())
-                    scores[pos] = kernels.similarity(metric, qmap[qid][None, :], x[pos])[0]
-                yield pd.DataFrame({"qid": pdf["qid"], "id": pdf["id"], "score": scores})
-
-        reranked = joined.select("qid", "id", "vec").mapInPandas(
-            rerank, schema="qid long, id long, score double"
-        )
-        w2 = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
         return (
-            reranked.withColumn("rank", F.row_number().over(w2))
+            scanned.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .orderBy("qid", "rank")
         )
 
-    def _segment_stage1(
+    def _segment_fused_scan(
         self,
         info: dict,
         qids: np.ndarray,
         qmat: np.ndarray,
         metric: str,
+        k: int,
         rerank_k: int,
         n_probe: int,
+        dead: frozenset,
     ) -> DataFrame:
         cents: np.ndarray = info["centroids"]
         pq: ProductQuantizer = info["pq"]
@@ -308,9 +300,9 @@ class IVFIndex:
         probe = np.argsort(d, axis=1)[:, :n_probe]  # (m, n_probe)
         probed_parts = sorted({int(p) for p in probe.ravel()})
 
-        codes_df = self.spark.read.parquet(os.path.join(info["dir"], "codes.parquet"))
+        data = self.spark.read.parquet(os.path.join(info["dir"], "data.parquet"))
         # Catalyst partition-prunes the scan to the probed part_ids
-        codes_df = codes_df.filter(F.col("part_id").isin(probed_parts))
+        data = data.filter(F.col("part_id").isin(probed_parts))
 
         luts = np.stack([pq.adc_lut(qmat[i], metric) for i in range(len(qids))])
         mag = pq.magnitude_lut() if metric == "COSINE" else None
@@ -320,11 +312,11 @@ class IVFIndex:
             for p in probe[qi]:
                 part_to_queries.setdefault(int(p), []).append(qi)
         b = self.spark.sparkContext.broadcast(
-            (pq.m, qids, luts, mag, qnorms, metric, rerank_k, part_to_queries)
+            (pq.m, qids, qmat, luts, mag, qnorms, metric, k, rerank_k, part_to_queries, dead)
         )
 
         def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            m, q_ids, q_luts, mag_lut, q_norms, met, keep, p2q = b.value
+            m, q_ids, q_mat, q_luts, mag_lut, q_norms, met, kk, keep, p2q, tomb = b.value
             cols = np.arange(m)
             for pdf in batches:
                 if len(pdf) == 0:
@@ -334,31 +326,54 @@ class IVFIndex:
                     if not q_idx:
                         continue
                     ids = grp["id"].to_numpy(dtype=np.int64)
-                    codes = np.frombuffer(b"".join(grp["codes"]), dtype=np.uint8).reshape(len(grp), m)
+                    if tomb:
+                        alive = ~np.isin(ids, np.fromiter(tomb, dtype=np.int64))
+                        if not alive.any():
+                            continue
+                        grp = grp.iloc[np.flatnonzero(alive)]
+                        ids = ids[alive]
+                    codes = np.frombuffer(b"".join(grp["codes"]), dtype=np.uint8).reshape(
+                        len(grp), m
+                    )
                     code_idx = codes.astype(np.int64)
+                    # phase 1: ADC approximate scores (nq, n)
                     if met == "COSINE":
                         mags = np.sqrt(np.maximum(mag_lut[cols, code_idx].sum(axis=1), 1e-30))
-                    scores = np.empty((len(q_idx), len(grp)), dtype=np.float64)
+                    approx = np.empty((len(q_idx), len(grp)), dtype=np.float64)
                     for row, qi in enumerate(q_idx):
                         partial = q_luts[qi][cols, code_idx].sum(axis=1)
                         if met == "EUCLIDEAN":
-                            scores[row] = 1.0 / (1.0 + partial)
+                            approx[row] = 1.0 / (1.0 + partial)
                         elif met == "DOT_PRODUCT":
-                            scores[row] = (1.0 + partial) / 2.0
+                            approx[row] = (1.0 + partial) / 2.0
                         else:
-                            scores[row] = (1.0 + partial / (mags * max(q_norms[qi], 1e-30))) / 2.0
-                    idx, vals = kernels.topk_per_row(scores, keep)
-                    kk = idx.shape[1]
+                            approx[row] = (1.0 + partial / (mags * max(q_norms[qi], 1e-30))) / 2.0
+                    cand_idx, _ = kernels.topk_per_row(approx, keep)
+                    # phase 2: exact rerank of the candidate union only
+                    uniq = np.unique(cand_idx.ravel())
+                    x = kernels.as_matrix(grp["vec"].iloc[uniq])
+                    pos_of = {int(u): j for j, u in enumerate(uniq)}
+                    out_q, out_i, out_s = [], [], []
+                    for row, qi in enumerate(q_idx):
+                        cand = cand_idx[row]
+                        xs = x[[pos_of[int(c)] for c in cand]]
+                        exact = kernels.similarity(met, q_mat[qi][None, :], xs)[0]
+                        top = min(kk, len(cand))
+                        # sort by exact score desc, id asc (T4 tie-break)
+                        order = np.lexsort((ids[cand], -exact))[:top]
+                        out_q.append(np.full(top, q_ids[qi], dtype=np.int64))
+                        out_i.append(ids[cand[order]])
+                        out_s.append(exact[order])
                     yield pd.DataFrame(
                         {
-                            "qid": np.repeat(q_ids[q_idx], kk),
-                            "id": ids[idx.ravel()],
-                            "score_approx": vals.ravel(),
+                            "qid": np.concatenate(out_q),
+                            "id": np.concatenate(out_i),
+                            "score": np.concatenate(out_s),
                         }
                     )
 
-        return codes_df.select("part_id", "id", "codes").mapInPandas(
-            scan, schema="qid long, id long, score_approx double"
+        return data.select("part_id", "id", "vec", "codes").mapInPandas(
+            scan, schema="qid long, id long, score double"
         )
 
     # -------------------------------------------------------------- mutation
@@ -407,17 +422,7 @@ class IVFIndex:
             df, self.path, seg_name, n, id_col, vec_col, manifest=self.manifest
         )
         self.manifest.save(self.path)
-        # refresh local caches
-        seg_dir = os.path.join(self.path, "segments", seg_name)
-        cents = self.spark.read.parquet(os.path.join(seg_dir, "centroids.parquet")).collect()
-        arr = np.zeros((len(cents), self.manifest.dim), dtype=np.float64)
-        for r in cents:
-            arr[r["part_id"]] = np.asarray(r["centroid"])
-        self._segments[seg_name] = {
-            "dir": seg_dir,
-            "centroids": arr,
-            "pq": ProductQuantizer.load(os.path.join(seg_dir, "pq")),
-        }
+        self._load_segment_meta(seg_name)
 
     def compact(self) -> "IVFIndex":
         """U1: N:1 segment merge — union live vectors, rebuild one segment
@@ -455,10 +460,7 @@ class IVFIndex:
         """A10 analog: per-segment row/partition counts + avg partition size."""
         out = {"version": self.manifest.version, "segments": []}
         for seg in self.manifest.segments:
-            df = self.spark.read.parquet(
-                os.path.join(self._segments[seg.name]["dir"], "codes.parquet")
-            )
-            sizes = df.groupBy("part_id").count()
+            sizes = self._segment_data(seg.name).groupBy("part_id").count()
             row = sizes.agg(
                 F.count("*").alias("parts"),
                 F.avg("count").alias("avg_rows"),

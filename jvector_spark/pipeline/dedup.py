@@ -62,6 +62,30 @@ def sql_shingles(c: str, n: int = 3) -> str:
     )
 
 
+def word_shingles(c: Column, n: int = 5) -> Column:
+    """Distinct, sorted word n-grams of the (already normalized) text.
+
+    Word shingles (not characters) are the right unit for document-level
+    MinHash: the shingle space is |vocab|^n, so unrelated documents share
+    almost no shingles even when they share most of their vocabulary —
+    char trigrams over a small vocabulary degenerate (every doc contains
+    nearly every trigram, all minima collide, LSH buckets explode)."""
+    toks = F.split(c, " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_sort(F.array_distinct(grams))
+
+
+def sql_word_shingles(c: str, n: int = 5) -> str:
+    return (
+        f"list_sort(list_distinct(list_transform("
+        f"range(1, greatest(len(string_split({c}, ' ')) - {n - 1}, 1) + 1), "
+        f"i -> array_to_string(string_split({c}, ' ')[i:i+{n - 1}], ' '))))"
+    )
+
+
 # ---------------------------------------------------------------------------
 # D1: exact dedup — hash groupBy
 # ---------------------------------------------------------------------------
@@ -118,25 +142,56 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs within a blocking key.
 
-    The self-join shuffles on ``block_col``; pair count is bounded by the
-    largest block squared. For unblocked corpora use minhash_lsh_pairs.
+    Each doc's shingle set shuffles ONCE (groupBy block), then a numpy
+    kernel scores all pairs of the block with one boolean matmul —
+    instead of a self-join that would shuffle the arrays once per PAIR.
+    Pair count is bounded by the largest block squared; a block must fit
+    in worker memory by contract (for unblocked corpora use
+    minhash_lsh_pairs).
     """
+    import numpy as np
+    import pandas as pd
+
     sh = docs.select(
         F.col("doc_id"),
         F.col(block_col).alias("_blk"),
         shingles(norm_text(text_col), n).alias("_sh"),
     )
-    a, b = sh.alias("a"), sh.alias("b")
-    j = jaccard(F.col("a._sh"), F.col("b._sh"))
-    return (
-        a.join(b, F.col("a._blk") == F.col("b._blk"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(j, 6).alias("jaccard"),
+
+    def block_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []}).astype(
+                {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
+            )
+        order = np.argsort(pdf["doc_id"].to_numpy())
+        ids = pdf["doc_id"].to_numpy()[order]
+        sets = [pdf["_sh"].iloc[i] for i in order]
+        vocab: dict = {}
+        for s in sets:
+            for g in s:
+                vocab.setdefault(g, len(vocab))
+        mat = np.zeros((m, len(vocab)), dtype=np.float32)
+        for i, s in enumerate(sets):
+            mat[i, [vocab[g] for g in s]] = 1.0
+        # counts are small integers -> exact in float32; divide in float64
+        # so ROUND(x, 6) matches the oracle's double math bit-for-bit
+        inter = (mat @ mat.T).astype(np.float64)
+        sizes = mat.sum(axis=1, dtype=np.float64)
+        union = sizes[:, None] + sizes[None, :] - inter
+        jac = inter / union
+        ia, ib = np.triu_indices(m, k=1)
+        keep = jac[ia, ib] >= threshold
+        return pd.DataFrame(
+            {
+                "doc_a": ids[ia[keep]],
+                "doc_b": ids[ib[keep]],
+                "jaccard": np.round(jac[ia, ib][keep].astype(np.float64), 6),
+            }
         )
-        .filter(F.col("jaccard") >= threshold)
+
+    return sh.groupBy("_blk").applyInPandas(
+        block_pairs, schema="doc_a long, doc_b long, jaccard double"
     )
 
 
@@ -162,16 +217,47 @@ SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= {threshold}
 # ---------------------------------------------------------------------------
 
 
-def _seed_hash(i: int):
-    # NOTE: single-parameter lambda on purpose — a 2-param lambda would be
-    # interpreted by transform() as (element, index).
-    return lambda g: h64(F.concat(F.lit(f"{i}:"), g))
+# Universal-hash constants for deriving n minhash functions from ONE base
+# hash per shingle: h_i(g) = (A_i * (h64(g) % 2^30) + B_i) % P. Products
+# stay < 2^60 so int64 math is exact in both engines.
+_UH_P = 1_000_000_007
+_BASE_MOD = 1 << 30
 
 
-def minhash_signature(sh: Column, n_hashes: int) -> Column:
-    """MinHash signature: per seed i, min over shingles of h64('i:' || g)."""
+def _uh_consts(n_hashes: int) -> list[tuple[int, int]]:
+    # deterministic constants derived from md5 of the seed index
+    out = []
+    for i in range(n_hashes):
+        import hashlib
+
+        hx = hashlib.md5(f"uh:{i}".encode()).hexdigest()
+        a = (int(hx[:8], 16) % (_BASE_MOD - 1)) | 1  # odd, < 2^30
+        b = int(hx[8:16], 16) % _UH_P
+        out.append((a, b))
+    return out
+
+
+def base_hashes(sh: Column) -> Column:
+    """One md5-derived base hash per shingle (materialize this as a column
+    BEFORE calling minhash_signature — Catalyst inlines expression trees,
+    so passing the raw expression would recompute the md5 pass per
+    signature element)."""
+    return F.transform(sh, lambda g: h64(g) % F.lit(_BASE_MOD))
+
+
+def minhash_signature(base: Column, n_hashes: int) -> Column:
+    """MinHash signature from the base-hash array + n universal-hash mixes:
+    sig_i = min over shingles of (A_i * base + B_i) % P. One md5 per
+    shingle total, instead of n_hashes of them."""
+
+    def _mix(a: int, bconst: int):
+        return lambda h: (F.lit(a) * h + F.lit(bconst)) % F.lit(_UH_P)
+
     return F.array(
-        *[F.array_min(F.transform(sh, _seed_hash(i))) for i in range(n_hashes)]
+        *[
+            F.array_min(F.transform(base, _mix(a, bc)))
+            for a, bc in _uh_consts(n_hashes)
+        ]
     )
 
 
@@ -190,8 +276,9 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     n_hashes: int = 16,
     bands: int = 4,
-    n: int = 3,
+    n: int = 5,
     text_col: str = "text",
+    broadcast_verify: bool = True,
 ) -> DataFrame:
     """MinHash/LSH near-dup pairs, verified with exact Jaccard.
 
@@ -199,27 +286,46 @@ def minhash_lsh_pairs(
     on key -> distinct candidate pairs -> exact Jaccard >= threshold.
     """
     rows_per_band = n_hashes // bands
-    sh = docs.select("doc_id", shingles(norm_text(text_col), n).alias("_sh")).withColumn(
-        "_sig", minhash_signature(F.col("_sh"), n_hashes)
+    # tokens materialized once; word_shingles applied to the raw text would
+    # re-split it once per gram (Catalyst inlines expression trees)
+    toks = docs.select("doc_id", F.split(norm_text(text_col), " ").alias("_tk"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("_tk") - F.lit(n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_tk"), i, n)),
     )
-    banded = sh.select(
-        "doc_id", "_sh", F.explode(_band_keys(F.col("_sig"), bands, rows_per_band)).alias("bkey")
+    sh = toks.select("doc_id", F.array_sort(F.array_distinct(grams)).alias("_sh"))
+    # materialize base hashes, then signatures, in separate projections so
+    # each map pass computes once (not once per downstream reference)
+    sig = sh.withColumn("_base", base_hashes(F.col("_sh"))).withColumn(
+        "_sig", minhash_signature(F.col("_base"), n_hashes)
     )
+    # band keys only — the self-join shuffle carries (doc_id, bkey), never
+    # the shingle arrays. Cached: both join sides reuse one computation.
+    banded = sig.select(
+        "doc_id", F.explode(_band_keys(F.col("_sig"), bands, rows_per_band)).alias("bkey")
+    ).cache()
     a, b2 = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b2, F.col("a.bkey") == F.col("b.bkey"))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a._sh").alias("sh_a"),
-            F.col("b._sh").alias("sh_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
+    # exact-Jaccard verification: join the candidate pair set back to the
+    # shingle sets. broadcast_verify ships the shingle table to the
+    # executors so candidates never shuffle (right whenever the doc count
+    # fits driver memory); at 100 TB flip it off for a shuffle join and
+    # persist `sh` instead of recomputing it.
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("sh_b"))
+    if broadcast_verify:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
     j = jaccard(F.col("sh_a"), F.col("sh_b"))
-    return cand.select("doc_a", "doc_b", F.round(j, 6).alias("jaccard")).filter(
-        F.col("jaccard") >= threshold
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -227,13 +333,16 @@ def minhash_lsh_pairs_sql(
     threshold: float = 0.5,
     n_hashes: int = 16,
     bands: int = 4,
-    n: int = 3,
+    n: int = 5,
     text_col: str = "text",
 ) -> str:
     rows_per_band = n_hashes // bands
     norm = sql_norm_text(text_col)
-    seed_hash = [sql_h64(f"'{i}:' || g") for i in range(n_hashes)]
-    sig_elems = ", ".join(f"list_min(list_transform(sh, g -> {h}))" for h in seed_hash)
+    base = f"{sql_h64('g')} % {_BASE_MOD}"
+    sig_elems = ", ".join(
+        f"list_min(list_transform(base, h -> ({a} * h + {bc}) % {_UH_P}))"
+        for a, bc in _uh_consts(n_hashes)
+    )
     band_keys = ", ".join(
         "concat_ws('_', '{b}', {elems})".format(
             b=b,
@@ -243,9 +352,11 @@ def minhash_lsh_pairs_sql(
     )
     return f"""
 WITH s AS (
-  SELECT doc_id, {sql_shingles(norm, n)} AS sh FROM documents
+  SELECT doc_id, {sql_word_shingles(norm, n)} AS sh FROM documents
+), based AS (
+  SELECT doc_id, sh, list_transform(sh, g -> {base}) AS base FROM s
 ), sig AS (
-  SELECT doc_id, sh, [{sig_elems}] AS sig FROM s
+  SELECT doc_id, [{sig_elems}] AS sig FROM based
 ), banded AS (
   SELECT doc_id, unnest([{band_keys}]) AS bkey FROM sig
 ), cand AS (
