@@ -414,6 +414,41 @@ def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", "id", F.round("score", 6).alias("score"), F.col("rank").cast("long").alias("rank"))
 
 
+@_register("threshold_search_ivf")
+def _threshold_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold query through the IVF index (J4 + X4 analog): rigorous
+    centroid-radius bounds prune partitions that provably contain no
+    match, so the result is EXACT and oracle-checkable despite running
+    on approximate-search infrastructure."""
+    import tempfile
+
+    from jvector_spark.operators.index import IVFIndexBuilder
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    tmp = tempfile.mkdtemp(prefix="jvs_entry_thr_")
+    idx = IVFIndexBuilder(metric="COSINE", pq_m=8).fit(corpus, tmp)
+    queries = corpus.filter(F.col("id") < 8).selectExpr("id as qid", "vec")
+    res = idx.threshold_search(queries, threshold=0.6)
+    return res.filter(F.col("qid") != F.col("id")).select(
+        "qid", "id", F.round("score", 6).alias("score")
+    )
+
+
+_oracle(
+    "threshold_search_ivf",
+    f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 8),
+s AS (
+  SELECT q.qid, e.vec_id AS id,
+         {sql_similarity("COSINE", "e.embedding", "q.qvec")} AS _s
+  FROM embeddings e, q WHERE e.vec_id <> q.qid
+)
+SELECT qid, id, ROUND(_s, 6) AS score FROM s WHERE _s >= 0.6
+""",
+)
+
+
 @_register("ann_recall")
 def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the two-phase PQ path vs the exact oracle (A9) at

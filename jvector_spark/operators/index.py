@@ -159,9 +159,54 @@ class IVFIndexBuilder:
             .parquet(os.path.join(seg_dir, "data.parquet"))
         )
 
+        # per-partition pruning stats (X4/ScoreTracker analog): Euclidean
+        # radius, angular radius, max norm — rigorous score upper bounds let
+        # threshold_search skip partitions that provably contain no match.
+        written = spark.read.parquet(os.path.join(seg_dir, "data.parquet"))
+
+        def part_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cents, _ = b.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                out = []
+                for part, grp in pdf.groupby("part_id"):
+                    x = kernels.as_matrix(grp["vec"])
+                    c = cents[int(part)]
+                    dif = x - c[None, :]
+                    r = float(np.sqrt(np.einsum("ij,ij->i", dif, dif).max()))
+                    xn = np.linalg.norm(x, axis=1)
+                    cn = max(float(np.linalg.norm(c)), 1e-30)
+                    cosang = (x @ c) / (np.maximum(xn, 1e-30) * cn)
+                    ang = float(np.arccos(np.clip(cosang, -1.0, 1.0)).max())
+                    out.append((int(part), r, ang, float(xn.max())))
+                yield pd.DataFrame(
+                    out, columns=["part_id", "radius", "ang_radius", "max_norm"]
+                )
+
+        stats = (
+            written.select("part_id", "vec")
+            .mapInPandas(part_stats, schema="part_id int, radius double, ang_radius double, max_norm double")
+            .groupBy("part_id")
+            .agg(
+                F.max("radius").alias("radius"),
+                F.max("ang_radius").alias("ang_radius"),
+                F.max("max_norm").alias("max_norm"),
+            )
+        )
+        stat_rows = {r["part_id"]: r for r in stats.collect()}
         cent_df = spark.createDataFrame(
-            [(i, centroids[i].tolist()) for i in range(len(centroids))],
-            "part_id int, centroid array<double>",
+            [
+                (
+                    i,
+                    centroids[i].tolist(),
+                    float(stat_rows[i]["radius"]) if i in stat_rows else 0.0,
+                    float(stat_rows[i]["ang_radius"]) if i in stat_rows else 0.0,
+                    float(stat_rows[i]["max_norm"]) if i in stat_rows else 0.0,
+                )
+                for i in range(len(centroids))
+            ],
+            "part_id int, centroid array<double>, radius double, ang_radius double, max_norm double",
         )
         cent_df.coalesce(1).write.mode("overwrite").parquet(os.path.join(seg_dir, "centroids.parquet"))
         pq.save(os.path.join(seg_dir, "pq"))
@@ -188,13 +233,25 @@ class IVFIndex:
 
     def _load_segment_meta(self, seg_name: str) -> None:
         seg_dir = os.path.join(self.path, "segments", seg_name)
-        cents = self.spark.read.parquet(os.path.join(seg_dir, "centroids.parquet")).collect()
+        cdf = self.spark.read.parquet(os.path.join(seg_dir, "centroids.parquet"))
+        cents = cdf.collect()
         arr = np.zeros((len(cents), self.manifest.dim), dtype=np.float64)
+        has_stats = "radius" in cdf.columns
+        radius = np.zeros(len(cents))
+        ang = np.full(len(cents), np.pi)
+        mnorm = np.full(len(cents), np.inf)
         for r in cents:
             arr[r["part_id"]] = np.asarray(r["centroid"])
+            if has_stats:
+                radius[r["part_id"]] = r["radius"]
+                ang[r["part_id"]] = r["ang_radius"]
+                mnorm[r["part_id"]] = r["max_norm"]
         self._segments[seg_name] = {
             "dir": seg_dir,
             "centroids": arr,
+            "radius": radius,
+            "ang_radius": ang,
+            "max_norm": mnorm,
             "pq": ProductQuantizer.load(os.path.join(seg_dir, "pq")),
         }
 
@@ -373,6 +430,122 @@ class IVFIndex:
                     )
 
         return data.select("part_id", "id", "vec", "codes").mapInPandas(
+            scan, schema="qid long, id long, score double"
+        )
+
+    def threshold_search(
+        self,
+        queries_df: DataFrame,
+        threshold: float,
+        query_id_col: str = "qid",
+        query_vec_col: str = "vec",
+    ) -> DataFrame:
+        """Threshold query (J4) with rigorous partition pruning (X4 analog).
+
+        For each query, partitions whose score upper bound (from the
+        centroid + stored radius stats) is below the threshold provably
+        contain no qualifying row and are skipped; survivors are scored
+        exactly at fp32. Results are therefore EXACT — pruning only saves
+        IO — unlike the reference's probabilistic early stop
+        (ScoreTracker.java:80-147), which trades recall.
+
+        Bounds per metric (c = centroid, r/theta/M = stored stats):
+          EUCLIDEAN:   d(q,x) >= max(0, ||q-c|| - r)  -> 1/(1+d^2) bound
+          COSINE:      angle(q,x) >= max(0, angle(q,c) - theta)
+          DOT_PRODUCT: dot(q,x) <= ||q|| * M * cos(max(0, angle(q,c)-theta))
+        """
+        metric = self.manifest.metric
+        qrows = queries_df.select(query_id_col, query_vec_col).collect()
+        qids = np.array([r[0] for r in qrows], dtype=np.int64)
+        qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+        dead = self._tombstone_ids()
+
+        parts = [
+            self._segment_threshold_scan(
+                self._segments[seg.name], qids, qmat, metric, threshold, dead
+            )
+            for seg in self.manifest.segments
+        ]
+        out = parts[0]
+        for d in parts[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def _segment_threshold_scan(
+        self,
+        info: dict,
+        qids: np.ndarray,
+        qmat: np.ndarray,
+        metric: str,
+        threshold: float,
+        dead: frozenset,
+    ) -> DataFrame:
+        cents: np.ndarray = info["centroids"]
+        qn = np.linalg.norm(qmat, axis=1)
+        cn = np.linalg.norm(cents, axis=1)
+        d2 = np.maximum(
+            np.einsum("ij,ij->i", qmat, qmat)[:, None]
+            + np.einsum("ij,ij->i", cents, cents)[None, :]
+            - 2.0 * qmat @ cents.T,
+            0.0,
+        )
+        if metric == "EUCLIDEAN":
+            dmin = np.maximum(np.sqrt(d2) - info["radius"][None, :], 0.0)
+            bound = 1.0 / (1.0 + dmin**2)
+        else:
+            cosqc = (qmat @ cents.T) / np.maximum(qn[:, None] * cn[None, :], 1e-30)
+            angqc = np.arccos(np.clip(cosqc, -1.0, 1.0))
+            amin = np.maximum(angqc - info["ang_radius"][None, :], 0.0)
+            cmax = np.cos(amin)
+            if metric == "COSINE":
+                bound = (1.0 + cmax) / 2.0
+            else:  # DOT_PRODUCT
+                bound = (1.0 + qn[:, None] * info["max_norm"][None, :] * cmax) / 2.0
+        probe_mask = bound + 1e-9 >= threshold  # (nq, nparts)
+        part_to_queries: dict[int, list[int]] = {}
+        for qi in range(len(qids)):
+            for p in np.flatnonzero(probe_mask[qi]):
+                part_to_queries.setdefault(int(p), []).append(qi)
+        probed_parts = sorted(part_to_queries)
+        if not probed_parts:
+            return self.spark.createDataFrame([], "qid long, id long, score double")
+
+        data = self.spark.read.parquet(os.path.join(info["dir"], "data.parquet"))
+        data = data.filter(F.col("part_id").isin(probed_parts))
+        b = self.spark.sparkContext.broadcast(
+            (qids, qmat, metric, threshold, part_to_queries, dead)
+        )
+
+        def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            q_ids, q_mat, met, t, p2q, tomb = b.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                for part, grp in pdf.groupby("part_id"):
+                    q_idx = p2q.get(int(part))
+                    if not q_idx:
+                        continue
+                    ids = grp["id"].to_numpy(dtype=np.int64)
+                    if tomb:
+                        alive = ~np.isin(ids, np.fromiter(tomb, dtype=np.int64))
+                        if not alive.any():
+                            continue
+                        grp = grp.iloc[np.flatnonzero(alive)]
+                        ids = ids[alive]
+                    x = kernels.as_matrix(grp["vec"])
+                    scores = kernels.similarity(met, q_mat[q_idx], x)
+                    qi_idx, row_idx = np.nonzero(scores >= t)
+                    if len(qi_idx) == 0:
+                        continue
+                    yield pd.DataFrame(
+                        {
+                            "qid": q_ids[np.asarray(q_idx)[qi_idx]],
+                            "id": ids[row_idx],
+                            "score": scores[qi_idx, row_idx],
+                        }
+                    )
+
+        return data.select("part_id", "id", "vec").mapInPandas(
             scan, schema="qid long, id long, score double"
         )
 

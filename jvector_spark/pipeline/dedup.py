@@ -167,13 +167,12 @@ def ngram_jaccard_pairs(
         order = np.argsort(pdf["doc_id"].to_numpy())
         ids = pdf["doc_id"].to_numpy()[order]
         sets = [pdf["_sh"].iloc[i] for i in order]
-        vocab: dict = {}
-        for s in sets:
-            for g in s:
-                vocab.setdefault(g, len(vocab))
-        mat = np.zeros((m, len(vocab)), dtype=np.float32)
-        for i, s in enumerate(sets):
-            mat[i, [vocab[g] for g in s]] = 1.0
+        lens = np.array([len(s) for s in sets])
+        flat = np.concatenate([np.asarray(s, dtype=object) for s in sets])
+        _, gram_idx = np.unique(flat, return_inverse=True)
+        row_idx = np.repeat(np.arange(m), lens)
+        mat = np.zeros((m, gram_idx.max() + 1), dtype=np.float32)
+        mat[row_idx, gram_idx] = 1.0
         # counts are small integers -> exact in float32; divide in float64
         # so ROUND(x, 6) matches the oracle's double math bit-for-bit
         inter = (mat @ mat.T).astype(np.float64)
@@ -471,26 +470,67 @@ def embedding_neardup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """Exact cosine near-dup pairs over an embedding column.
+    """Exact cosine near-dup pairs over an embedding column, as a blocked
+    matrix multiply.
 
-    Norms are precomputed per side so the O(n^2) stage does one dot product
-    per pair. Score is raw cosine (dedup thresholds are cosine-native, not
-    the search engine's (1+cos)/2 normalization). The approximate scale
-    path is IVFIndex threshold search over the same column.
+    Rows are hashed into ``n_blocks`` blocks; every unordered block pair
+    (i <= j) becomes one task that scores its pair with a single BLAS
+    matmul. Each row is replicated ~n_blocks/2 times through one shuffle —
+    O(n*B) data movement for O(n^2) pair work, the standard distributed
+    all-pairs shape (vs a pairwise expression join, which is ~100x slower
+    per pair). Score is raw cosine (dedup thresholds are cosine-native).
+    The approximate scale path is IVFIndex threshold search.
     """
-    from jvector_spark.functions.similarity import dot_product, l2_norm
+    import numpy as np
+    import pandas as pd
 
-    v = F.col(vec_col)
-    sides = emb.select(F.col(id_col).alias("id"), v.alias("_v"), l2_norm(v).alias("_n"))
-    a = sides.select(F.col("id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
-    b = sides.select(F.col("id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
-    cos = dot_product(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(cos, 6).alias("cos"))
-        .filter(F.col("cos") >= threshold)
+    from jvector_spark.functions import kernels
+
+    src = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    blk = (F.col("id") % n_blocks).cast("int")
+    # replicate each row to every block pair (min(b, other), max(b, other))
+    pair_keys = F.array(
+        *[
+            F.struct(
+                F.least(blk, F.lit(o)).alias("b1"), F.greatest(blk, F.lit(o)).alias("b2")
+            )
+            for o in range(n_blocks)
+        ]
+    )
+    exploded = src.select(
+        "id", "v", blk.alias("_blk"), F.explode(F.array_distinct(pair_keys)).alias("bp")
+    ).select("id", "v", "_blk", F.col("bp.b1").alias("b1"), F.col("bp.b2").alias("b2"))
+
+    def score_block(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        b1, b2 = key
+        left = pdf[pdf["_blk"] == b1]
+        right = pdf[pdf["_blk"] == b2] if b1 != b2 else left
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+            )
+        la = kernels.as_matrix(left["v"])
+        rb = kernels.as_matrix(right["v"])
+        cos = kernels.cosine(la, rb)
+        ia, ib = np.nonzero(cos >= threshold)
+        ids_a = left["id"].to_numpy()[ia]
+        ids_b = right["id"].to_numpy()[ib]
+        vals = cos[ia, ib]
+        if b1 == b2:
+            # same-block matrix contains both orientations + the diagonal
+            keep = ids_a < ids_b
+            ids_a, ids_b, vals = ids_a[keep], ids_b[keep], vals[keep]
+        else:
+            # cross-block pairs appear exactly once — normalize orientation
+            ids_a, ids_b = np.minimum(ids_a, ids_b), np.maximum(ids_a, ids_b)
+        return pd.DataFrame(
+            {"id_a": ids_a, "id_b": ids_b, "cos": np.round(vals, 6)}
+        )
+
+    return exploded.groupBy("b1", "b2").applyInPandas(
+        score_block, schema="id_a long, id_b long, cos double"
     )
 
 

@@ -127,3 +127,37 @@ def test_stats(index):
     s = index.stats()
     assert s["segments"][0]["n_rows"] == N
     assert s["segments"][0]["n_partitions"] == 32
+
+
+def test_threshold_search_exact_with_pruning(spark, index, corpus_df, queries_df):
+    """Radius-bound pruning must NOT change results: threshold search over
+    the index equals brute-force threshold filtering (J4 + X4 analog)."""
+    df, _ = corpus_df
+    t = 0.62
+    got = index.threshold_search(queries_df, t).collect()
+    got_set = {(r.qid, r.id) for r in got}
+
+    q = queries_df.collect()
+    brute = set()
+    for r in exact_threshold_pairs(df, q, t):
+        brute.add(r)
+    assert got_set == brute
+    # scores are exact similarity values
+    for r in got:
+        assert r.score >= t
+
+
+def exact_threshold_pairs(df, qrows, t):
+    import numpy as np
+
+    from jvector_spark.functions import kernels
+
+    rows = df.select("id", "vec").collect()
+    ids = np.array([r.id for r in rows])
+    mat = np.stack([np.asarray(r.vec, dtype=np.float64) for r in rows])
+    out = set()
+    for qr in qrows:
+        s = kernels.similarity("COSINE", np.asarray(qr.vec, dtype=np.float64)[None, :], mat)[0]
+        for i in np.flatnonzero(s >= t):
+            out.add((qr.qid, int(ids[i])))
+    return out
