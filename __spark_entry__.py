@@ -204,6 +204,42 @@ WHERE e.vec_id <> 4
 )
 
 
+@_register("knn_paginated")
+def _knn_paginated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paginated search (J5 resume analog): page 2 (ranks 11-20) of the
+    exact cosine ranking for query vec_id=0 — deterministic under the
+    score-desc/id-asc total order, so exactly oracle-checkable."""
+    from jvector_spark.operators import exact
+
+    emb = _emb(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    page = exact.search_page(
+        corpus, qvec, page_size=10, page=1, metric="COSINE", exclude_ids=[0]
+    )
+    return page.select(
+        "id", F.round("score", 6).alias("score"), F.col("rank").cast("long").alias("rank")
+    )
+
+
+_oracle(
+    "knn_paginated",
+    f"""
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id AS id, {sql_similarity("COSINE", "e.embedding", "q.qvec")} AS _s
+  FROM embeddings e, q WHERE e.vec_id <> 0
+),
+r AS (
+  SELECT id, _s,
+         CAST(row_number() OVER (ORDER BY _s DESC, id ASC) AS BIGINT) AS rank
+  FROM s
+)
+SELECT id, ROUND(_s, 6) AS score, rank FROM r WHERE rank > 10 AND rank <= 20
+""",
+)
+
+
 @_register("vector_centroids")
 def _centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid (A1), exploded to (label, dim, value) for hashing."""
@@ -447,6 +483,20 @@ s AS (
 SELECT qid, id, ROUND(_s, 6) AS score FROM s WHERE _s >= 0.6
 """,
 )
+
+
+@_register("ann_lsh_topk")
+def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH k-NN join (J2 bucketed variant): one fused
+    map-only corpus pass, multiprobe buckets, exact rerank of candidates.
+    Approximate candidate selection -> rows-only correctness check."""
+    from jvector_spark.operators.lsh import rp_lsh_knn_join
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    queries = corpus.filter(F.col("id") < 16).selectExpr("id as qid", "vec")
+    res = rp_lsh_knn_join(corpus, queries, k=5, metric="COSINE", probe_bits=2)
+    return res.select("qid", "id", F.round("score", 6).alias("score"), F.col("rank").cast("long").alias("rank"))
 
 
 @_register("ann_recall")

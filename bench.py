@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "events_rollup",
     "knn_join_wide",
+    "ann_lsh_topk",
+    "knn_paginated",
 ]
 
 

@@ -73,6 +73,35 @@ def topk(
     )
 
 
+def search_page(
+    df: DataFrame,
+    query_vec,
+    page_size: int,
+    page: int,
+    metric: str = "COSINE",
+    id_col: str = "id",
+    vec_col: str = "vec",
+    predicate: Column | None = None,
+    exclude_ids=None,
+) -> DataFrame:
+    """Paginated search (J5): page `page` (0-based) of the exact ranking.
+
+    The reference's ``GraphSearcher.resume(additionalK, ...)``
+    (GraphSearcher.java:509-547) continues a search from its evicted
+    candidates; the batch analog re-runs with k = (page+1)*page_size and
+    keeps ``rank BETWEEN page*page_size+1 AND (page+1)*page_size`` —
+    deterministic given the score-desc/id-asc total order (T4), so pages
+    never overlap or skip. TakeOrderedAndProject still bounds the heap at
+    (page+1)*page_size per partition; no full sort.
+    """
+    lo, hi = page * page_size, (page + 1) * page_size
+    full = topk(
+        df, query_vec, hi, metric=metric, id_col=id_col, vec_col=vec_col,
+        predicate=predicate, exclude_ids=exclude_ids,
+    )
+    return full.filter(F.col("rank") > lo)
+
+
 def threshold_search(
     df: DataFrame,
     query_vec,

@@ -1,0 +1,139 @@
+"""Random-hyperplane LSH approximate k-NN join (the bucketed ANN variant).
+
+The cosine-LSH alternative to the IVF index (SURVEY §2.4 J2): corpus rows
+hash to sign-bit buckets of ``n_planes`` random hyperplanes; a query
+probes its own bucket plus every bucket within ``probe_bits`` bit flips
+(multiprobe), and only those rows are scored exactly.
+
+Shape at scale: the scan is ONE fused map-only pass over the corpus —
+each Arrow batch computes its rows' buckets with a single matmul, keeps
+rows whose bucket is probed by >= 1 query, scores them exactly, and emits
+batch-local top-k; a single window merges. No shuffle of corpus data,
+no index build. Use the IVF index when the corpus is searched repeatedly
+(persisted partitioning amortizes); use this for one-shot joins.
+
+Hyperplanes are seeded deterministically, so results are reproducible.
+"""
+
+from __future__ import annotations
+
+import math
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from jvector_spark.functions import kernels
+
+
+def _bucket_of(x: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, d) -> (n,) int64 bucket ids from sign bits of x @ planes.T."""
+    bits = (x @ planes.T) > 0  # (n, n_planes)
+    weights = (1 << np.arange(planes.shape[0])).astype(np.int64)
+    return bits.astype(np.int64) @ weights
+
+
+def _probe_buckets(q: np.ndarray, planes: np.ndarray, probe_bits: int) -> np.ndarray:
+    """Query bucket plus all buckets within probe_bits flips (multiprobe:
+    flip the planes whose margin |q.h| is smallest first — those are the
+    likeliest sign errors for near neighbors)."""
+    margins = q @ planes.T
+    base = int(_bucket_of(q[None, :], planes)[0])
+    order = np.argsort(np.abs(margins))  # most uncertain planes first
+    buckets = {base}
+    if probe_bits >= 1:
+        for b in order[: max(probe_bits * 4, probe_bits)]:
+            buckets.add(base ^ (1 << int(b)))
+    if probe_bits >= 2:
+        top = order[: max(probe_bits * 2, 2)]
+        for i in range(len(top)):
+            for j in range(i + 1, len(top)):
+                buckets.add(base ^ (1 << int(top[i])) ^ (1 << int(top[j])))
+    return np.fromiter(buckets, dtype=np.int64)
+
+
+def rp_lsh_knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    metric: str = "COSINE",
+    n_planes: int | None = None,
+    probe_bits: int = 2,
+    seed: int = 42,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    query_id_col: str = "qid",
+    query_vec_col: str = "vec",
+) -> DataFrame:
+    """Approximate k-NN join via random-hyperplane LSH + exact rerank.
+
+    Returns (qid, id, score, rank) with exact scores for returned rows.
+    Recall knobs: more planes = smaller buckets (faster, lower recall);
+    more probe_bits = more buckets probed (slower, higher recall).
+    ``n_planes=None`` auto-sizes to ~64 rows per bucket so small corpora
+    don't shatter into singleton buckets (and huge ones don't flood).
+    """
+    if n_planes is None:
+        n = corpus.count()
+        n_planes = max(3, min(24, int(math.ceil(math.log2(max(n / 64.0, 2.0))))))
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    dim = qmat.shape[1]
+
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_planes, dim))
+    planes /= np.linalg.norm(planes, axis=1, keepdims=True)
+
+    bucket_to_queries: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for bkt in _probe_buckets(qmat[qi], planes, probe_bits):
+            bucket_to_queries.setdefault(int(bkt), []).append(qi)
+
+    b = corpus.sparkSession.sparkContext.broadcast(
+        (planes, qids, qmat, metric, k, bucket_to_queries)
+    )
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl, q_ids, q_mat, met, kk, b2q = b.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = kernels.as_matrix(pdf[vec_col])
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            buckets = _bucket_of(x, pl)
+            # rows -> queries probing their bucket
+            per_query_rows: dict[int, list[int]] = {}
+            for ri, bkt in enumerate(buckets):
+                for qi in b2q.get(int(bkt), ()):
+                    per_query_rows.setdefault(qi, []).append(ri)
+            out_q, out_i, out_s = [], [], []
+            for qi, rows in per_query_rows.items():
+                rows = np.asarray(rows)
+                s = kernels.similarity(met, q_mat[qi][None, :], x[rows])[0]
+                top = min(kk, len(rows))
+                order = np.lexsort((ids[rows], -s))[:top]
+                out_q.append(np.full(top, q_ids[qi], dtype=np.int64))
+                out_i.append(ids[rows[order]])
+                out_s.append(s[order])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "qid": np.concatenate(out_q),
+                        "id": np.concatenate(out_i),
+                        "score": np.concatenate(out_s),
+                    }
+                )
+
+    candidates = corpus.select(id_col, vec_col).mapInPandas(
+        scan, schema="qid long, id long, score double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("qid", "rank")
+    )

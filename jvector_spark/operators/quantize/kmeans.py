@@ -48,6 +48,109 @@ def kmeans_pp(
     return centroids
 
 
+# ---------------------------------------------------------------------------
+# Anisotropic k-means (SURVEY §2.5 A3; ScaNN-style anisotropic PQ)
+# ---------------------------------------------------------------------------
+
+
+def parallel_cost_multiplier(threshold: float, dim: int) -> float:
+    """Weight of parallel vs orthogonal residual error derived from a dot
+    threshold T: parallelCost = T^2, perpendicularCost = (1-T^2)/(dim-1),
+    pcm = max(1, parallel/perpendicular)
+    (ref KMeansPlusPlusClusterer.java:116-124). Assumes unit-norm data."""
+    parallel = threshold * threshold
+    perpendicular = (1.0 - parallel) / max(dim - 1, 1)
+    return max(1.0, parallel / max(perpendicular, 1e-30))
+
+
+def anisotropic_loss(
+    points: np.ndarray, centroids: np.ndarray, assign: np.ndarray, pcm: float
+) -> float:
+    """Mean anisotropic quantization loss: pcm * parallel + orthogonal,
+    where the parallel residual is the component of (x - c) along x
+    (ref KMeansPlusPlusClusterer.weightedDistance, :317-327)."""
+    c = centroids[assign]
+    x_sq = np.einsum("ij,ij->i", points, points)
+    c_dot_x = np.einsum("ij,ij->i", c, points)
+    c_sq = np.einsum("ij,ij->i", c, c)
+    parallel = (c_dot_x - x_sq) ** 2 / np.maximum(x_sq, 1e-30)
+    residual = np.maximum(c_sq - 2.0 * c_dot_x + x_sq, 0.0)
+    orthogonal = np.maximum(residual - parallel, 0.0)
+    return float(np.mean(pcm * parallel + orthogonal))
+
+
+def kmeans_anisotropic(
+    points: np.ndarray,
+    k: int,
+    threshold: float = 0.2,
+    unweighted_iterations: int = 6,
+    anisotropic_iterations: int = 6,
+    seed: int = 42,
+) -> np.ndarray:
+    """k-means weighting parallel residual error over orthogonal
+    (anisotropic PQ, "Accelerating Large-Scale Inference with Anisotropic
+    Vector Quantization" §7.5; ref KMeansPlusPlusClusterer.java:140-147,
+    277-327, 377-431). Unweighted Lloyd rounds first (much faster), then
+    anisotropic refinement; both early-stop when <1% of points move.
+
+    Assignment: argmin_c  pcm * ((c·x - x·x)^2 / x·x) + orthogonal residual.
+    Update:     c = M^-1 mean(x),  M = (1-1/pcm)/|L| * Σ x̂x̂ᵀ + (1/pcm) I
+                (x̂ = x/‖x‖; the reference divides outer(x,x) by xᵀx).
+    """
+    rng = np.random.default_rng(seed)
+    n, d = points.shape
+    if k >= n:
+        reps = -(-k // n)
+        return np.tile(points, (reps, 1))[:k].astype(np.float64)
+    pcm = parallel_cost_multiplier(threshold, d)
+    ocm = 1.0 / pcm
+
+    centroids = _init_pp(points, k, rng)
+    assign = _nearest(points, centroids)
+    for _ in range(unweighted_iterations):
+        for j in range(k):
+            mask = assign == j
+            if mask.any():
+                centroids[j] = points[mask].mean(axis=0)
+            else:
+                centroids[j] = points[rng.integers(n)]
+        new_assign = _nearest(points, centroids)
+        changed = int((new_assign != assign).sum())
+        assign = new_assign
+        if changed <= 0.01 * n:
+            break
+
+    x_sq = np.maximum(np.einsum("ij,ij->i", points, points), 1e-30)
+    xn = points / np.sqrt(x_sq)[:, None]  # outer(x,x)/xᵀx == outer(x̂,x̂)
+    eye = np.eye(d)
+    for _ in range(anisotropic_iterations):
+        # update: per-cluster matrix solve (appendix 7.5)
+        for j in range(k):
+            mask = assign == j
+            cnt = int(mask.sum())
+            if cnt == 0:
+                centroids[j] = points[rng.integers(n)]
+                continue
+            m = ((1.0 - ocm) / cnt) * (xn[mask].T @ xn[mask]) + ocm * eye
+            mean = points[mask].mean(axis=0)
+            try:
+                centroids[j] = np.linalg.solve(m, mean)
+            except np.linalg.LinAlgError:
+                centroids[j] = mean
+        # assignment under the weighted distance
+        c_dot_x = points @ centroids.T  # (n, k)
+        c_sq = np.einsum("ij,ij->i", centroids, centroids)[None, :]
+        parallel = (c_dot_x - x_sq[:, None]) ** 2 / x_sq[:, None]
+        residual = np.maximum(c_sq - 2.0 * c_dot_x + x_sq[:, None], 0.0)
+        dist = pcm * parallel + np.maximum(residual - parallel, 0.0)
+        new_assign = np.argmin(dist, axis=1)
+        changed = int((new_assign != assign).sum())
+        assign = new_assign
+        if changed <= 0.01 * n:
+            break
+    return centroids
+
+
 def _init_pp(points: np.ndarray, k: int, rng: np.random.Generator) -> np.ndarray:
     n = len(points)
     centroids = np.empty((k, points.shape[1]), dtype=np.float64)

@@ -88,7 +88,13 @@ class ProductQuantizer:
         center: bool = False,
         iterations: int = DEFAULT_KMEANS_ITERS,
         seed: int = 42,
+        anisotropic_threshold: float | None = None,
     ) -> "ProductQuantizer":
+        """``anisotropic_threshold`` switches subspace clustering to the
+        anisotropic (ScaNN-style) objective weighting parallel residual
+        error — the reference's `compute(..., anisotropicThreshold)` path
+        (ProductQuantization.java:89, KMeansPlusPlusClusterer.java:140-147).
+        Meant for unit-norm corpora scored by dot product / cosine."""
         dim = mat.shape[1]
         if dim % m != 0:
             raise ValueError(f"dim {dim} not divisible by m {m}")
@@ -97,12 +103,28 @@ class ProductQuantizer:
             mat = mat - gc
         k = min(clusters, len(mat))
         dsub = dim // m
-        books = np.stack(
-            [
-                kmeans_pp(mat[:, i * dsub : (i + 1) * dsub], k, iterations, seed + i)
-                for i in range(m)
-            ]
-        )
+        if anisotropic_threshold is None:
+            books = np.stack(
+                [
+                    kmeans_pp(mat[:, i * dsub : (i + 1) * dsub], k, iterations, seed + i)
+                    for i in range(m)
+                ]
+            )
+        else:
+            from jvector_spark.operators.quantize.kmeans import kmeans_anisotropic
+
+            books = np.stack(
+                [
+                    kmeans_anisotropic(
+                        mat[:, i * dsub : (i + 1) * dsub], k,
+                        threshold=anisotropic_threshold,
+                        unweighted_iterations=iterations,
+                        anisotropic_iterations=iterations,
+                        seed=seed + i,
+                    )
+                    for i in range(m)
+                ]
+            )
         return cls(codebooks=books, global_centroid=gc, dim=dim)
 
     # ----------------------------------------------------------------- encode

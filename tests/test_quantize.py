@@ -155,3 +155,63 @@ def test_nvq_roundtrip_dataframe(spark, rng):
         rec = nvq.decode_numpy(codes, params)[0]
         orig = mat[r["id"]].astype(np.float32).astype(np.float64)
         assert np.max(np.abs(rec - orig)) < 0.1
+
+
+# ---------------------------------------------------------------------------
+# Anisotropic k-means (SURVEY §2.5 A3; KMeansPlusPlusClusterer.java:140-147)
+# ---------------------------------------------------------------------------
+
+
+def test_anisotropic_reduces_anisotropic_loss(rng):
+    from jvector_spark.operators.quantize.kmeans import (
+        anisotropic_loss,
+        kmeans_anisotropic,
+        kmeans_pp,
+        parallel_cost_multiplier,
+    )
+
+    n, d, k = 3000, 8, 16
+    mat = rng.normal(size=(n, d))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)  # unit-norm contract
+    pcm = parallel_cost_multiplier(0.2, d)
+
+    def loss(cents):
+        # assign under the weighted distance, like the trainer does
+        x_sq = np.einsum("ij,ij->i", mat, mat)
+        cdx = mat @ cents.T
+        c_sq = np.einsum("ij,ij->i", cents, cents)[None, :]
+        par = (cdx - x_sq[:, None]) ** 2 / x_sq[:, None]
+        res = np.maximum(c_sq - 2 * cdx + x_sq[:, None], 0.0)
+        dist = pcm * par + np.maximum(res - par, 0.0)
+        return anisotropic_loss(mat, cents, np.argmin(dist, axis=1), pcm)
+
+    uni = kmeans_pp(mat, k, iterations=6, seed=7)
+    ani = kmeans_anisotropic(mat, k, threshold=0.2, seed=7)
+    assert loss(ani) <= loss(uni) * 1.001, (loss(ani), loss(uni))
+
+
+def test_anisotropic_pq_improves_dot_fidelity(rng):
+    """On unit-norm data scored by dot product, anisotropic codebooks should
+    approximate TRUE dot scores at least as well (lower MSE of the ADC
+    estimate on high-scoring pairs) as unweighted PQ — the whole point of
+    the ScaNN objective."""
+    from jvector_spark.operators.quantize.pq import ProductQuantizer
+
+    n, d = 4000, 32
+    mat = rng.normal(size=(n, d))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    queries = mat[:50]
+
+    def score_mse(pq):
+        codes = pq.encode_numpy(mat)
+        errs = []
+        for q in queries:
+            approx = pq.adc_score(codes, q, "DOT_PRODUCT")
+            true = (1.0 + mat @ q) / 2.0
+            top = np.argsort(-true)[:20]  # fidelity where it matters: near neighbors
+            errs.append(np.mean((approx[top] - true[top]) ** 2))
+        return float(np.mean(errs))
+
+    uni = ProductQuantizer.fit_numpy(mat, m=8, clusters=64, seed=3)
+    ani = ProductQuantizer.fit_numpy(mat, m=8, clusters=64, seed=3, anisotropic_threshold=0.2)
+    assert score_mse(ani) <= score_mse(uni) * 1.05, (score_mse(ani), score_mse(uni))

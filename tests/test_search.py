@@ -63,3 +63,72 @@ def test_overquery_improves_recall(pq_fixture):
         two_phase_knn_join(codes_df, df, pq, queries, K, "COSINE", overquery=5.0), gt, K
     )
     assert r5 >= r1
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH k-NN join (SURVEY §2.4 J2 — bucketed ANN variant)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def clustered_fixture(spark, rng):
+    """Clustered corpus (50 Gaussian clusters): the realistic embedding
+    shape LSH bucketing exploits. Uniform random high-d vectors are
+    near-orthogonal — a degenerate case where no sublinear ANN works."""
+    n, dim, n_clusters = 4000, 64, 50
+    centers = rng.normal(size=(n_clusters, dim))
+    assign = rng.integers(0, n_clusters, size=n)
+    mat = (centers[assign] + 0.25 * rng.normal(size=(n, dim))).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(n)], "id long, vec array<float>"
+    ).cache()
+    queries = spark.createDataFrame(
+        [(i, (mat[i * 37 % n] + 0.05 * rng.normal(size=dim).astype(np.float32)).tolist())
+         for i in range(M_QUERIES)],
+        "qid long, vec array<float>",
+    ).cache()
+    return df, queries, mat
+
+
+def test_rp_lsh_recall(clustered_fixture):
+    from jvector_spark.operators.lsh import rp_lsh_knn_join
+
+    df, queries, mat = clustered_fixture
+    got = rp_lsh_knn_join(df, queries, K, metric="COSINE", probe_bits=2)
+    gt = exact.knn_join(df, queries, K, metric="COSINE", strategy="numpy")
+    r = recall_at_k(got, gt, K)
+    assert r >= 0.75, f"LSH recall@{K}={r} below floor"
+
+
+def test_rp_lsh_scores_exact_and_ranked(clustered_fixture):
+    """Returned rows carry exact fp32 scores, ranked desc with id tiebreak."""
+    from jvector_spark.operators.lsh import rp_lsh_knn_join
+
+    df, queries, mat = clustered_fixture
+    qvec = np.asarray(queries.filter("qid = 0").first()["vec"], dtype=np.float64)
+    rows = (
+        rp_lsh_knn_join(df, queries, K, metric="COSINE", probe_bits=2)
+        .filter("qid = 0")
+        .orderBy("rank")
+        .collect()
+    )
+    assert 0 < len(rows) <= K
+    prev = None
+    for r in rows:
+        want = kernels.similarity(
+            "COSINE", qvec[None, :], mat[r["id"]].astype(np.float64)[None, :]
+        )[0, 0]
+        assert abs(r["score"] - want) < 1e-9
+        if prev is not None:
+            assert r["score"] <= prev + 1e-12
+        prev = r["score"]
+
+
+def test_rp_lsh_more_probes_improve_recall(clustered_fixture):
+    from jvector_spark.operators.lsh import rp_lsh_knn_join
+
+    df, queries, mat = clustered_fixture
+    gt = exact.knn_join(df, queries, K, metric="COSINE", strategy="numpy").cache()
+    r0 = recall_at_k(rp_lsh_knn_join(df, queries, K, "COSINE", probe_bits=0), gt, K)
+    r2 = recall_at_k(rp_lsh_knn_join(df, queries, K, "COSINE", probe_bits=2), gt, K)
+    assert r2 >= r0
