@@ -152,8 +152,14 @@ class IVFIndexBuilder:
                 )
 
         data = df.mapInPandas(assign_encode, schema=_DATA_SCHEMA)
+        # Size the write shuffle to the data, not the cluster default: one
+        # task per ~128 MB of (vec + codes) payload. At sf0.1 that is ONE
+        # task (tiny index builds stop paying 32-task × 44-dir small-file
+        # overhead); at 100 TB it is thousands, all clustered by part_id.
+        est_bytes = n * (4 * dim + self.pq_m + 24)
+        n_write_tasks = int(min(max(1, est_bytes // (128 << 20) + 1), 4096))
         (
-            data.repartition("part_id")
+            data.repartition(n_write_tasks, "part_id")
             .write.mode("overwrite")
             .partitionBy("part_id")
             .parquet(os.path.join(seg_dir, "data.parquet"))

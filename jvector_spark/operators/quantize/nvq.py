@@ -88,17 +88,19 @@ class NVQuantizer:
         return codes, params
 
     def _dequantize_rows(self, codes: np.ndarray, params: np.ndarray) -> np.ndarray:
-        n, d = codes.shape
-        out = np.empty((n, d), dtype=np.float64)
-        for r in range(n):
-            a, x0, lo, hi = params[r]
-            if hi - lo < _EPS:
-                out[r] = lo
-                continue
-            ulo = _logistic(np.array([lo]), a, x0)[0]
-            uhi = _logistic(np.array([hi]), a, x0)[0]
-            ur = codes[r] / 255.0 * (uhi - ulo) + ulo
-            out[r] = _logit(ur, a, x0)
+        """Vectorized inverse map over all rows at once (no per-row loop —
+        this sits on the rerank hot path)."""
+        a = params[:, 0:1]
+        x0 = params[:, 1:2]
+        lo = params[:, 2:3]
+        hi = params[:, 3:4]
+        ulo = 1.0 / (1.0 + np.exp(-a * (lo - x0)))
+        uhi = 1.0 / (1.0 + np.exp(-a * (hi - x0)))
+        ur = np.clip(codes / 255.0 * (uhi - ulo) + ulo, _EPS, 1.0 - _EPS)
+        out = x0 + np.log(ur / (1.0 - ur)) / a
+        flat = (hi - lo) < _EPS  # degenerate constant rows
+        if flat.any():
+            out = np.where(flat, lo, out)
         return out
 
     # public numpy surface -------------------------------------------------
@@ -107,6 +109,21 @@ class NVQuantizer:
 
     def decode_numpy(self, codes: np.ndarray, params: np.ndarray) -> np.ndarray:
         return self._dequantize_rows(codes, params)
+
+    def score_numpy(
+        self, metric: str, query: np.ndarray, codes: np.ndarray, params: np.ndarray
+    ) -> np.ndarray:
+        """Normalized similarity of one fp32 query vs NVQ-encoded rows —
+        the E11 scoring family (``nvqDotProduct8bit`` /
+        ``nvqSquareL2Distance8bit`` / ``nvqCosine8bit``,
+        VectorUtil.java:215-239, NVQScorer.java). The reference's kernels
+        fuse dequantize+score; dequantize-then-score is numerically
+        identical, and numpy batches amortize it the same way."""
+        from jvector_spark.functions import kernels
+
+        q = np.asarray(query, dtype=np.float64)[None, :]
+        rec = self._dequantize_rows(codes, params)
+        return kernels.similarity(metric, q, rec)[0]
 
     def reconstruction_error(self, mat: np.ndarray) -> float:
         codes, params = self.encode_numpy(mat)

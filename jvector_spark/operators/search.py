@@ -106,12 +106,15 @@ def two_phase_knn_join(
     codes_col: str = "codes",
     query_id_col: str = "qid",
     query_vec_col: str = "vec",
+    nvq=None,
 ) -> DataFrame:
-    """J3 for a query set: PQ first pass, fp32 rerank, top-k per query.
+    """J3 for a query set: PQ first pass, high-resolution rerank, top-k.
 
-    Returns (qid, id, score, rank) with exact fp32 scores for the returned
-    rows (the reference's contract: approximate *candidate selection*,
-    exact *reported* scores via the reranker).
+    Default rerank reads the fp32 table — exact reported scores (the
+    reference's `InlineVectors` rerank). Passing ``nvq=(nvq_df, codec)``
+    reranks from an NVQ-encoded table instead, the reference's *default*
+    bench config (yaml-configs/index-parameters/default.yml `NVQ rerank`;
+    NVQScorer.java): ~4x fewer bytes read in stage 2 for near-fp32 scores.
     """
     rerank_k = max(k, int(round(overquery * k)))
     qrows = queries_df.select(query_id_col, query_vec_col).collect()
@@ -120,28 +123,51 @@ def two_phase_knn_join(
     stage1 = pq_score_scan(codes_df, pq, queries, metric, rerank_k, id_col, codes_col)
     survivors = _global_topk(stage1, rerank_k, "score_approx").select("qid", "id")
 
-    # stage 2: broadcast the survivor set against the fp32 corpus; the join
+    # stage 2: broadcast the survivor set against the rerank table; the join
     # output is tiny (rerank_k per query), so the rerank itself is cheap.
-    joined = vectors_df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("_v")
-    ).join(F.broadcast(survivors), "id")
-
     sc = vectors_df.sparkSession.sparkContext
     bq = sc.broadcast({qid: vec for qid, vec in queries})
 
-    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qmap = bq.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            x = kernels.as_matrix(pdf["_v"])
-            scores = np.empty(len(pdf), dtype=np.float64)
-            for qid, grp in pdf.groupby("qid"):
-                q = qmap[qid][None, :]
-                rows = grp.index.to_numpy()
-                pos = pdf.index.get_indexer(rows)
-                scores[pos] = kernels.similarity(metric, q, x[pos])[0]
-            yield pd.DataFrame({"qid": pdf["qid"], "id": pdf["id"], "score": scores})
+    if nvq is not None:
+        nvq_df, codec = nvq
+        joined = nvq_df.select(
+            F.col(id_col).alias("id"), "nvq_bytes", "nvq_params"
+        ).join(F.broadcast(survivors), "id")
+        bc = sc.broadcast(codec)
+
+        def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            qmap, cdc = bq.value, bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                codes = np.frombuffer(b"".join(pdf["nvq_bytes"]), dtype=np.uint8).reshape(
+                    len(pdf), cdc.dim
+                )
+                params = np.stack([np.asarray(p, dtype=np.float64) for p in pdf["nvq_params"]])
+                scores = np.empty(len(pdf), dtype=np.float64)
+                for qid, grp in pdf.groupby("qid"):
+                    pos = pdf.index.get_indexer(grp.index.to_numpy())
+                    scores[pos] = cdc.score_numpy(metric, qmap[qid], codes[pos], params[pos])
+                yield pd.DataFrame({"qid": pdf["qid"], "id": pdf["id"], "score": scores})
+
+    else:
+        joined = vectors_df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("_v")
+        ).join(F.broadcast(survivors), "id")
+
+        def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            qmap = bq.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                x = kernels.as_matrix(pdf["_v"])
+                scores = np.empty(len(pdf), dtype=np.float64)
+                for qid, grp in pdf.groupby("qid"):
+                    q = qmap[qid][None, :]
+                    rows = grp.index.to_numpy()
+                    pos = pdf.index.get_indexer(rows)
+                    scores[pos] = kernels.similarity(metric, q, x[pos])[0]
+                yield pd.DataFrame({"qid": pdf["qid"], "id": pdf["id"], "score": scores})
 
     reranked = joined.mapInPandas(rerank, schema="qid long, id long, score double")
     return _global_topk(reranked, k, "score").orderBy("qid", "rank")

@@ -132,3 +132,47 @@ def test_rp_lsh_more_probes_improve_recall(clustered_fixture):
     r0 = recall_at_k(rp_lsh_knn_join(df, queries, K, "COSINE", probe_bits=0), gt, K)
     r2 = recall_at_k(rp_lsh_knn_join(df, queries, K, "COSINE", probe_bits=2), gt, K)
     assert r2 >= r0
+
+
+# ---------------------------------------------------------------------------
+# NVQ rerank (E11 scoring + the reference's default rerank config)
+# ---------------------------------------------------------------------------
+
+
+def test_nvq_rerank_matches_fp32_recall(pq_fixture):
+    from jvector_spark.operators.quantize.nvq import NVQuantizer
+
+    df, codes_df, pq, queries, mat = pq_fixture
+    nvq = NVQuantizer(dim=DIM)
+    nvq_df = nvq.encode(df).cache()
+    gt = exact.knn_join(df, queries, K, metric="COSINE", strategy="numpy").cache()
+
+    r_fp32 = recall_at_k(
+        two_phase_knn_join(codes_df, df, pq, queries, K, "COSINE", overquery=5.0), gt, K
+    )
+    r_nvq = recall_at_k(
+        two_phase_knn_join(
+            codes_df, df, pq, queries, K, "COSINE", overquery=5.0, nvq=(nvq_df, nvq)
+        ),
+        gt,
+        K,
+    )
+    assert r_nvq >= r_fp32 - 0.02, (r_nvq, r_fp32)
+
+
+def test_nvq_scores_close_to_exact(pq_fixture):
+    """NVQ-rerank reported scores track exact fp32 scores within the codec's
+    reconstruction tolerance (ref TestReconstructionError.java pattern)."""
+    from jvector_spark.operators.quantize.nvq import NVQuantizer
+
+    df, codes_df, pq, queries, mat = pq_fixture
+    nvq = NVQuantizer(dim=DIM)
+    nvq_df = nvq.encode(df)
+    got = two_phase_knn_join(
+        codes_df, df, pq, queries, K, "COSINE", overquery=5.0, nvq=(nvq_df, nvq)
+    )
+    rows = got.filter("qid = 0").collect()
+    q = mat[0].astype(np.float64)
+    for r in rows:
+        want = kernels.similarity("COSINE", q[None, :], mat[r["id"]].astype(np.float64)[None, :])[0, 0]
+        assert abs(r["score"] - want) < 5e-3, (r["id"], r["score"], want)
