@@ -55,14 +55,21 @@ class VectorIndex:
     def write(self, rows) -> None:
         """WRITE [v]... — buffer (id, vec) rows; flushed as ONE segment at
         the next optimize()/search() (the IPC protocol also batches writes
-        until OPTIMIZE). Accepts (id, vec) tuples or just vectors (ids
-        assigned densely after the current max)."""
-        base = self._next_id() + len(self._write_buffer)
-        for i, r in enumerate(rows):
+        until OPTIMIZE). Accepts (id, vec) tuples or just vectors. Auto ids
+        are assigned past the max id seen so far — across the index AND any
+        explicit ids already buffered — so an explicit id can never collide
+        with an auto-assigned one in the flushed segment."""
+        nxt = self._next_id()
+        for bid, _ in self._write_buffer:
+            nxt = max(nxt, bid + 1)
+        for r in rows:
             if isinstance(r, (tuple, list)) and len(r) == 2 and not isinstance(r[1], (int, float)):
-                self._write_buffer.append((int(r[0]), [float(x) for x in r[1]]))
+                rid = int(r[0])
+                self._write_buffer.append((rid, [float(x) for x in r[1]]))
+                nxt = max(nxt, rid + 1)
             else:
-                self._write_buffer.append((base + i, [float(x) for x in r]))
+                self._write_buffer.append((nxt, [float(x) for x in r]))
+                nxt += 1
 
     def bulkload(self, source) -> None:
         """BULKLOAD path — build/append a segment from a DataFrame(id, vec)

@@ -90,18 +90,24 @@ def hamming_similarity(a: np.ndarray, b: np.ndarray, dim: int) -> np.ndarray:
     return 1.0 - pop / float(dim)
 
 
-def topk_per_row(scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
-    """Per-row top-k (indices, values) sorted by score desc then index asc.
+def topk_per_row(
+    scores: np.ndarray, k: int, ids: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row top-k (indices, values) sorted by score desc then id asc.
 
     Tie-break matches reference ``SearchResult.java:101-106`` (score desc,
-    node id asc) given that column index maps to ascending node id.
+    node id asc). Pass ``ids`` (the actual node ids for each column) so the
+    lossy partial top-k keeps the id-asc winner among score ties even when
+    the batch's rows are not id-ordered; without it the column index is
+    used, which is only correct when columns are already id-ascending.
     """
     m, n = scores.shape
     k = min(k, n)
     part = np.argpartition(-scores, k - 1, axis=1)[:, :k]
     part_scores = np.take_along_axis(scores, part, axis=1)
-    # stable sort on (-score, idx): lexsort with idx as secondary key
-    order = np.lexsort((part, -part_scores), axis=1)
+    # sort on (-score, id): lexsort with the tie key as secondary key
+    tie = part if ids is None else ids[part]
+    order = np.lexsort((tie, -part_scores), axis=1)
     idx = np.take_along_axis(part, order, axis=1)
     vals = np.take_along_axis(part_scores, order, axis=1)
     return idx, vals

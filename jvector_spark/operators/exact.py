@@ -211,7 +211,7 @@ def _knn_join_numpy(
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             x = kernels.as_matrix(pdf[vec_col])
             scores = kernels.similarity(metric, q_mat, x)  # (m, batch)
-            idx, vals = kernels.topk_per_row(scores, k)
+            idx, vals = kernels.topk_per_row(scores, k, ids=ids)
             m, kk = idx.shape
             yield pd.DataFrame(
                 {

@@ -54,6 +54,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pyspark.accumulators import AccumulatorParam
+
 from jvector_spark.functions import kernels
 from jvector_spark.operators.quantize.pq import ProductQuantizer
 from jvector_spark.types import IndexManifest, SegmentInfo
@@ -61,6 +63,24 @@ from jvector_spark.types import IndexManifest, SegmentInfo
 MAX_CENTROIDS = 4096  # keep the broadcast "upper layer" small
 
 _DATA_SCHEMA = "id long, vec array<float>, codes binary, part_id int"
+
+
+class _PartStatsParam(AccumulatorParam):
+    """Merge per-partition pruning stats {part: (max_r, max_ang, max_n, min_n)}.
+
+    All merges are max/min, so task retries and speculative duplicates are
+    idempotent — safe to collect from inside the write job's map stage."""
+
+    def zero(self, value):
+        return {}
+
+    def addInPlace(self, a, b):
+        for k, v in b.items():
+            o = a.get(k)
+            a[k] = v if o is None else (
+                max(o[0], v[0]), max(o[1], v[1]), max(o[2], v[2]), min(o[3], v[3])
+            )
+        return a
 
 
 class IVFIndexBuilder:
@@ -93,33 +113,95 @@ class IVFIndexBuilder:
     ) -> "IVFIndex":
         os.makedirs(path, exist_ok=True)
         spark = df.sparkSession
-        n = df.count()
-        manifest = self._build_segment(df, path, "seg-000000", n, id_col, vec_col)
+        manifest = self._build_segment(df, path, "seg-000000", id_col, vec_col)
         manifest.save(path)
         return IVFIndex.load(spark, path)
+
+    def _sample_and_count(self, df: DataFrame) -> tuple[int, np.ndarray]:
+        """ONE job returning (row count, uniform training sample).
+
+        Every row draws an independent uniform key; the global sample_cap
+        smallest keys form an exact uniform sample (distributed bottom-k).
+        Each input partition forwards only its local smallest ``k_local``
+        keys — with the 4x safety factor no partition of an evenly-hashed
+        input contributes more than that to the global bottom-cap, and the
+        partition row counts ride along in the same pass (the ref's Floyd
+        sampling + size(), ProductQuantization.java:64,141-179, fused)."""
+        k_local = min(
+            self.sample_cap,
+            max(64, int(math.ceil(self.sample_cap * 4.0 / max(df.rdd.getNumPartitions(), 1)))),
+        )
+        seed = self.seed
+
+        def sample_count(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            rng = np.random.default_rng((seed + 1) * 1_000_003 + (ctx.partitionId() if ctx else 0))
+            total = 0
+            keys = np.empty(0, dtype=np.float64)
+            vecs: list = []
+            for pdf in batches:
+                m = len(pdf)
+                if m == 0:
+                    continue
+                total += m
+                bk = rng.random(m)
+                take = min(k_local, m)
+                idx = np.argpartition(bk, take - 1)[:take] if take < m else np.arange(m)
+                keys = np.concatenate([keys, bk[idx]])
+                vecs.extend(pdf["vec"].iloc[i] for i in idx)
+                if len(keys) > k_local:
+                    cut = np.argpartition(keys, k_local - 1)[:k_local]
+                    keys = keys[cut]
+                    vecs = [vecs[i] for i in cut]
+            yield pd.DataFrame(
+                {
+                    "cnt": np.concatenate([[total], np.zeros(len(keys), dtype=np.int64)]).astype(np.int64),
+                    "key": np.concatenate([[2.0], keys]),  # count row sorts last
+                    "vec": [None] + vecs,
+                }
+            )
+
+        rows = (
+            df.select("vec")
+            .mapInPandas(sample_count, schema="cnt long, key double, vec array<float>")
+            .collect()
+        )
+        n = int(sum(r["cnt"] for r in rows))
+        picked = sorted((r for r in rows if r["vec"] is not None), key=lambda r: r["key"])
+        picked = picked[: self.sample_cap]
+        if not picked:
+            raise ValueError("cannot build an index over an empty DataFrame")
+        sample = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in picked])
+        return n, sample
 
     def _build_segment(
         self,
         df: DataFrame,
         path: str,
         seg_name: str,
-        n: int,
         id_col: str,
         vec_col: str,
         manifest: IndexManifest | None = None,
     ) -> IndexManifest:
+        """Build one segment in exactly THREE Spark jobs:
+
+        1. fused count + uniform sample (k-means / PQ training set),
+        2. assign + PQ-encode + partitioned write, with the per-partition
+           pruning stats accumulated from the same map stage (max/min
+           merges — retry-idempotent) instead of a second full read,
+        3. the (tiny) centroids+stats table write.
+        """
         from jvector_spark.operators.quantize.kmeans import kmeans_pp
 
         spark = df.sparkSession
         df = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
 
-        n_parts = self.n_partitions or max(1, min(MAX_CENTROIDS, int(math.sqrt(max(n, 1)))))
-        fraction = min(1.0, (self.sample_cap * 1.2) / max(n, 1))
-        sample_rows = (
-            df.select("vec").sample(fraction=fraction, seed=self.seed).limit(self.sample_cap).collect()
-        )
-        sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
+        # ---- job 1: count + sample in one pass ----
+        n, sample = self._sample_and_count(df)
         dim = sample.shape[1]
+        n_parts = self.n_partitions or max(1, min(MAX_CENTROIDS, int(math.sqrt(max(n, 1)))))
 
         centroids = kmeans_pp(sample, n_parts, self.kmeans_iterations, self.seed)
         pq = ProductQuantizer.fit_numpy(
@@ -132,22 +214,49 @@ class IVFIndexBuilder:
         os.makedirs(seg_dir, exist_ok=True)
 
         b = spark.sparkContext.broadcast((centroids, pq))
+        # per-partition pruning stats (X4/ScoreTracker analog): Euclidean
+        # radius, angular radius, max/min norm — rigorous score bounds let
+        # threshold_search skip partitions that provably contain no match.
+        acc = spark.sparkContext.accumulator({}, _PartStatsParam())
 
         def assign_encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             cents, codec = b.value
             cc = np.einsum("ij,ij->i", cents, cents)
+            cn = np.sqrt(cc)
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 x = kernels.as_matrix(pdf["vec"])
-                d = -2.0 * x @ cents.T + cc[None, :]
+                d = -2.0 * x @ cents.T + cc[None, :]  # dist^2 - ||x||^2 (argmin-safe)
                 codes = codec.encode_numpy(x)
+                p = np.argmin(d, axis=1)
+                # stats on the float32 values that will actually be stored,
+                # so the bounds hold exactly for what search later reads
+                x32 = x.astype(np.float32).astype(np.float64)
+                xx = np.einsum("ij,ij->i", x32, x32)
+                xn = np.sqrt(xx)
+                rows = np.arange(len(x32))
+                d32 = -2.0 * x32 @ cents.T + cc[None, :]
+                r2 = np.maximum(d32[rows, p] + xx, 0.0)
+                dot_pc = (cc[p] - d32[rows, p]) / 2.0
+                cosang = dot_pc / np.maximum(xn * cn[p], 1e-30)
+                ang = np.arccos(np.clip(cosang, -1.0, 1.0))
+                stats = {}
+                for part in np.unique(p):
+                    mask = p == part
+                    stats[int(part)] = (
+                        float(np.sqrt(r2[mask].max())),
+                        float(ang[mask].max()),
+                        float(xn[mask].max()),
+                        float(xn[mask].min()),
+                    )
+                acc.add(stats)
                 yield pd.DataFrame(
                     {
                         "id": pdf["id"].to_numpy(dtype=np.int64),
                         "vec": pdf["vec"],
                         "codes": [c.tobytes() for c in codes],
-                        "part_id": np.argmin(d, axis=1).astype(np.int32),
+                        "part_id": p.astype(np.int32),
                     }
                 )
 
@@ -158,6 +267,7 @@ class IVFIndexBuilder:
         # overhead); at 100 TB it is thousands, all clustered by part_id.
         est_bytes = n * (4 * dim + self.pq_m + 24)
         n_write_tasks = int(min(max(1, est_bytes // (128 << 20) + 1), 4096))
+        # ---- job 2: encode + partitioned write (stats ride the map stage) ----
         (
             data.repartition(n_write_tasks, "part_id")
             .write.mode("overwrite")
@@ -165,55 +275,16 @@ class IVFIndexBuilder:
             .parquet(os.path.join(seg_dir, "data.parquet"))
         )
 
-        # per-partition pruning stats (X4/ScoreTracker analog): Euclidean
-        # radius, angular radius, max norm — rigorous score upper bounds let
-        # threshold_search skip partitions that provably contain no match.
-        written = spark.read.parquet(os.path.join(seg_dir, "data.parquet"))
-
-        def part_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            cents, _ = b.value
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                out = []
-                for part, grp in pdf.groupby("part_id"):
-                    x = kernels.as_matrix(grp["vec"])
-                    c = cents[int(part)]
-                    dif = x - c[None, :]
-                    r = float(np.sqrt(np.einsum("ij,ij->i", dif, dif).max()))
-                    xn = np.linalg.norm(x, axis=1)
-                    cn = max(float(np.linalg.norm(c)), 1e-30)
-                    cosang = (x @ c) / (np.maximum(xn, 1e-30) * cn)
-                    ang = float(np.arccos(np.clip(cosang, -1.0, 1.0)).max())
-                    out.append((int(part), r, ang, float(xn.max())))
-                yield pd.DataFrame(
-                    out, columns=["part_id", "radius", "ang_radius", "max_norm"]
-                )
-
-        stats = (
-            written.select("part_id", "vec")
-            .mapInPandas(part_stats, schema="part_id int, radius double, ang_radius double, max_norm double")
-            .groupBy("part_id")
-            .agg(
-                F.max("radius").alias("radius"),
-                F.max("ang_radius").alias("ang_radius"),
-                F.max("max_norm").alias("max_norm"),
-            )
-        )
-        stat_rows = {r["part_id"]: r for r in stats.collect()}
+        stat_rows = acc.value
         cent_df = spark.createDataFrame(
             [
-                (
-                    i,
-                    centroids[i].tolist(),
-                    float(stat_rows[i]["radius"]) if i in stat_rows else 0.0,
-                    float(stat_rows[i]["ang_radius"]) if i in stat_rows else 0.0,
-                    float(stat_rows[i]["max_norm"]) if i in stat_rows else 0.0,
-                )
+                (i, centroids[i].tolist(), *stat_rows.get(i, (0.0, 0.0, 0.0, 0.0)))
                 for i in range(len(centroids))
             ],
-            "part_id int, centroid array<double>, radius double, ang_radius double, max_norm double",
+            "part_id int, centroid array<double>, radius double, ang_radius double,"
+            " max_norm double, min_norm double",
         )
+        # ---- job 3: tiny centroids+stats write ----
         cent_df.coalesce(1).write.mode("overwrite").parquet(os.path.join(seg_dir, "centroids.parquet"))
         pq.save(os.path.join(seg_dir, "pq"))
 
@@ -243,21 +314,29 @@ class IVFIndex:
         cents = cdf.collect()
         arr = np.zeros((len(cents), self.manifest.dim), dtype=np.float64)
         has_stats = "radius" in cdf.columns
+        has_min = "min_norm" in cdf.columns
         radius = np.zeros(len(cents))
         ang = np.full(len(cents), np.pi)
         mnorm = np.full(len(cents), np.inf)
+        # min_norm defaults to 0: with the default ang_radius=pi the angular
+        # bound degenerates to cmax=1 >= 0, so the min-norm branch of the
+        # DOT_PRODUCT bound is never taken on stat-less legacy segments.
+        minnorm = np.zeros(len(cents))
         for r in cents:
             arr[r["part_id"]] = np.asarray(r["centroid"])
             if has_stats:
                 radius[r["part_id"]] = r["radius"]
                 ang[r["part_id"]] = r["ang_radius"]
                 mnorm[r["part_id"]] = r["max_norm"]
+            if has_min:
+                minnorm[r["part_id"]] = r["min_norm"]
         self._segments[seg_name] = {
             "dir": seg_dir,
             "centroids": arr,
             "radius": radius,
             "ang_radius": ang,
             "max_norm": mnorm,
+            "min_norm": minnorm,
             "pq": ProductQuantizer.load(os.path.join(seg_dir, "pq")),
         }
 
@@ -411,7 +490,7 @@ class IVFIndex:
                             approx[row] = (1.0 + partial) / 2.0
                         else:
                             approx[row] = (1.0 + partial / (mags * max(q_norms[qi], 1e-30))) / 2.0
-                    cand_idx, _ = kernels.topk_per_row(approx, keep)
+                    cand_idx, _ = kernels.topk_per_row(approx, keep, ids=ids)
                     # phase 2: exact rerank of the candidate union only
                     uniq = np.unique(cand_idx.ravel())
                     x = kernels.as_matrix(grp["vec"].iloc[uniq])
@@ -506,7 +585,15 @@ class IVFIndex:
             if metric == "COSINE":
                 bound = (1.0 + cmax) / 2.0
             else:  # DOT_PRODUCT
-                bound = (1.0 + qn[:, None] * info["max_norm"][None, :] * cmax) / 2.0
+                # dot(q,x) <= ||q|| * ||x|| * cmax. When cmax >= 0 the bound
+                # is maximized by the LARGEST norm in the partition; when
+                # cmax < 0 a negative cosine times the largest norm would
+                # UNDERestimate the achievable score (a small-norm vector
+                # scores ~0.5) — use the stored min norm there instead.
+                norm_for_bound = np.where(
+                    cmax >= 0.0, info["max_norm"][None, :], info["min_norm"][None, :]
+                )
+                bound = (1.0 + qn[:, None] * norm_for_bound * cmax) / 2.0
         probe_mask = bound + 1e-9 >= threshold  # (nq, nparts)
         part_to_queries: dict[int, list[int]] = {}
         for qi in range(len(qids)):
@@ -585,9 +672,6 @@ class IVFIndex:
         re-delivered micro-batch overwrites its own segment dir and is not
         re-added to the manifest.
         """
-        n = df.count()
-        if n == 0:
-            return
         seg_name = seg_name or f"seg-{self.manifest.version:06d}"
         if any(s.name == seg_name for s in self.manifest.segments):
             return  # replayed batch: segment already durable
@@ -597,8 +681,10 @@ class IVFIndex:
             pq_m=self.manifest.pq_m,
             pq_clusters=self.manifest.pq_clusters,
         )
+        if df.isEmpty():  # limit-1 probe, far cheaper than a count
+            return
         self.manifest = builder._build_segment(
-            df, self.path, seg_name, n, id_col, vec_col, manifest=self.manifest
+            df, self.path, seg_name, id_col, vec_col, manifest=self.manifest
         )
         self.manifest.save(self.path)
         self._load_segment_meta(seg_name)
@@ -608,7 +694,6 @@ class IVFIndex:
         with retrained PQ, drop tombstones (ref OnDiskGraphIndexCompactor.
         compact + PQRetrainer balanced sampling)."""
         live = self.live_vectors().select("id", "vec")
-        n = live.count()
         builder = IVFIndexBuilder(
             metric=self.manifest.metric,
             n_partitions=self.manifest.n_partitions,
@@ -624,7 +709,7 @@ class IVFIndex:
             n_partitions=self.manifest.n_partitions,
             version=self.manifest.version,
         )
-        fresh = builder._build_segment(live, self.path, seg_name, n, "id", "vec", manifest=fresh)
+        fresh = builder._build_segment(live, self.path, seg_name, "id", "vec", manifest=fresh)
         # drop tombstones: physically removed now
         import shutil
 
@@ -632,6 +717,14 @@ class IVFIndex:
         if os.path.exists(t):
             shutil.rmtree(t)
         fresh.save(self.path)
+        # GC superseded segment dirs AFTER the manifest swap (atomic-manifest-
+        # first ordering: readers on the old manifest break only once the new
+        # one is durable — ref compactor physically replaces the index file).
+        keep = {s.name for s in fresh.segments}
+        seg_root = os.path.join(self.path, "segments")
+        for name in os.listdir(seg_root):
+            if name not in keep:
+                shutil.rmtree(os.path.join(seg_root, name), ignore_errors=True)
         return IVFIndex.load(self.spark, self.path)
 
     # ----------------------------------------------------------------- stats

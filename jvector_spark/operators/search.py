@@ -73,7 +73,7 @@ def pq_score_scan(
                 else:
                     denom = mags * max(q_norms[qi], 1e-30)
                     out_scores[qi] = (1.0 + partial / denom) / 2.0
-            idx, vals = kernels.topk_per_row(out_scores, keep)
+            idx, vals = kernels.topk_per_row(out_scores, keep, ids=ids)
             kk = idx.shape[1]
             yield pd.DataFrame(
                 {

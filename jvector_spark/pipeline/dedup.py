@@ -180,12 +180,15 @@ def ngram_jaccard_pairs(
         union = sizes[:, None] + sizes[None, :] - inter
         jac = inter / union
         ia, ib = np.triu_indices(m, k=1)
-        keep = jac[ia, ib] >= threshold
+        # round BEFORE thresholding so the cut matches the oracle's
+        # ROUND(x, 6) >= t exactly at the boundary (and minhash_lsh_pairs)
+        jac_r = np.round(jac[ia, ib].astype(np.float64), 6)
+        keep = jac_r >= threshold
         return pd.DataFrame(
             {
                 "doc_a": ids[ia[keep]],
                 "doc_b": ids[ib[keep]],
-                "jaccard": np.round(jac[ia, ib][keep].astype(np.float64), 6),
+                "jaccard": jac_r[keep],
             }
         )
 
@@ -513,7 +516,8 @@ def embedding_neardup(
             )
         la = kernels.as_matrix(left["v"])
         rb = kernels.as_matrix(right["v"])
-        cos = kernels.cosine(la, rb)
+        # round BEFORE thresholding — matches the oracle's ROUND(x,6) >= t
+        cos = np.round(kernels.cosine(la, rb), 6)
         ia, ib = np.nonzero(cos >= threshold)
         ids_a = left["id"].to_numpy()[ia]
         ids_b = right["id"].to_numpy()[ib]
