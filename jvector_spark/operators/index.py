@@ -378,6 +378,14 @@ class IVFIndex:
         return v.join(t, "id", "left_anti") if t is not None else v
 
     # ---------------------------------------------------------------- search
+    # Accept-id collections at or below this size route to the exact
+    # filter-first plan (the reference's deliberate pivot for selective
+    # filters — SURVEY §7 "hard parts"; TestLowCardinalityFiltering.java
+    # shows the graph visits <=5.5% of nodes because the *filter* bounds
+    # work, which in a batch engine is exactly "score only the accepted
+    # rows"). Exact, and cheaper than probing partitions.
+    FILTER_PIVOT_ROWS = 10_000
+
     def search(
         self,
         queries_df: DataFrame,
@@ -386,6 +394,8 @@ class IVFIndex:
         overquery: float = 4.0,
         query_id_col: str = "qid",
         query_vec_col: str = "vec",
+        predicate=None,
+        accept_ids=None,
     ) -> DataFrame:
         """Fused two-phase partition-pruned k-NN join over live segments.
 
@@ -394,8 +404,37 @@ class IVFIndex:
         those rows -> batch-local exact top-k. One global window merges
         batch/segment results (J6). Reported scores are exact
         (GraphSearcher.java:471-507 contract).
+
+        Filtered ANN (F1, ref ``GraphSearcher.search(..., Bits acceptOrds)``
+        GraphSearcher.java:145-152,215-218):
+
+        - ``predicate``: a Column over the index data table (id, vec,
+          codes, part_id), applied to the scan BEFORE candidate selection
+          — pushed into the Parquet read, exact w.r.t. the filtered corpus.
+        - ``accept_ids``: the accept-list. A list/set/ndarray of ids at or
+          below ``FILTER_PIVOT_ROWS`` pivots to the exact filter-first
+          plan (score only accepted live rows — the low-cardinality path);
+          larger collections and DataFrames (an ``id`` column) are
+          semi-joined against the scan inside each probed segment, before
+          the batch-local top-k, so candidate selection is exact over the
+          accepted subset of probed partitions.
         """
         metric = self.manifest.metric
+        accept_df = None
+        if accept_ids is not None and not isinstance(accept_ids, DataFrame):
+            ids = [int(i) for i in accept_ids]
+            if len(ids) <= self.FILTER_PIVOT_ROWS and predicate is None:
+                from jvector_spark.operators import exact
+
+                corpus = self.live_vectors().filter(F.col("id").isin(ids))
+                return exact.knn_join(
+                    corpus, queries_df, k, metric=metric,
+                    query_id_col=query_id_col, query_vec_col=query_vec_col,
+                )
+            accept_df = self.spark.createDataFrame([(i,) for i in ids], "id long")
+        elif isinstance(accept_ids, DataFrame):
+            accept_df = accept_ids.select("id")
+
         rerank_k = max(k, int(round(overquery * k)))
         qrows = queries_df.select(query_id_col, query_vec_col).collect()
         qids = np.array([r[0] for r in qrows], dtype=np.int64)
@@ -404,7 +443,8 @@ class IVFIndex:
 
         parts = [
             self._segment_fused_scan(
-                self._segments[seg.name], qids, qmat, metric, k, rerank_k, n_probe, dead
+                self._segments[seg.name], qids, qmat, metric, k, rerank_k, n_probe, dead,
+                predicate=predicate, accept_df=accept_df,
             )
             for seg in self.manifest.segments
         ]
@@ -429,6 +469,8 @@ class IVFIndex:
         rerank_k: int,
         n_probe: int,
         dead: frozenset,
+        predicate=None,
+        accept_df: DataFrame | None = None,
     ) -> DataFrame:
         cents: np.ndarray = info["centroids"]
         pq: ProductQuantizer = info["pq"]
@@ -445,6 +487,16 @@ class IVFIndex:
         data = self.spark.read.parquet(os.path.join(info["dir"], "data.parquet"))
         # Catalyst partition-prunes the scan to the probed part_ids
         data = data.filter(F.col("part_id").isin(probed_parts))
+        # F1 accept filter BEFORE candidate selection: batch-local top-k then
+        # only ever ranks accepted rows — exact w.r.t. the filtered corpus
+        # (the reference applies acceptOrds the same way, never as traversal
+        # pruning — GraphSearcher.java:129-139).
+        if predicate is not None:
+            data = data.filter(predicate)
+        if accept_df is not None:
+            # semi-join; AQE turns it into a broadcast join when the accept
+            # side is small, and a shuffled join when it is corpus-sized
+            data = data.join(accept_df, "id", "semi")
 
         luts = np.stack([pq.adc_lut(qmat[i], metric) for i in range(len(qids))])
         mag = pq.magnitude_lut() if metric == "COSINE" else None

@@ -67,6 +67,8 @@ def rp_lsh_knn_join(
     vec_col: str = "vec",
     query_id_col: str = "qid",
     query_vec_col: str = "vec",
+    predicate=None,
+    accept_ids=None,
 ) -> DataFrame:
     """Approximate k-NN join via random-hyperplane LSH + exact rerank.
 
@@ -75,7 +77,21 @@ def rp_lsh_knn_join(
     more probe_bits = more buckets probed (slower, higher recall).
     ``n_planes=None`` auto-sizes to ~64 rows per bucket so small corpora
     don't shatter into singleton buckets (and huge ones don't flood).
+
+    ``predicate`` (Column) / ``accept_ids`` (DataFrame with an ``id``
+    column, or an id collection) restrict the corpus BEFORE hashing and
+    batch-local top-k (filtered ANN, F1) — exact w.r.t. the filtered
+    corpus' bucket contents.
     """
+    if predicate is not None:
+        corpus = corpus.filter(predicate)
+    if accept_ids is not None:
+        from pyspark.sql import DataFrame as _DF
+
+        if isinstance(accept_ids, _DF):
+            corpus = corpus.join(accept_ids.select(F.col("id").alias(id_col)), id_col, "semi")
+        else:
+            corpus = corpus.filter(F.col(id_col).isin([int(i) for i in accept_ids]))
     if n_planes is None:
         n = corpus.count()
         n_planes = max(3, min(24, int(math.ceil(math.log2(max(n / 64.0, 2.0))))))

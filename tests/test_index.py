@@ -123,6 +123,49 @@ def test_compact_preserves_results(spark, corpus_df, queries_df, tmp_path_factor
     assert not ({row["id"] for row in after.collect()} & set(range(100)))
 
 
+def test_filtered_search_50pct_selectivity(spark, index, corpus_df, queries_df):
+    """F1 through the fused scan (ref TestLowCardinalityFiltering.java:52-90):
+    accept half the corpus via a DataFrame accept-list — results only ever
+    contain accepted ids, and recall vs the filtered exact ground truth
+    clears the reference-style bound."""
+    from pyspark.sql import functions as F
+
+    df, _ = corpus_df
+    accept = df.select("id").filter("id % 2 = 0")
+    got = index.search(queries_df, K, n_probe=32, overquery=8.0, accept_ids=accept).cache()
+    assert all(r["id"] % 2 == 0 for r in got.collect())
+    gt = exact.knn_join(df.filter("id % 2 = 0"), queries_df, K, metric="COSINE")
+    r = recall_at_k(got, gt, K)
+    assert r >= 0.9, f"filtered recall@{K}={r}"
+
+
+def test_filtered_search_1pct_pivots_exact(spark, index, corpus_df, queries_df):
+    """A small accept-id collection pivots to the exact filter-first plan
+    (SURVEY §7 hard parts: selective filters flip the optimal plan) —
+    results equal brute force over the accepted subset exactly."""
+    from pyspark.sql import functions as F
+
+    df, _ = corpus_df
+    ids = list(range(0, N, 100))  # 1% selectivity
+    got = index.search(queries_df, K, accept_ids=ids)
+    gt = exact.knn_join(
+        df.filter(F.col("id").isin(ids)), queries_df, K, metric="COSINE", strategy="expr"
+    )
+    a = sorted(map(tuple, got.select("qid", "id", "rank").collect()))
+    b = sorted(map(tuple, gt.select("qid", "id", "rank").collect()))
+    assert a == b  # pivot path is exact, not just high-recall
+
+
+def test_filtered_search_predicate_column(spark, index, queries_df, corpus_df):
+    """predicate= filters on index-table columns inside the probed scan."""
+    from pyspark.sql import functions as F
+
+    got = index.search(
+        queries_df, K, n_probe=32, overquery=8.0, predicate=F.col("id") >= 2000
+    )
+    assert all(r["id"] >= 2000 for r in got.collect())
+
+
 def test_stats(index):
     s = index.stats()
     assert s["segments"][0]["n_rows"] == N
