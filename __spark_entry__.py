@@ -328,13 +328,15 @@ FROM embeddings
 @_register("knn_join_wide")
 def _knn_join_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self k-NN join: every vector queries the whole corpus (k=3, no
-    self-match) via the Arrow/BLAS map-side partial top-k path."""
+    self-match) via the fully-distributed 2-D blocked BLAS path — the
+    corpus-as-queries shape where collecting the query side to the driver
+    would be the scale-killer (no side is ever collected)."""
     from jvector_spark.operators import exact
 
     emb = _emb(spark, sf_dir)
     corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
     queries = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("vec"))
-    res = exact.knn_join(corpus, queries, k=4, metric="COSINE", strategy="numpy")
+    res = exact.knn_join(corpus, queries, k=4, metric="COSINE", strategy="blocked")
     # drop self-matches, keep top-3, re-rank
     kept = res.filter(F.col("qid") != F.col("id"))
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))

@@ -77,6 +77,7 @@ def main() -> None:
 
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
+    recalls: dict[str, float] = {}
 
     for name in BENCH_QUERIES:
         fn = queries.get(name)
@@ -107,6 +108,37 @@ def main() -> None:
             res = idx.search(qdf, k=10, n_probe=8, overquery=4.0)
             _materialize(res)
             timings["ivf_search_64q"] = round(time.perf_counter() - t0, 3)
+
+            # Recall grid (the batch analog of the reference's QPS-at-recall
+            # table, 671.testing.md:37-50): recall@10 vs the exact oracle
+            # across the n_probe / overquery / spill knobs. spill=2 is the
+            # recommended recall config (multi-assignment), benched with its
+            # own build time so the storage/recall trade is visible.
+            from jvector_spark.metrics import recall_at_k
+            from jvector_spark.operators import exact
+
+            gt = exact.knn_join(emb, qdf, 10, metric="COSINE", strategy="numpy").cache()
+            gt.count()
+            for n_probe in (1, 2, 4, 8):
+                r = idx.search(qdf, k=10, n_probe=n_probe, overquery=4.0)
+                recalls[f"recall@10_nprobe{n_probe}_oq4"] = round(recall_at_k(r, gt, 10), 4)
+            for oq in (1.0, 2.0):
+                r = idx.search(qdf, k=10, n_probe=8, overquery=oq)
+                recalls[f"recall@10_nprobe8_oq{int(oq)}"] = round(recall_at_k(r, gt, 10), 4)
+
+            tmp2 = tempfile.mkdtemp(prefix="jvs_bench_idx2_")
+            try:
+                t0 = time.perf_counter()
+                idx2 = IVFIndexBuilder(metric="COSINE", pq_m=8, spill=2).fit(emb, tmp2)
+                timings["ivf_build_spill2"] = round(time.perf_counter() - t0, 3)
+                for n_probe in (2, 4, 8):
+                    r = idx2.search(qdf, k=10, n_probe=n_probe, overquery=4.0)
+                    recalls[f"recall@10_nprobe{n_probe}_oq4_spill2"] = round(
+                        recall_at_k(r, gt, 10), 4
+                    )
+            finally:
+                shutil.rmtree(tmp2, ignore_errors=True)
+            gt.unpersist()
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
     except Exception as e:  # pragma: no cover - bench must always emit JSON
@@ -121,6 +153,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "recall": recalls,
                 "sf": sf,
             }
         )

@@ -128,6 +128,25 @@ def threshold_search(
     )
 
 
+# Query sets at or below this size are collected + broadcast (the numpy
+# map-side path); larger sets route to the fully-distributed blocked join.
+BROADCAST_QUERY_CAP = 8192
+
+
+def assert_point_query_batch(queries: DataFrame, op: str, cap: int = BROADCAST_QUERY_CAP) -> None:
+    """Guard for operators whose contract is a point-query *batch* (the
+    query side is collected to the driver and broadcast, e.g. as per-query
+    ADC LUTs). A corpus-sized query side would OOM the driver at scale, so
+    refuse it loudly with the right alternative instead of degrading.
+    The probe is a LIMIT cap+1 count — O(cap), not a full count."""
+    if queries.limit(cap + 1).count() > cap:
+        raise ValueError(
+            f"{op} is a point-query-batch operator (query side is broadcast); "
+            f"got more than {cap} query rows. Use exact.knn_join(strategy="
+            f"'blocked') for corpus-sized query sets, or chunk the queries."
+        )
+
+
 def knn_join(
     corpus: DataFrame,
     queries: DataFrame,
@@ -147,13 +166,25 @@ def knn_join(
         scored rows — fine for small query sets / correctness checks.
       - ``numpy``: Arrow-batched BLAS scoring with per-partition partial
         top-k (map-side combine), then a final per-query merge over the
-        reduced candidate set. The scale path.
-      - ``auto``: numpy.
+        reduced candidate set. Collects + broadcasts the query side, so
+        it is the point-query-batch path (queries ≪ corpus by contract).
+      - ``blocked``: fully distributed 2-D blocked BLAS join — NO driver
+        collect of either side; both sides shuffle once into (query-block
+        × corpus-block) tiles scored with one matmul each (the
+        ``dedup.embedding_neardup`` shape). The corpus-as-queries / wide
+        path.
+      - ``auto``: counts the query side; ``numpy`` at or below
+        ``BROADCAST_QUERY_CAP`` rows, else ``blocked``.
 
     Returns (qid, id, score, rank).
     """
     if strategy == "auto":
-        strategy = "numpy"
+        m = queries.count()
+        strategy = "numpy" if m <= BROADCAST_QUERY_CAP else "blocked"
+    if strategy == "blocked":
+        return _knn_join_blocked(
+            corpus, queries, k, metric, id_col, vec_col, query_id_col, query_vec_col
+        )
     if strategy == "expr":
         q = queries.select(
             F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("_qvec")
@@ -223,5 +254,90 @@ def _knn_join_numpy(
 
     candidates = corpus.select(id_col, vec_col).mapInPandas(
         part, schema="qid long, id long, score double"
+    )
+    return _rank_topk(candidates, k)
+
+
+# Tile sizing for the blocked join: per-task corpus/query row targets.
+# A (Q_TILE x C_TILE) float64 score matrix is ~64 MB; the kernel chunks
+# the query axis so peak memory stays bounded regardless of tile size.
+_C_TILE = 16384
+_Q_TILE = 2048
+
+
+def _knn_join_blocked(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    metric: str,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+) -> DataFrame:
+    """Fully-distributed exact k-NN join (no driver collect of either side).
+
+    2-D blocking: corpus rows hash into C corpus-blocks and replicate to
+    each of B query-blocks; query rows hash into B query-blocks and
+    replicate to each of C corpus-blocks. Every (qb, cb) tile scores its
+    |queries|/B × |corpus|/C pair with BLAS and emits per-query local
+    top-k; a global window merges the C×k candidates per query. Shuffle
+    volume is O(|corpus|·B + |queries|·C) — the standard all-pairs shape
+    (cf. ``dedup.embedding_neardup``) — for the inherently O(n·m) scoring
+    work, and no single node ever holds a full side.
+    """
+    import math
+
+    n = corpus.count()
+    m = queries.count()
+    c_blocks = max(1, math.ceil(n / _C_TILE))
+    q_blocks = max(1, math.ceil(m / _Q_TILE))
+
+    cb_of = F.pmod(F.xxhash64(F.col("id")), F.lit(c_blocks)).cast("int")
+    qb_of = F.pmod(F.xxhash64(F.col("qid")), F.lit(q_blocks)).cast("int")
+    c_side = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("cb", cb_of)
+        .withColumn("qb", F.explode(F.array(*[F.lit(i) for i in range(q_blocks)])))
+        .select("qb", "cb", F.col("id").alias("rid"), "v", F.lit(0).alias("is_q"))
+    )
+    q_side = (
+        queries.select(F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("v"))
+        .withColumn("qb", qb_of)
+        .withColumn("cb", F.explode(F.array(*[F.lit(i) for i in range(c_blocks)])))
+        .select("qb", "cb", F.col("qid").alias("rid"), "v", F.lit(1).alias("is_q"))
+    )
+
+    def score_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        qs = pdf[pdf["is_q"] == 1]
+        cs = pdf[pdf["is_q"] == 0]
+        if len(qs) == 0 or len(cs) == 0:
+            return pd.DataFrame({"qid": [], "id": [], "score": []}).astype(
+                {"qid": "int64", "id": "int64", "score": "float64"}
+            )
+        cids = cs["rid"].to_numpy(dtype=np.int64)
+        qids = qs["rid"].to_numpy(dtype=np.int64)
+        cmat = kernels.as_matrix(cs["v"])
+        qmat = kernels.as_matrix(qs["v"])
+        out = []
+        # chunk the query axis so the score matrix stays ~bounded
+        for lo in range(0, len(qmat), 512):
+            qc = qmat[lo : lo + 512]
+            scores = kernels.similarity(metric, qc, cmat)
+            idx, vals = kernels.topk_per_row(scores, k, ids=cids)
+            kk = idx.shape[1]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "qid": np.repeat(qids[lo : lo + 512], kk),
+                        "id": cids[idx.ravel()],
+                        "score": vals.ravel(),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    candidates = c_side.unionByName(q_side).groupBy("qb", "cb").applyInPandas(
+        score_tile, schema="qid long, id long, score double"
     )
     return _rank_topk(candidates, k)

@@ -95,6 +95,7 @@ class IVFIndexBuilder:
         sample_cap: int = 128_000,
         kmeans_iterations: int = 6,
         seed: int = 42,
+        spill: int = 1,
     ):
         self.metric = metric
         self.n_partitions = n_partitions
@@ -103,6 +104,13 @@ class IVFIndexBuilder:
         self.sample_cap = sample_cap
         self.kmeans_iterations = kmeans_iterations
         self.seed = seed
+        # spill > 1 stores each vector in its `spill` nearest partitions
+        # (multi-assignment, cf. SOAR/ScaNN spilling): boundary vectors stop
+        # being missed when only their second-closest centroid is probed.
+        # Storage and encode cost scale by `spill`; search dedups by id.
+        # The recall/visited-fraction lever that replaces the reference's
+        # graph traversal reach (GraphIndexBuilder diversity/backlinks).
+        self.spill = max(1, int(spill))
 
     def fit(
         self,
@@ -219,6 +227,8 @@ class IVFIndexBuilder:
         # threshold_search skip partitions that provably contain no match.
         acc = spark.sparkContext.accumulator({}, _PartStatsParam())
 
+        spill = max(1, min(self.spill, len(centroids)))
+
         def assign_encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             cents, codec = b.value
             cc = np.einsum("ij,ij->i", cents, cents)
@@ -229,17 +239,21 @@ class IVFIndexBuilder:
                 x = kernels.as_matrix(pdf["vec"])
                 d = -2.0 * x @ cents.T + cc[None, :]  # dist^2 - ||x||^2 (argmin-safe)
                 codes = codec.encode_numpy(x)
-                p = np.argmin(d, axis=1)
+                if spill == 1:
+                    pm = np.argmin(d, axis=1)[:, None]
+                else:
+                    pm = np.argpartition(d, spill - 1, axis=1)[:, :spill]
+                rep = np.repeat(np.arange(len(x)), spill)
+                p = pm.ravel()  # partition of each stored copy
                 # stats on the float32 values that will actually be stored,
                 # so the bounds hold exactly for what search later reads
                 x32 = x.astype(np.float32).astype(np.float64)
                 xx = np.einsum("ij,ij->i", x32, x32)
                 xn = np.sqrt(xx)
-                rows = np.arange(len(x32))
                 d32 = -2.0 * x32 @ cents.T + cc[None, :]
-                r2 = np.maximum(d32[rows, p] + xx, 0.0)
-                dot_pc = (cc[p] - d32[rows, p]) / 2.0
-                cosang = dot_pc / np.maximum(xn * cn[p], 1e-30)
+                r2 = np.maximum(d32[rep, p] + xx[rep], 0.0)
+                dot_pc = (cc[p] - d32[rep, p]) / 2.0
+                cosang = dot_pc / np.maximum(xn[rep] * cn[p], 1e-30)
                 ang = np.arccos(np.clip(cosang, -1.0, 1.0))
                 stats = {}
                 for part in np.unique(p):
@@ -247,15 +261,16 @@ class IVFIndexBuilder:
                     stats[int(part)] = (
                         float(np.sqrt(r2[mask].max())),
                         float(ang[mask].max()),
-                        float(xn[mask].max()),
-                        float(xn[mask].min()),
+                        float(xn[rep][mask].max()),
+                        float(xn[rep][mask].min()),
                     )
                 acc.add(stats)
+                code_bytes = [c.tobytes() for c in codes]
                 yield pd.DataFrame(
                     {
-                        "id": pdf["id"].to_numpy(dtype=np.int64),
-                        "vec": pdf["vec"],
-                        "codes": [c.tobytes() for c in codes],
+                        "id": pdf["id"].to_numpy(dtype=np.int64)[rep],
+                        "vec": pdf["vec"].iloc[rep].reset_index(drop=True),
+                        "codes": [code_bytes[i] for i in rep],
                         "part_id": p.astype(np.int32),
                     }
                 )
@@ -265,7 +280,7 @@ class IVFIndexBuilder:
         # task per ~128 MB of (vec + codes) payload. At sf0.1 that is ONE
         # task (tiny index builds stop paying 32-task × 44-dir small-file
         # overhead); at 100 TB it is thousands, all clustered by part_id.
-        est_bytes = n * (4 * dim + self.pq_m + 24)
+        est_bytes = n * spill * (4 * dim + self.pq_m + 24)
         n_write_tasks = int(min(max(1, est_bytes // (128 << 20) + 1), 4096))
         # ---- job 2: encode + partitioned write (stats ride the map stage) ----
         (
@@ -278,11 +293,16 @@ class IVFIndexBuilder:
         stat_rows = acc.value
         cent_df = spark.createDataFrame(
             [
-                (i, centroids[i].tolist(), *stat_rows.get(i, (0.0, 0.0, 0.0, 0.0)))
+                (
+                    i,
+                    centroids[i].tolist(),
+                    *stat_rows.get(i, (0.0, 0.0, 0.0, 0.0)),
+                    i in stat_rows,  # empty partitions never need probing
+                )
                 for i in range(len(centroids))
             ],
             "part_id int, centroid array<double>, radius double, ang_radius double,"
-            " max_norm double, min_norm double",
+            " max_norm double, min_norm double, has_rows boolean",
         )
         # ---- job 3: tiny centroids+stats write ----
         cent_df.coalesce(1).write.mode("overwrite").parquet(os.path.join(seg_dir, "centroids.parquet"))
@@ -292,9 +312,57 @@ class IVFIndexBuilder:
             manifest = IndexManifest(
                 dim=dim, metric=self.metric, pq_m=self.pq_m,
                 pq_clusters=self.pq_clusters, n_partitions=self.n_partitions,
+                spill=self.spill,
             )
         manifest.segments.append(SegmentInfo(name=seg_name, n_rows=n, n_partitions=int(len(centroids))))
         return manifest
+
+
+def _partition_score_bounds(
+    info: dict, qmat: np.ndarray, metric: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """Rigorous per-(query, partition) upper bound on the achievable
+    similarity score, from the centroid plus stored radius / angular-radius
+    / norm stats (X4/ScoreTracker analog — but a hard bound, not the
+    reference's probabilistic stop). Returns (bounds, centroid_dist2);
+    partitions with no rows are -inf. Used both to rank probes (best-first,
+    branch-and-bound style) and to prune threshold queries exactly.
+
+    EUCLIDEAN:   d(q,x) >= max(0, ||q-c|| - r)          -> 1/(1+d^2)
+    COSINE:      angle(q,x) >= max(0, angle(q,c)-theta)  -> (1+cos)/2
+    DOT_PRODUCT: dot(q,x) <= ||q|| * (cmax>=0 ? maxN : minN) * cmax
+    """
+    cents: np.ndarray = info["centroids"]
+    qn = np.linalg.norm(qmat, axis=1)
+    cn = np.linalg.norm(cents, axis=1)
+    d2 = np.maximum(
+        np.einsum("ij,ij->i", qmat, qmat)[:, None]
+        + np.einsum("ij,ij->i", cents, cents)[None, :]
+        - 2.0 * qmat @ cents.T,
+        0.0,
+    )
+    if metric == "EUCLIDEAN":
+        dmin = np.maximum(np.sqrt(d2) - info["radius"][None, :], 0.0)
+        bound = 1.0 / (1.0 + dmin**2)
+    else:
+        cosqc = (qmat @ cents.T) / np.maximum(qn[:, None] * cn[None, :], 1e-30)
+        angqc = np.arccos(np.clip(cosqc, -1.0, 1.0))
+        amin = np.maximum(angqc - info["ang_radius"][None, :], 0.0)
+        cmax = np.cos(amin)
+        if metric == "COSINE":
+            bound = (1.0 + cmax) / 2.0
+        else:  # DOT_PRODUCT
+            # dot(q,x) <= ||q|| * ||x|| * cmax. When cmax >= 0 the bound
+            # is maximized by the LARGEST norm in the partition; when
+            # cmax < 0 a negative cosine times the largest norm would
+            # UNDERestimate the achievable score (a small-norm vector
+            # scores ~0.5) — use the stored min norm there instead.
+            norm_for_bound = np.where(
+                cmax >= 0.0, info["max_norm"][None, :], info["min_norm"][None, :]
+            )
+            bound = (1.0 + qn[:, None] * norm_for_bound * cmax) / 2.0
+    bound[:, ~info["has_rows"]] = -np.inf
+    return bound, d2
 
 
 class IVFIndex:
@@ -322,6 +390,8 @@ class IVFIndex:
         # bound degenerates to cmax=1 >= 0, so the min-norm branch of the
         # DOT_PRODUCT bound is never taken on stat-less legacy segments.
         minnorm = np.zeros(len(cents))
+        has_rows_col = "has_rows" in cdf.columns
+        has_rows = np.ones(len(cents), dtype=bool)
         for r in cents:
             arr[r["part_id"]] = np.asarray(r["centroid"])
             if has_stats:
@@ -330,6 +400,8 @@ class IVFIndex:
                 mnorm[r["part_id"]] = r["max_norm"]
             if has_min:
                 minnorm[r["part_id"]] = r["min_norm"]
+            if has_rows_col:
+                has_rows[r["part_id"]] = r["has_rows"]
         self._segments[seg_name] = {
             "dir": seg_dir,
             "centroids": arr,
@@ -337,6 +409,7 @@ class IVFIndex:
             "ang_radius": ang,
             "max_norm": mnorm,
             "min_norm": minnorm,
+            "has_rows": has_rows,
             "pq": ProductQuantizer.load(os.path.join(seg_dir, "pq")),
         }
 
@@ -357,6 +430,8 @@ class IVFIndex:
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
+        if self.manifest.spill > 1:
+            out = out.dropDuplicates(["id"])  # spilled copies are identical
         return out
 
     def tombstones(self) -> DataFrame | None:
@@ -435,6 +510,9 @@ class IVFIndex:
         elif isinstance(accept_ids, DataFrame):
             accept_df = accept_ids.select("id")
 
+        from jvector_spark.operators.exact import assert_point_query_batch
+
+        assert_point_query_batch(queries_df, "IVFIndex.search")
         rerank_k = max(k, int(round(overquery * k)))
         qrows = queries_df.select(query_id_col, query_vec_col).collect()
         qids = np.array([r[0] for r in qrows], dtype=np.int64)
@@ -451,6 +529,9 @@ class IVFIndex:
         scanned = parts[0]
         for d in parts[1:]:
             scanned = scanned.unionByName(d)  # J6: multi-segment merge
+        if self.manifest.spill > 1:
+            # U3 visited-set dedup across spilled copies (identical rows)
+            scanned = scanned.dropDuplicates(["qid", "id"])
 
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
         return (
@@ -475,14 +556,24 @@ class IVFIndex:
         cents: np.ndarray = info["centroids"]
         pq: ProductQuantizer = info["pq"]
         n_probe = min(n_probe, len(cents))
-        # hierarchical descent analog: nearest n_probe centroids per query
-        d = (
-            np.einsum("ij,ij->i", qmat, qmat)[:, None]
-            + np.einsum("ij,ij->i", cents, cents)[None, :]
-            - 2.0 * qmat @ cents.T
-        )
-        probe = np.argsort(d, axis=1)[:, :n_probe]  # (m, n_probe)
-        probed_parts = sorted({int(p) for p in probe.ravel()})
+        # hierarchical descent analog: nearest n_probe centroids per query.
+        # (Bound-ranked probing was tried and measured WORSE for top-k
+        # recall: the score bound describes the best single vector a
+        # partition could hold — outlier-driven — while top-k recall wants
+        # partitions dense in near neighbors, which centroid distance
+        # proxies better. Bounds still drive threshold pruning, where they
+        # are exact.) Empty partitions are skipped.
+        bound, d2 = _partition_score_bounds(info, qmat, metric)
+        d2 = np.where(info["has_rows"][None, :], d2, np.inf)
+        probe = np.argsort(d2, axis=1)[:, :n_probe]  # (m, n_probe)
+        part_to_queries_raw: dict[int, list[int]] = {}
+        for qi in range(len(qids)):
+            for p in probe[qi]:
+                if np.isfinite(d2[qi, int(p)]):
+                    part_to_queries_raw.setdefault(int(p), []).append(qi)
+        probed_parts = sorted(part_to_queries_raw)
+        if not probed_parts:
+            return self.spark.createDataFrame([], "qid long, id long, score double")
 
         data = self.spark.read.parquet(os.path.join(info["dir"], "data.parquet"))
         # Catalyst partition-prunes the scan to the probed part_ids
@@ -501,10 +592,7 @@ class IVFIndex:
         luts = np.stack([pq.adc_lut(qmat[i], metric) for i in range(len(qids))])
         mag = pq.magnitude_lut() if metric == "COSINE" else None
         qnorms = np.linalg.norm(qmat, axis=1)
-        part_to_queries: dict[int, list[int]] = {}
-        for qi in range(len(qids)):
-            for p in probe[qi]:
-                part_to_queries.setdefault(int(p), []).append(qi)
+        part_to_queries = part_to_queries_raw
         b = self.spark.sparkContext.broadcast(
             (pq.m, qids, qmat, luts, mag, qnorms, metric, k, rerank_k, part_to_queries, dead)
         )
@@ -591,6 +679,9 @@ class IVFIndex:
           COSINE:      angle(q,x) >= max(0, angle(q,c) - theta)
           DOT_PRODUCT: dot(q,x) <= ||q|| * M * cos(max(0, angle(q,c)-theta))
         """
+        from jvector_spark.operators.exact import assert_point_query_batch
+
+        assert_point_query_batch(queries_df, "IVFIndex.threshold_search")
         metric = self.manifest.metric
         qrows = queries_df.select(query_id_col, query_vec_col).collect()
         qids = np.array([r[0] for r in qrows], dtype=np.int64)
@@ -606,6 +697,8 @@ class IVFIndex:
         out = parts[0]
         for d in parts[1:]:
             out = out.unionByName(d)
+        if self.manifest.spill > 1:
+            out = out.dropDuplicates(["qid", "id"])
         return out
 
     def _segment_threshold_scan(
@@ -617,36 +710,8 @@ class IVFIndex:
         threshold: float,
         dead: frozenset,
     ) -> DataFrame:
-        cents: np.ndarray = info["centroids"]
-        qn = np.linalg.norm(qmat, axis=1)
-        cn = np.linalg.norm(cents, axis=1)
-        d2 = np.maximum(
-            np.einsum("ij,ij->i", qmat, qmat)[:, None]
-            + np.einsum("ij,ij->i", cents, cents)[None, :]
-            - 2.0 * qmat @ cents.T,
-            0.0,
-        )
-        if metric == "EUCLIDEAN":
-            dmin = np.maximum(np.sqrt(d2) - info["radius"][None, :], 0.0)
-            bound = 1.0 / (1.0 + dmin**2)
-        else:
-            cosqc = (qmat @ cents.T) / np.maximum(qn[:, None] * cn[None, :], 1e-30)
-            angqc = np.arccos(np.clip(cosqc, -1.0, 1.0))
-            amin = np.maximum(angqc - info["ang_radius"][None, :], 0.0)
-            cmax = np.cos(amin)
-            if metric == "COSINE":
-                bound = (1.0 + cmax) / 2.0
-            else:  # DOT_PRODUCT
-                # dot(q,x) <= ||q|| * ||x|| * cmax. When cmax >= 0 the bound
-                # is maximized by the LARGEST norm in the partition; when
-                # cmax < 0 a negative cosine times the largest norm would
-                # UNDERestimate the achievable score (a small-norm vector
-                # scores ~0.5) — use the stored min norm there instead.
-                norm_for_bound = np.where(
-                    cmax >= 0.0, info["max_norm"][None, :], info["min_norm"][None, :]
-                )
-                bound = (1.0 + qn[:, None] * norm_for_bound * cmax) / 2.0
-        probe_mask = bound + 1e-9 >= threshold  # (nq, nparts)
+        bound, _ = _partition_score_bounds(info, qmat, metric)
+        probe_mask = bound + 1e-9 >= threshold  # (nq, nparts); -inf = empty
         part_to_queries: dict[int, list[int]] = {}
         for qi in range(len(qids)):
             for p in np.flatnonzero(probe_mask[qi]):
@@ -732,6 +797,7 @@ class IVFIndex:
             n_partitions=self.manifest.n_partitions,
             pq_m=self.manifest.pq_m,
             pq_clusters=self.manifest.pq_clusters,
+            spill=self.manifest.spill,
         )
         if df.isEmpty():  # limit-1 probe, far cheaper than a count
             return
@@ -751,6 +817,7 @@ class IVFIndex:
             n_partitions=self.manifest.n_partitions,
             pq_m=self.manifest.pq_m,
             pq_clusters=self.manifest.pq_clusters,
+            spill=self.manifest.spill,
         )
         seg_name = f"seg-{self.manifest.version:06d}c"
         fresh = IndexManifest(
@@ -759,6 +826,7 @@ class IVFIndex:
             pq_m=self.manifest.pq_m,
             pq_clusters=self.manifest.pq_clusters,
             n_partitions=self.manifest.n_partitions,
+            spill=self.manifest.spill,
             version=self.manifest.version,
         )
         fresh = builder._build_segment(live, self.path, seg_name, "id", "vec", manifest=fresh)

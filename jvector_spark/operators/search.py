@@ -116,6 +116,9 @@ def two_phase_knn_join(
     bench config (yaml-configs/index-parameters/default.yml `NVQ rerank`;
     NVQScorer.java): ~4x fewer bytes read in stage 2 for near-fp32 scores.
     """
+    from jvector_spark.operators.exact import assert_point_query_batch
+
+    assert_point_query_batch(queries_df, "two_phase_knn_join")
     rerank_k = max(k, int(round(overquery * k)))
     qrows = queries_df.select(query_id_col, query_vec_col).collect()
     queries = [(r[0], np.asarray(r[1], dtype=np.float64)) for r in qrows]

@@ -46,6 +46,7 @@ class IndexManifest:
     pq_m: int
     pq_clusters: int
     n_partitions: int | None = None  # build config; None = auto (~sqrt(n))
+    spill: int = 1  # copies per vector (multi-assignment recall boost)
     segments: list[SegmentInfo] = field(default_factory=list)
     version: int = 0
     format_version: int = MANIFEST_VERSION

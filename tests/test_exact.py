@@ -66,7 +66,20 @@ def test_threshold_search(random_vectors):
     assert s == sorted(s, reverse=True)
 
 
-@pytest.mark.parametrize("strategy", ["expr", "numpy"])
+def test_knn_join_blocked_multi_tile_exact(random_vectors, spark, monkeypatch):
+    """The distributed blocked join must equal the expr oracle exactly —
+    forced into a 4x4 tile grid so cross-tile merge and tie-breaks are
+    actually exercised (the corpus-as-queries scale path)."""
+    monkeypatch.setattr(exact, "_C_TILE", 300)
+    monkeypatch.setattr(exact, "_Q_TILE", 100)
+    df, mat = random_vectors
+    queries = df.select(F.col("id").alias("qid"), "vec").filter("qid < 333")
+    a = exact.knn_join(df, queries, 5, strategy="blocked").select("qid", "id", "rank")
+    b = exact.knn_join(df, queries, 5, strategy="expr").select("qid", "id", "rank")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+@pytest.mark.parametrize("strategy", ["expr", "numpy", "blocked"])
 def test_knn_join_matches_brute_force(random_vectors, spark, strategy):
     df, mat = random_vectors
     m = 8

@@ -123,6 +123,22 @@ def test_compact_preserves_results(spark, corpus_df, queries_df, tmp_path_factor
     assert not ({row["id"] for row in after.collect()} & set(range(100)))
 
 
+def test_spill_recall_low_nprobe(spark, corpus_df, queries_df, tmp_path_factory):
+    """Multi-assignment (spill) is the recall/visited-fraction lever that
+    stands in for the reference graph's traversal reach: at n_probe=4 (an
+    eighth of the partitions) a spill=4 index must clear recall@10 >= 0.9,
+    and spilled copies must never surface as duplicate result rows."""
+    df, _ = corpus_df
+    path = str(tmp_path_factory.mktemp("ivf_spill") / "index")
+    idx = IVFIndexBuilder(metric="COSINE", n_partitions=32, pq_m=8, spill=4).fit(df, path)
+    got = idx.search(queries_df, K, n_probe=4, overquery=4.0).cache()
+    pairs = got.select("qid", "id").collect()
+    assert len(pairs) == len({(r["qid"], r["id"]) for r in pairs})  # deduped
+    gt = exact.knn_join(df, queries_df, K, metric="COSINE", strategy="numpy")
+    r = recall_at_k(got, gt, K)
+    assert r >= 0.9, f"spill=4 recall@{K} at n_probe=4 = {r}"
+
+
 def test_filtered_search_50pct_selectivity(spark, index, corpus_df, queries_df):
     """F1 through the fused scan (ref TestLowCardinalityFiltering.java:52-90):
     accept half the corpus via a DataFrame accept-list — results only ever
