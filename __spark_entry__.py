@@ -729,9 +729,13 @@ _oracle("multimodal_features", _multimodal_oracle())
 def _events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly event rollup (batch form of the streaming windowed agg —
     jvector_spark.streaming runs the same plan via readStream)."""
-    # events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
-    # rejects by default; read nanos as long and convert to micros.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # events.parquet stores TIMESTAMP(NANOS); our session factory sets
+    # nanosAsLong at build time (jvector_spark/session.py). The driver may
+    # run this under its OWN session, so set it here only if absent — the
+    # flag is scoped to nanos-timestamp parquet columns (events is the only
+    # such table), so this cannot change any other query's behavior.
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) is None:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts = F.col("ts")
     if dict(ev.dtypes)["ts"] == "bigint":

@@ -96,6 +96,7 @@ class IVFIndexBuilder:
         kmeans_iterations: int = 6,
         seed: int = 42,
         spill: int = 1,
+        rerank: str = "fp32",
     ):
         self.metric = metric
         self.n_partitions = n_partitions
@@ -104,6 +105,15 @@ class IVFIndexBuilder:
         self.sample_cap = sample_cap
         self.kmeans_iterations = kmeans_iterations
         self.seed = seed
+        # rerank="nvq" additionally stores NVQ bytes per row and reranks
+        # stage 2 from them instead of fp32 — the reference's DEFAULT index
+        # config (yaml-configs/index-parameters/default.yml NVQ_VECTORS,
+        # FeatureId.java:31-36, NVQScorer.java): ~4x fewer stage-2 bytes
+        # read (parquet column pruning skips `vec`) for near-fp32 scores.
+        # fp32 stays on disk for compaction / exact fallbacks.
+        if rerank not in ("fp32", "nvq"):
+            raise ValueError(f"rerank must be 'fp32' or 'nvq', got {rerank!r}")
+        self.rerank = rerank
         # spill > 1 stores each vector in its `spill` nearest partitions
         # (multi-assignment, cf. SOAR/ScaNN spilling): boundary vectors stop
         # being missed when only their second-closest centroid is probed.
@@ -192,6 +202,7 @@ class IVFIndexBuilder:
         id_col: str,
         vec_col: str,
         manifest: IndexManifest | None = None,
+        warm_pq: ProductQuantizer | None = None,
     ) -> IndexManifest:
         """Build one segment in exactly THREE Spark jobs:
 
@@ -212,16 +223,28 @@ class IVFIndexBuilder:
         n_parts = self.n_partitions or max(1, min(MAX_CENTROIDS, int(math.sqrt(max(n, 1)))))
 
         centroids = kmeans_pp(sample, n_parts, self.kmeans_iterations, self.seed)
-        pq = ProductQuantizer.fit_numpy(
-            sample, m=self.pq_m, clusters=self.pq_clusters,
-            center=(self.metric == "EUCLIDEAN"),
-            iterations=self.kmeans_iterations, seed=self.seed,
-        )
+        if warm_pq is not None and warm_pq.dim == dim and warm_pq.m == self.pq_m:
+            # PQRetrainer analog (ref PQRetrainer.java:42-89): fine-tune the
+            # existing codebooks on the fresh sample instead of retraining
+            # from scratch — fewer Lloyd's rounds, no codebook churn across
+            # compactions.
+            pq = warm_pq.refine(sample, iterations=2, seed=self.seed)
+        else:
+            pq = ProductQuantizer.fit_numpy(
+                sample, m=self.pq_m, clusters=self.pq_clusters,
+                center=(self.metric == "EUCLIDEAN"),
+                iterations=self.kmeans_iterations, seed=self.seed,
+            )
 
         seg_dir = os.path.join(path, "segments", seg_name)
         os.makedirs(seg_dir, exist_ok=True)
 
-        b = spark.sparkContext.broadcast((centroids, pq))
+        nvq = None
+        if self.rerank == "nvq":
+            from jvector_spark.operators.quantize.nvq import NVQuantizer
+
+            nvq = NVQuantizer(dim=dim)
+        b = spark.sparkContext.broadcast((centroids, pq, nvq))
         # per-partition pruning stats (X4/ScoreTracker analog): Euclidean
         # radius, angular radius, max/min norm — rigorous score bounds let
         # threshold_search skip partitions that provably contain no match.
@@ -230,7 +253,7 @@ class IVFIndexBuilder:
         spill = max(1, min(self.spill, len(centroids)))
 
         def assign_encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            cents, codec = b.value
+            cents, codec, nvq_codec = b.value
             cc = np.einsum("ij,ij->i", cents, cents)
             cn = np.sqrt(cc)
             for pdf in batches:
@@ -266,16 +289,25 @@ class IVFIndexBuilder:
                     )
                 acc.add(stats)
                 code_bytes = [c.tobytes() for c in codes]
-                yield pd.DataFrame(
-                    {
-                        "id": pdf["id"].to_numpy(dtype=np.int64)[rep],
-                        "vec": pdf["vec"].iloc[rep].reset_index(drop=True),
-                        "codes": [code_bytes[i] for i in rep],
-                        "part_id": p.astype(np.int32),
-                    }
-                )
+                out = {
+                    "id": pdf["id"].to_numpy(dtype=np.int64)[rep],
+                    "vec": pdf["vec"].iloc[rep].reset_index(drop=True),
+                    "codes": [code_bytes[i] for i in rep],
+                    "part_id": p.astype(np.int32),
+                }
+                if nvq_codec is not None:
+                    nvq_codes, nvq_params = nvq_codec.encode_numpy(x)
+                    nvq_bytes = [c.tobytes() for c in nvq_codes]
+                    out["nvq"] = [nvq_bytes[i] for i in rep]
+                    out["nvq_params"] = [nvq_params[i] for i in rep]
+                yield pd.DataFrame(out)
 
-        data = df.mapInPandas(assign_encode, schema=_DATA_SCHEMA)
+        schema = _DATA_SCHEMA
+        if nvq is not None:
+            schema = schema.replace(
+                ", part_id int", ", part_id int, nvq binary, nvq_params array<double>"
+            )
+        data = df.mapInPandas(assign_encode, schema=schema)
         # Size the write shuffle to the data, not the cluster default: one
         # task per ~128 MB of (vec + codes) payload. At sf0.1 that is ONE
         # task (tiny index builds stop paying 32-task × 44-dir small-file
@@ -312,7 +344,7 @@ class IVFIndexBuilder:
             manifest = IndexManifest(
                 dim=dim, metric=self.metric, pq_m=self.pq_m,
                 pq_clusters=self.pq_clusters, n_partitions=self.n_partitions,
-                spill=self.spill,
+                spill=self.spill, rerank=self.rerank,
             )
         manifest.segments.append(SegmentInfo(name=seg_name, n_rows=n, n_partitions=int(len(centroids))))
         return manifest
@@ -593,12 +625,19 @@ class IVFIndex:
         mag = pq.magnitude_lut() if metric == "COSINE" else None
         qnorms = np.linalg.norm(qmat, axis=1)
         part_to_queries = part_to_queries_raw
+        use_nvq = self.manifest.rerank == "nvq"
+        nvq_codec = None
+        if use_nvq:
+            from jvector_spark.operators.quantize.nvq import NVQuantizer
+
+            nvq_codec = NVQuantizer(dim=self.manifest.dim)
         b = self.spark.sparkContext.broadcast(
-            (pq.m, qids, qmat, luts, mag, qnorms, metric, k, rerank_k, part_to_queries, dead)
+            (pq.m, qids, qmat, luts, mag, qnorms, metric, k, rerank_k, part_to_queries,
+             dead, nvq_codec)
         )
 
         def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            m, q_ids, q_mat, q_luts, mag_lut, q_norms, met, kk, keep, p2q, tomb = b.value
+            m, q_ids, q_mat, q_luts, mag_lut, q_norms, met, kk, keep, p2q, tomb, nvq_c = b.value
             cols = np.arange(m)
             for pdf in batches:
                 if len(pdf) == 0:
@@ -631,9 +670,22 @@ class IVFIndex:
                         else:
                             approx[row] = (1.0 + partial / (mags * max(q_norms[qi], 1e-30))) / 2.0
                     cand_idx, _ = kernels.topk_per_row(approx, keep, ids=ids)
-                    # phase 2: exact rerank of the candidate union only
+                    # phase 2: high-resolution rerank of the candidate union
+                    # only — from fp32, or dequantized NVQ bytes (the
+                    # reference's default rerank feature, NVQScorer.java;
+                    # parquet column pruning means the 4-bytes/dim fp32
+                    # column is never read in that mode)
                     uniq = np.unique(cand_idx.ravel())
-                    x = kernels.as_matrix(grp["vec"].iloc[uniq])
+                    if nvq_c is not None:
+                        nvq_rows = np.frombuffer(
+                            b"".join(grp["nvq"].iloc[uniq]), dtype=np.uint8
+                        ).reshape(len(uniq), nvq_c.dim)
+                        nvq_params = np.stack(
+                            [np.asarray(v, dtype=np.float64) for v in grp["nvq_params"].iloc[uniq]]
+                        )
+                        x = nvq_c.decode_numpy(nvq_rows, nvq_params)
+                    else:
+                        x = kernels.as_matrix(grp["vec"].iloc[uniq])
                     pos_of = {int(u): j for j, u in enumerate(uniq)}
                     out_q, out_i, out_s = [], [], []
                     for row, qi in enumerate(q_idx):
@@ -654,7 +706,12 @@ class IVFIndex:
                         }
                     )
 
-        return data.select("part_id", "id", "vec", "codes").mapInPandas(
+        cols = (
+            ["part_id", "id", "codes", "nvq", "nvq_params"]
+            if use_nvq
+            else ["part_id", "id", "vec", "codes"]
+        )
+        return data.select(*cols).mapInPandas(
             scan, schema="qid long, id long, score double"
         )
 
@@ -798,6 +855,7 @@ class IVFIndex:
             pq_m=self.manifest.pq_m,
             pq_clusters=self.manifest.pq_clusters,
             spill=self.manifest.spill,
+            rerank=self.manifest.rerank,
         )
         if df.isEmpty():  # limit-1 probe, far cheaper than a count
             return
@@ -818,6 +876,7 @@ class IVFIndex:
             pq_m=self.manifest.pq_m,
             pq_clusters=self.manifest.pq_clusters,
             spill=self.manifest.spill,
+            rerank=self.manifest.rerank,
         )
         seg_name = f"seg-{self.manifest.version:06d}c"
         fresh = IndexManifest(
@@ -827,9 +886,16 @@ class IVFIndex:
             pq_clusters=self.manifest.pq_clusters,
             n_partitions=self.manifest.n_partitions,
             spill=self.manifest.spill,
+            rerank=self.manifest.rerank,
             version=self.manifest.version,
         )
-        fresh = builder._build_segment(live, self.path, seg_name, "id", "vec", manifest=fresh)
+        # warm-start PQ from the largest live segment's codebooks (the
+        # balanced-sample retrain of ref PQRetrainer, not a from-scratch fit)
+        largest = max(self.manifest.segments, key=lambda s: s.n_rows)
+        fresh = builder._build_segment(
+            live, self.path, seg_name, "id", "vec", manifest=fresh,
+            warm_pq=self._segments[largest.name]["pq"],
+        )
         # drop tombstones: physically removed now
         import shutil
 

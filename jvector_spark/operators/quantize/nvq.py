@@ -53,7 +53,9 @@ class NVQuantizer:
     alphas: tuple[float, ...] = (1e-6, 0.5, 1.0, 2.0, 4.0, 8.0)
 
     def _quantize_rows(self, mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """Per-row learned quantization.
+        """Per-row learned quantization, vectorized over ALL rows per alpha
+        (the per-row Python loop was the one hot-path loop in the codec —
+        SURVEY §7 anti-pattern; one (n, d) array pass per grid point now).
 
         Returns (codes uint8 (n, d), params float64 (n, 4) = [alpha, x0, lo, hi]).
         Grid-searches alpha per row (ref learns (α, x0) by loss descent —
@@ -61,30 +63,37 @@ class NVQuantizer:
         reconstruction-tolerance contract our tests enforce).
         """
         n, d = mat.shape
-        codes = np.empty((n, d), dtype=np.uint8)
-        params = np.empty((n, 4), dtype=np.float64)
-        for r in range(n):
-            x = mat[r]
-            lo, hi = float(x.min()), float(x.max())
-            if hi - lo < _EPS:
-                codes[r] = 0
-                params[r] = (1.0, lo, lo, hi)
-                continue
-            x0 = float(x.mean())
-            best = None
-            for alpha in self.alphas:
-                a = alpha / max(hi - lo, _EPS)  # scale-invariant growth rate
-                ulo, uhi = _logistic(np.array([lo]), a, x0)[0], _logistic(np.array([hi]), a, x0)[0]
-                u = (_logistic(x, a, x0) - ulo) / max(uhi - ulo, _EPS)
-                q = np.clip(np.round(u * 255.0), 0, 255)
-                ur = q / 255.0 * (uhi - ulo) + ulo
-                xr = _logit(ur, a, x0)
-                err = float(np.sum((x - xr) ** 2))
-                if best is None or err < best[0]:
-                    best = (err, a, q)
-            _, a, q = best
-            codes[r] = q.astype(np.uint8)
-            params[r] = (a, x0, lo, hi)
+        lo = mat.min(axis=1)
+        hi = mat.max(axis=1)
+        x0 = mat.mean(axis=1)
+        rng = hi - lo
+        flat = rng < _EPS
+
+        best_err = np.full(n, np.inf)
+        best_a = np.ones(n)
+        best_codes = np.zeros((n, d), dtype=np.uint8)
+        for alpha in self.alphas:
+            a = alpha / np.maximum(rng, _EPS)  # scale-invariant growth rate
+            ulo = 1.0 / (1.0 + np.exp(-a * (lo - x0)))
+            uhi = 1.0 / (1.0 + np.exp(-a * (hi - x0)))
+            span = np.maximum(uhi - ulo, _EPS)
+            u = (1.0 / (1.0 + np.exp(-a[:, None] * (mat - x0[:, None]))) - ulo[:, None]) / span[:, None]
+            q = np.clip(np.round(u * 255.0), 0, 255)
+            ur = np.clip(q / 255.0 * (uhi - ulo)[:, None] + ulo[:, None], _EPS, 1.0 - _EPS)
+            xr = x0[:, None] + np.log(ur / (1.0 - ur)) / a[:, None]
+            err = np.einsum("ij,ij->i", mat - xr, mat - xr)
+            upd = err < best_err  # strict: the first (smallest) alpha wins ties
+            if upd.any():
+                best_err[upd] = err[upd]
+                best_a[upd] = a[upd]
+                best_codes[upd] = q[upd].astype(np.uint8)
+
+        codes = best_codes
+        params = np.stack([best_a, x0, lo, hi], axis=1)
+        if flat.any():
+            codes[flat] = 0
+            params[flat, 0] = 1.0
+            params[flat, 1] = lo[flat]
         return codes, params
 
     def _dequantize_rows(self, codes: np.ndarray, params: np.ndarray) -> np.ndarray:

@@ -34,6 +34,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # events.parquet stores TIMESTAMP(NANOS), which the parquet reader
+        # rejects unless read as long — set once at session build, not per
+        # query (it only affects nanos-timestamp parquet columns)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("JVS_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.awt.headless=true")

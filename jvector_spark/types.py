@@ -47,6 +47,7 @@ class IndexManifest:
     pq_clusters: int
     n_partitions: int | None = None  # build config; None = auto (~sqrt(n))
     spill: int = 1  # copies per vector (multi-assignment recall boost)
+    rerank: str = "fp32"  # stage-2 resolution: "fp32" | "nvq" (FeatureId analog)
     segments: list[SegmentInfo] = field(default_factory=list)
     version: int = 0
     format_version: int = MANIFEST_VERSION

@@ -139,6 +139,22 @@ def test_spill_recall_low_nprobe(spark, corpus_df, queries_df, tmp_path_factory)
     assert r >= 0.9, f"spill=4 recall@{K} at n_probe=4 = {r}"
 
 
+def test_nvq_rerank_recall_parity(spark, corpus_df, queries_df, tmp_path_factory):
+    """rerank='nvq' (the reference's default index feature, NVQ_VECTORS /
+    NVQScorer.java) must match fp32 rerank recall within 1% while stage 2
+    reads NVQ bytes instead of the fp32 column."""
+    df, _ = corpus_df
+    p1 = str(tmp_path_factory.mktemp("ivf_fp") / "index")
+    p2 = str(tmp_path_factory.mktemp("ivf_nvq") / "index")
+    idx_fp = IVFIndexBuilder(metric="COSINE", n_partitions=32, pq_m=8).fit(df, p1)
+    idx_nvq = IVFIndexBuilder(metric="COSINE", n_partitions=32, pq_m=8, rerank="nvq").fit(df, p2)
+    assert idx_nvq.manifest.rerank == "nvq"
+    gt = exact.knn_join(df, queries_df, K, metric="COSINE", strategy="numpy").cache()
+    r_fp = recall_at_k(idx_fp.search(queries_df, K, n_probe=16, overquery=4.0), gt, K)
+    r_nvq = recall_at_k(idx_nvq.search(queries_df, K, n_probe=16, overquery=4.0), gt, K)
+    assert abs(r_fp - r_nvq) <= 0.01, f"fp32={r_fp} nvq={r_nvq}"
+
+
 def test_filtered_search_50pct_selectivity(spark, index, corpus_df, queries_df):
     """F1 through the fused scan (ref TestLowCardinalityFiltering.java:52-90):
     accept half the corpus via a DataFrame accept-list — results only ever

@@ -215,3 +215,48 @@ def test_anisotropic_pq_improves_dot_fidelity(rng):
     uni = ProductQuantizer.fit_numpy(mat, m=8, clusters=64, seed=3)
     ani = ProductQuantizer.fit_numpy(mat, m=8, clusters=64, seed=3, anisotropic_threshold=0.2)
     assert score_mse(ani) <= score_mse(uni) * 1.05, (score_mse(ani), score_mse(uni))
+
+
+def test_nvq_vectorized_encode_matches_scalar_reference():
+    """The batched-per-alpha encoder must reproduce the per-row grid search
+    exactly (same codes, same chosen alpha) — the vectorization is a pure
+    hot-path rewrite, not a semantics change."""
+    from jvector_spark.operators.quantize.nvq import _EPS, _logistic, _logit
+
+    r = np.random.default_rng(7)
+    mat = np.vstack([r.normal(size=(40, 24)), np.full((2, 24), 0.37)])  # incl. flat rows
+    codec = NVQuantizer(dim=24)
+    codes, params = codec.encode_numpy(mat)
+    for i in range(len(mat)):
+        x = mat[i]
+        lo, hi = float(x.min()), float(x.max())
+        if hi - lo < _EPS:
+            assert not codes[i].any()
+            np.testing.assert_allclose(params[i], (1.0, lo, lo, hi))
+            continue
+        x0 = float(x.mean())
+        best = None
+        for alpha in codec.alphas:
+            a = alpha / max(hi - lo, _EPS)
+            ulo = _logistic(np.array([lo]), a, x0)[0]
+            uhi = _logistic(np.array([hi]), a, x0)[0]
+            u = (_logistic(x, a, x0) - ulo) / max(uhi - ulo, _EPS)
+            q = np.clip(np.round(u * 255.0), 0, 255)
+            ur = q / 255.0 * (uhi - ulo) + ulo
+            xr = _logit(ur, a, x0)
+            err = float(np.sum((x - xr) ** 2))
+            if best is None or err < best[0]:
+                best = (err, a, q)
+        np.testing.assert_array_equal(codes[i], best[2].astype(np.uint8))
+        assert params[i, 0] == pytest.approx(best[1], rel=1e-12)
+
+
+def test_nvq_encode_is_fast(corpus):
+    """Regression guard for the vectorized encoder: 2k x 32 in well under a
+    second (the per-row loop took multiple seconds here)."""
+    import time
+
+    codec = NVQuantizer(dim=32)
+    t0 = time.perf_counter()
+    codec.encode_numpy(corpus)
+    assert time.perf_counter() - t0 < 1.0
