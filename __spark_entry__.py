@@ -320,6 +320,38 @@ FROM embeddings
 )
 
 
+@_register("vector_scale_add")
+def _vector_scale_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 elementwise arithmetic: scale, add, sub, min as JVM HOF columns
+    (ref VectorUtil.java:117-165). Derives 3e = 2e + e, e - reverse(e),
+    min(e, reverse(e)) and emits scalars the oracle replicates exactly."""
+    from jvector_spark.functions.similarity import (
+        vec_add, vec_min, vec_scale, vec_sub, vec_sum_elems,
+    )
+
+    emb = _emb(spark, sf_dir)
+    arr = F.col("embedding")
+    rev = F.reverse(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.round(vec_sum_elems(vec_add(vec_scale(arr, 2.0), arr)), 6).alias("sum3"),
+        F.round(F.element_at(vec_sub(arr, rev), 1), 6).alias("sub0"),
+        F.round(F.element_at(vec_min(arr, rev), 1), 6).alias("min0"),
+    )
+
+
+_oracle(
+    "vector_scale_add",
+    """
+SELECT vec_id,
+       ROUND(list_sum(list_transform(embedding::DOUBLE[], x -> (2.0 * x) + x)), 6) AS sum3,
+       ROUND(CAST(embedding[1] AS DOUBLE) - CAST(embedding[len(embedding)] AS DOUBLE), 6) AS sub0,
+       ROUND(least(CAST(embedding[1] AS DOUBLE), CAST(embedding[len(embedding)] AS DOUBLE)), 6) AS min0
+FROM embeddings
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Wide exact k-NN join (J1 at corpus scale, numpy/BLAS path)
 # ---------------------------------------------------------------------------
@@ -635,6 +667,48 @@ UNION ALL SELECT 2.0, CAST(1 AS BIGINT)
 UNION ALL SELECT 4.0, CAST(1 AS BIGINT)
 """,
 )
+
+
+@_register("dedup_embedding_ivf")
+def _dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup THROUGH the IVF index: the declared scale path
+    for semantic dedup. threshold_search's centroid-radius pruning is a
+    rigorous bound, so results are EXACT (full hash oracle — same SQL as
+    the blocked-matmul dedup_embedding) while only scanning partitions
+    that can contain a pair. At 100 TB this replaces the O(n^2/blocks)
+    matmul with index-pruned work per query."""
+    import tempfile
+
+    from jvector_spark.operators.index import IVFIndexBuilder
+
+    threshold = 0.35  # raw cosine; normalized score = (1 + cos) / 2
+    emb = _emb(spark, sf_dir)
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    tmp = tempfile.mkdtemp(prefix="jvs_entry_dedup_ivf_")
+    idx = IVFIndexBuilder(metric="COSINE", pq_m=8).fit(corpus, tmp)
+    queries = corpus.selectExpr("id as qid", "vec")
+    # search slightly BELOW the target so pairs that round up to the
+    # threshold at 6 decimals (the oracle's cut) are not lost at the
+    # normalized-score boundary; the final rounded filter is authoritative
+    res = idx.threshold_search(queries, threshold=(1.0 + threshold) / 2.0 - 1e-6)
+    return (
+        res.filter(F.col("qid") < F.col("id"))  # each unordered pair once
+        .select(
+            F.col("qid").alias("id_a"),
+            F.col("id").alias("id_b"),
+            F.round(F.lit(2.0) * F.col("score") - F.lit(1.0), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def _dedup_embedding_ivf_oracle() -> str:
+    from jvector_spark.pipeline.dedup import embedding_neardup_sql
+
+    return embedding_neardup_sql(threshold=0.35)
+
+
+_oracle("dedup_embedding_ivf", _dedup_embedding_ivf_oracle())
 
 
 # ---------------------------------------------------------------------------

@@ -75,7 +75,10 @@ def similarity(metric: str, a: np.ndarray, b: np.ndarray) -> np.ndarray:
         return (1.0 + dot(a, b)) / 2.0
     if metric == COSINE:
         return (1.0 + cosine(a, b)) / 2.0
-    raise ValueError(f"unknown metric {metric!r}; expected one of {METRICS}")
+    # X1 SPI fallback: user-registered score functions (registry.py)
+    from jvector_spark.functions.registry import get_score_function
+
+    return get_score_function(metric).kernel(a, b)
 
 
 def hamming_similarity(a: np.ndarray, b: np.ndarray, dim: int) -> np.ndarray:

@@ -75,7 +75,50 @@ def similarity(metric: str, a: Column | str, b: Column | str) -> Column:
         return (F.lit(1.0) + dot_product(a, b)) / F.lit(2.0)
     if metric == COSINE:
         return (F.lit(1.0) + cosine(a, b)) / F.lit(2.0)
-    raise ValueError(f"unknown metric {metric!r}; expected one of {METRICS}")
+    # X1 SPI fallback: user-registered score functions (registry.py)
+    from jvector_spark.functions.registry import get_score_function
+
+    spec = get_score_function(metric)
+    if spec.column is None:
+        raise ValueError(f"metric {metric!r} registered without a Column builder")
+    return spec.column(a, b)
+
+
+# ---------------------------------------------------------------------------
+# E6 elementwise arithmetic (ref VectorUtil.java:117-165,194-205: sum, scale,
+# addInPlace, subInPlace, minInPlace, max, min). Batch engines have no
+# "in place"; each op returns a new array column, JVM-side via HOFs.
+# ---------------------------------------------------------------------------
+
+
+def vec_scale(a: Column | str, s: float) -> Column:
+    """a * s elementwise. Ref VectorUtil scale."""
+    return F.transform(_as_double(a), lambda x: x * F.lit(float(s)))
+
+
+def vec_add(a: Column | str, b: Column | str) -> Column:
+    """a + b elementwise. Ref VectorUtil addInPlace."""
+    return F.zip_with(_as_double(a), _as_double(b), lambda x, y: x + y)
+
+
+def vec_sub(a: Column | str, b: Column | str) -> Column:
+    """a - b elementwise. Ref VectorUtil sub/subInPlace."""
+    return F.zip_with(_as_double(a), _as_double(b), lambda x, y: x - y)
+
+
+def vec_min(a: Column | str, b: Column | str) -> Column:
+    """Elementwise minimum. Ref VectorUtil minInPlace."""
+    return F.zip_with(_as_double(a), _as_double(b), lambda x, y: F.least(x, y))
+
+
+def vec_max(a: Column | str, b: Column | str) -> Column:
+    """Elementwise maximum. Ref VectorUtil max-style pairing."""
+    return F.zip_with(_as_double(a), _as_double(b), lambda x, y: F.greatest(x, y))
+
+
+def vec_sum_elems(a: Column | str) -> Column:
+    """Sum of a vector's elements. Ref VectorUtil sum(v)."""
+    return F.aggregate(_as_double(a), F.lit(0.0), lambda acc, x: acc + x)
 
 
 def vector_literal(vec) -> Column:
@@ -117,4 +160,9 @@ def sql_similarity(metric: str, a: str, b: str) -> str:
             f"(1.0 + {sql_dot(a, b)} / "
             f"(sqrt({sql_dot(a, a)}) * sqrt({sql_dot(b, b)}))) / 2.0"
         )
-    raise ValueError(metric)
+    from jvector_spark.functions.registry import get_score_function
+
+    spec = get_score_function(metric)
+    if spec.sql is None:
+        raise ValueError(f"metric {metric!r} registered without a SQL twin")
+    return spec.sql(a, b)

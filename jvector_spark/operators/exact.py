@@ -228,12 +228,17 @@ def _knn_join_numpy(
     broadcast as dense numpy matrices; each corpus partition emits at most
     k candidates per query.
     """
+    from jvector_spark.functions.registry import resolve_kernel
+
+    kernel = resolve_kernel(metric)  # driver-side: X1 registry lives here
     qrows = queries.select(query_id_col, query_vec_col).collect()
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     sc = corpus.sparkSession.sparkContext
     bq = sc.broadcast((qids, qmat))
 
+    # `kernel` rides the UDF closure (cloudpickle), NOT the broadcast —
+    # plain pickle can't serialize user-local functions
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         q_ids, q_mat = bq.value
         for pdf in batches:
@@ -241,7 +246,7 @@ def _knn_join_numpy(
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             x = kernels.as_matrix(pdf[vec_col])
-            scores = kernels.similarity(metric, q_mat, x)  # (m, batch)
+            scores = kernel(q_mat, x)  # (m, batch)
             idx, vals = kernels.topk_per_row(scores, k, ids=ids)
             m, kk = idx.shape
             yield pd.DataFrame(
@@ -288,6 +293,9 @@ def _knn_join_blocked(
     """
     import math
 
+    from jvector_spark.functions.registry import resolve_kernel
+
+    kernel = resolve_kernel(metric)  # driver-side: X1 registry lives here
     n = corpus.count()
     m = queries.count()
     c_blocks = max(1, math.ceil(n / _C_TILE))
@@ -323,7 +331,7 @@ def _knn_join_blocked(
         # chunk the query axis so the score matrix stays ~bounded
         for lo in range(0, len(qmat), 512):
             qc = qmat[lo : lo + 512]
-            scores = kernels.similarity(metric, qc, cmat)
+            scores = kernel(qc, cmat)
             idx, vals = kernels.topk_per_row(scores, k, ids=cids)
             kk = idx.shape[1]
             out.append(

@@ -112,12 +112,18 @@ def rp_lsh_knn_join(
         for bkt in _probe_buckets(qmat[qi], planes, probe_bits):
             bucket_to_queries.setdefault(int(bkt), []).append(qi)
 
+    from jvector_spark.functions.registry import resolve_kernel
+
+    kernel = resolve_kernel(metric)  # driver-side: X1 registry lives here
     b = corpus.sparkSession.sparkContext.broadcast(
-        (planes, qids, qmat, metric, k, bucket_to_queries)
+        (planes, qids, qmat, k, bucket_to_queries)
     )
 
+    # `kernel` rides the UDF closure (cloudpickle), NOT the broadcast —
+    # plain pickle can't serialize user-local functions
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pl, q_ids, q_mat, met, kk, b2q = b.value
+        pl, q_ids, q_mat, kk, b2q = b.value
+        score_fn = kernel
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -132,7 +138,7 @@ def rp_lsh_knn_join(
             out_q, out_i, out_s = [], [], []
             for qi, rows in per_query_rows.items():
                 rows = np.asarray(rows)
-                s = kernels.similarity(met, q_mat[qi][None, :], x[rows])[0]
+                s = score_fn(q_mat[qi][None, :], x[rows])[0]
                 top = min(kk, len(rows))
                 order = np.lexsort((ids[rows], -s))[:top]
                 out_q.append(np.full(top, q_ids[qi], dtype=np.int64))

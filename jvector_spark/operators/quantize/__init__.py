@@ -8,5 +8,7 @@ corpus, bulk-encode a DataFrame, score compressed vectors against a query
 and round-trip to disk.
 """
 
+from jvector_spark.operators.quantize.base import VectorCompressor  # noqa: F401
 from jvector_spark.operators.quantize.pq import ProductQuantizer  # noqa: F401
 from jvector_spark.operators.quantize.bq import BinaryQuantizer  # noqa: F401
+from jvector_spark.operators.quantize.nvq import NVQuantizer  # noqa: F401

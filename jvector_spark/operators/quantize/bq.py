@@ -20,9 +20,11 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from jvector_spark.operators.quantize.base import VectorCompressor
+
 
 @dataclass
-class BinaryQuantizer:
+class BinaryQuantizer(VectorCompressor):
     dim: int
 
     @property

@@ -33,6 +33,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from jvector_spark.operators.quantize.base import VectorCompressor
+
 _EPS = 1e-12
 
 
@@ -46,7 +48,7 @@ def _logit(u: np.ndarray, alpha: float, x0: np.ndarray) -> np.ndarray:
 
 
 @dataclass
-class NVQuantizer:
+class NVQuantizer(VectorCompressor):
     """Stateless codec config; all learned parameters are per-row."""
 
     dim: int

@@ -33,6 +33,8 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+
+from jvector_spark.operators.quantize.base import VectorCompressor
 from pyspark.sql import functions as F
 
 from jvector_spark.functions import kernels
@@ -44,7 +46,7 @@ DEFAULT_KMEANS_ITERS = 6  # ref ProductQuantization.java:63
 
 
 @dataclass
-class ProductQuantizer:
+class ProductQuantizer(VectorCompressor):
     """Trained PQ codec: ``codebooks[m][k] -> centroid of subspace m``."""
 
     codebooks: np.ndarray  # (m, k, dsub) float64

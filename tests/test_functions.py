@@ -79,3 +79,53 @@ def test_topk_per_row_tiebreak():
     # score desc, index asc on ties (ref SearchResult.java:101-106)
     assert idx.tolist() == [[1, 2, 0]]
     np.testing.assert_allclose(vals, [[0.9, 0.9, 0.5]])
+
+
+def test_score_function_registry_custom_metric(random_vectors, spark):
+    """X1 SPI (ref ScoreFunction.java:30-79): a user-registered metric is
+    usable by name through every operator that takes metric=."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from jvector_spark.functions import kernels
+    from jvector_spark.functions.registry import ScoreFunction, register_score_function
+    from jvector_spark.operators import exact
+
+    # "manhattan similarity" 1/(1+L1) — higher is better, like the builtins
+    def l1_kernel(a, b):
+        return 1.0 / (1.0 + np.abs(a[:, None, :] - b[None, :, :]).sum(axis=-1))
+
+    def l1_column(a, b):
+        ac = a.cast("array<double>") if hasattr(a, "cast") else F.col(a).cast("array<double>")
+        bc = b.cast("array<double>") if hasattr(b, "cast") else F.col(b).cast("array<double>")
+        l1 = F.aggregate(
+            F.zip_with(ac, bc, lambda x, y: F.abs(x - y)), F.lit(0.0), lambda s, x: s + x
+        )
+        return F.lit(1.0) / (F.lit(1.0) + l1)
+
+    register_score_function(ScoreFunction(name="L1_SIM", kernel=l1_kernel, column=l1_column))
+
+    df, mat = random_vectors
+    q = mat[3]
+    got = exact.topk(df, q, 5, metric="L1_SIM").collect()
+    s = kernels.similarity("L1_SIM", q[None, :].astype(np.float64), mat.astype(np.float64))[0]
+    order = np.lexsort((np.arange(len(mat)), -s))[:5]
+    assert [r["id"] for r in got] == order.tolist()
+    # and through the numpy k-NN join path
+    queries = spark.createDataFrame([(0, mat[3].tolist())], "qid long, vec array<float>")
+    join_rows = exact.knn_join(df, queries, 5, metric="L1_SIM", strategy="numpy").collect()
+    assert [r["id"] for r in join_rows] == order.tolist()
+
+
+def test_vector_compressor_spi():
+    """X5 SPI: the three codecs implement the VectorCompressor contract."""
+    from jvector_spark.operators.quantize import (
+        BinaryQuantizer, NVQuantizer, ProductQuantizer, VectorCompressor,
+    )
+
+    assert issubclass(ProductQuantizer, VectorCompressor)
+    assert issubclass(BinaryQuantizer, VectorCompressor)
+    assert issubclass(NVQuantizer, VectorCompressor)
+    for cls in (ProductQuantizer, BinaryQuantizer, NVQuantizer):
+        for meth in ("encode_numpy", "encode", "save", "load"):
+            assert callable(getattr(cls, meth))
