@@ -36,6 +36,20 @@ from jvector_spark.pipeline.text import norm_text, sql_norm_text
 # ---------------------------------------------------------------------------
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Spread a CPU-heavy map stage across the cluster when the input scan
+    under-partitions (a small parquet file arrives as ONE task, so an
+    expensive projection — shingling, fingerprinting — runs on one core).
+    No-op when the scan already has enough partitions, so at real scale
+    this never adds a shuffle; below that, the text shuffle it adds is
+    trivially cheaper than a serial map stage."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def h64(c: Column) -> Column:
     """Deterministic 60-bit hash from md5 hex prefix (both engines agree)."""
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
@@ -152,7 +166,7 @@ def ngram_jaccard_pairs(
     import numpy as np
     import pandas as pd
 
-    sh = docs.select(
+    sh = fan_out(docs).select(
         F.col("doc_id"),
         F.col(block_col).alias("_blk"),
         shingles(norm_text(text_col), n).alias("_sh"),
@@ -290,7 +304,7 @@ def minhash_lsh_pairs(
     rows_per_band = n_hashes // bands
     # tokens materialized once; word_shingles applied to the raw text would
     # re-split it once per gram (Catalyst inlines expression trees)
-    toks = docs.select("doc_id", F.split(norm_text(text_col), " ").alias("_tk"))
+    toks = fan_out(docs).select("doc_id", F.split(norm_text(text_col), " ").alias("_tk"))
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size("_tk") - F.lit(n - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(F.col("_tk"), i, n)),
@@ -389,7 +403,7 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     per-bit votes reuse the same array instead of re-hashing 32 times.
     """
     toks = F.split(norm_text(text_col), " ")
-    hashed = docs.select("doc_id", F.transform(toks, h64).alias("_hs"))
+    hashed = fan_out(docs).select("doc_id", F.transform(toks, h64).alias("_hs"))
     hs = F.col("_hs")
 
     def _vote(bit: int):
