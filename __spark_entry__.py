@@ -843,6 +843,28 @@ FROM events GROUP BY 1, 2
 )
 
 
+@_register("events_sessionize")
+def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (training-pipeline staple; batch twin of
+    Structured Streaming session windows). One shuffle on user_id; gap
+    math on integer nanoseconds so both engines agree exactly."""
+    from jvector_spark.pipeline.events import sessionize
+
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) is None:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, gap_minutes=30)
+
+
+def _events_sessionize_oracle() -> str:
+    from jvector_spark.pipeline.events import sessionize_sql
+
+    return sessionize_sql(gap_minutes=30)
+
+
+_oracle("events_sessionize", _events_sessionize_oracle())
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

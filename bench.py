@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "text_token_count",
     "doc_fingerprint",
     "events_rollup",
+    "events_sessionize",
     "knn_join_wide",
     "ann_lsh_topk",
     "knn_paginated",
