@@ -503,8 +503,15 @@ class IVFIndex:
         query_vec_col: str = "vec",
         predicate=None,
         accept_ids=None,
+        ssp=None,
     ) -> DataFrame:
         """Fused two-phase partition-pruned k-NN join over live segments.
+
+        ``ssp`` (a :class:`~jvector_spark.operators.search.SearchScoreProvider`,
+        X2 SPI) overrides n_probe / overquery and can force the stage-2
+        resolution per query batch: ``rerank="fp32"`` on an NVQ index uses
+        the stored fp32 column; ``rerank="nvq"`` requires the index to have
+        been built with NVQ bytes.
 
         Per probed Arrow batch: ADC approximate scores -> top
         ``overquery*k`` batch-local candidates -> exact fp32 rerank of just
@@ -527,6 +534,16 @@ class IVFIndex:
           accepted subset of probed partitions.
         """
         metric = self.manifest.metric
+        rerank = self.manifest.rerank
+        if ssp is not None:
+            n_probe = ssp.n_probe
+            overquery = ssp.overquery
+            if ssp.rerank is not None:
+                rerank = ssp.rerank
+        if rerank == "nvq" and self.manifest.rerank != "nvq":
+            raise ValueError(
+                "rerank='nvq' requires an index built with IVFIndexBuilder(rerank='nvq')"
+            )
         accept_df = None
         if accept_ids is not None and not isinstance(accept_ids, DataFrame):
             ids = [int(i) for i in accept_ids]
@@ -554,7 +571,7 @@ class IVFIndex:
         parts = [
             self._segment_fused_scan(
                 self._segments[seg.name], qids, qmat, metric, k, rerank_k, n_probe, dead,
-                predicate=predicate, accept_df=accept_df,
+                predicate=predicate, accept_df=accept_df, rerank=rerank,
             )
             for seg in self.manifest.segments
         ]
@@ -584,6 +601,7 @@ class IVFIndex:
         dead: frozenset,
         predicate=None,
         accept_df: DataFrame | None = None,
+        rerank: str | None = None,
     ) -> DataFrame:
         cents: np.ndarray = info["centroids"]
         pq: ProductQuantizer = info["pq"]
@@ -625,7 +643,7 @@ class IVFIndex:
         mag = pq.magnitude_lut() if metric == "COSINE" else None
         qnorms = np.linalg.norm(qmat, axis=1)
         part_to_queries = part_to_queries_raw
-        use_nvq = self.manifest.rerank == "nvq"
+        use_nvq = (rerank or self.manifest.rerank) == "nvq"
         nvq_codec = None
         if use_nvq:
             from jvector_spark.operators.quantize.nvq import NVQuantizer

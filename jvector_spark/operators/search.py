@@ -21,6 +21,7 @@ Spark mapping and scale shape:
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Iterator
 
 import numpy as np
@@ -30,6 +31,25 @@ from pyspark.sql import functions as F
 
 from jvector_spark.functions import kernels
 from jvector_spark.operators.quantize.pq import ProductQuantizer
+
+
+@dataclass(frozen=True)
+class SearchScoreProvider:
+    """X2 SPI: the approximate-scorer + reranker pairing and its knobs
+    (ref ``graph/similarity/SearchScoreProvider.java`` /
+    ``DefaultSearchScoreProvider.java:33-56`` — the reference passes this
+    pair into every search; the batch analog is a strategy object accepted
+    by ``IVFIndex.search(ssp=...)``).
+
+    ``rerank=None`` defers to the index manifest's stored feature;
+    ``"fp32"`` forces full-resolution rerank (always available — the fp32
+    column is stored in every index); ``"nvq"`` requires an index built
+    with ``rerank="nvq"``.
+    """
+
+    n_probe: int = 8
+    overquery: float = 4.0
+    rerank: str | None = None
 
 
 def pq_score_scan(

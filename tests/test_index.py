@@ -139,6 +139,27 @@ def test_spill_recall_low_nprobe(spark, corpus_df, queries_df, tmp_path_factory)
     assert r >= 0.9, f"spill=4 recall@{K} at n_probe=4 = {r}"
 
 
+def test_search_score_provider_override(spark, corpus_df, queries_df, tmp_path_factory):
+    """X2 SPI: a SearchScoreProvider forces the stage-2 resolution per
+    query — fp32 rerank on an NVQ index uses the stored fp32 column and
+    must equal a plain fp32 index's results; nvq on a plain index errors."""
+    import pytest as _pytest
+
+    from jvector_spark.operators.search import SearchScoreProvider
+
+    df, _ = corpus_df
+    p1 = str(tmp_path_factory.mktemp("ivf_ssp_fp") / "index")
+    p2 = str(tmp_path_factory.mktemp("ivf_ssp_nvq") / "index")
+    idx_fp = IVFIndexBuilder(metric="COSINE", n_partitions=16, pq_m=8).fit(df, p1)
+    idx_nvq = IVFIndexBuilder(metric="COSINE", n_partitions=16, pq_m=8, rerank="nvq").fit(df, p2)
+    ssp = SearchScoreProvider(n_probe=16, overquery=8.0, rerank="fp32")
+    a = idx_nvq.search(queries_df, K, ssp=ssp).select("qid", "id", "rank").collect()
+    b = idx_fp.search(queries_df, K, n_probe=16, overquery=8.0).select("qid", "id", "rank").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    with _pytest.raises(ValueError, match="nvq"):
+        idx_fp.search(queries_df, K, ssp=SearchScoreProvider(rerank="nvq"))
+
+
 def test_nvq_rerank_recall_parity(spark, corpus_df, queries_df, tmp_path_factory):
     """rerank='nvq' (the reference's default index feature, NVQ_VECTORS /
     NVQScorer.java) must match fp32 rerank recall within 1% while stage 2
