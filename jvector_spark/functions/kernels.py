@@ -108,8 +108,19 @@ def topk_per_row(
     k = min(k, n)
     part = np.argpartition(-scores, k - 1, axis=1)[:, :k]
     part_scores = np.take_along_axis(scores, part, axis=1)
+    # argpartition breaks ties AT THE SELECTION BOUNDARY arbitrarily: a
+    # candidate tied with the k-th score can be dropped even though its id
+    # is smaller. Detect affected rows (more than k scores >= the row's
+    # k-th best — e.g. duplicate vectors) and redo just those with a full
+    # deterministic sort; the fast path is untouched for the common case.
+    tie_key = np.arange(n, dtype=np.int64) if ids is None else ids
+    kth = part_scores.min(axis=1)
+    for r in np.flatnonzero((scores >= kth[:, None]).sum(axis=1) > k):
+        full = np.lexsort((tie_key, -scores[r]))[:k]
+        part[r] = full
+        part_scores[r] = scores[r][full]
     # sort on (-score, id): lexsort with the tie key as secondary key
-    tie = part if ids is None else ids[part]
+    tie = tie_key[part]
     order = np.lexsort((tie, -part_scores), axis=1)
     idx = np.take_along_axis(part, order, axis=1)
     vals = np.take_along_axis(part_scores, order, axis=1)
