@@ -97,6 +97,7 @@ class IVFIndexBuilder:
         seed: int = 42,
         spill: int = 1,
         rerank: str = "fp32",
+        fine_factor: int = 0,
     ):
         self.metric = metric
         self.n_partitions = n_partitions
@@ -114,6 +115,14 @@ class IVFIndexBuilder:
         if rerank not in ("fp32", "nvq"):
             raise ValueError(f"rerank must be 'fp32' or 'nvq', got {rerank!r}")
         self.rerank = rerank
+        # fine_factor > 0 adds a second centroid level (IMI-style two-level
+        # IVF): every row gets a global ``sub_id`` (nearest of
+        # fine_factor * n_partitions fine centroids), data files are sorted
+        # by (part_id, sub_id) so parquet row-group min/max stats prune a
+        # pushed ``sub_id IN (probed)`` filter. At 100 TB a coarse
+        # partition is tens of millions of rows; fine pruning is what keeps
+        # per-probe IO sublinear in partition size. 0 disables (default).
+        self.fine_factor = max(0, int(fine_factor))
         # spill > 1 stores each vector in its `spill` nearest partitions
         # (multi-assignment, cf. SOAR/ScaNN spilling): boundary vectors stop
         # being missed when only their second-closest centroid is probed.
@@ -244,7 +253,13 @@ class IVFIndexBuilder:
             from jvector_spark.operators.quantize.nvq import NVQuantizer
 
             nvq = NVQuantizer(dim=dim)
-        b = spark.sparkContext.broadcast((centroids, pq, nvq))
+        fine = None
+        if self.fine_factor > 0:
+            n_fine = int(
+                min(self.fine_factor * n_parts, 65536, max(16, len(sample) // 4))
+            )
+            fine = kmeans_pp(sample, n_fine, self.kmeans_iterations, self.seed + 1)
+        b = spark.sparkContext.broadcast((centroids, pq, nvq, fine))
         # per-partition pruning stats (X4/ScoreTracker analog): Euclidean
         # radius, angular radius, max/min norm — rigorous score bounds let
         # threshold_search skip partitions that provably contain no match.
@@ -253,7 +268,7 @@ class IVFIndexBuilder:
         spill = max(1, min(self.spill, len(centroids)))
 
         def assign_encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            cents, codec, nvq_codec = b.value
+            cents, codec, nvq_codec, fine_cents = b.value
             cc = np.einsum("ij,ij->i", cents, cents)
             cn = np.sqrt(cc)
             for pdf in batches:
@@ -300,6 +315,10 @@ class IVFIndexBuilder:
                     nvq_bytes = [c.tobytes() for c in nvq_codes]
                     out["nvq"] = [nvq_bytes[i] for i in rep]
                     out["nvq_params"] = [nvq_params[i] for i in rep]
+                if fine_cents is not None:
+                    fc = np.einsum("ij,ij->i", fine_cents, fine_cents)
+                    fd = -2.0 * x @ fine_cents.T + fc[None, :]
+                    out["sub_id"] = np.argmin(fd, axis=1).astype(np.int32)[rep]
                 yield pd.DataFrame(out)
 
         schema = _DATA_SCHEMA
@@ -307,6 +326,8 @@ class IVFIndexBuilder:
             schema = schema.replace(
                 ", part_id int", ", part_id int, nvq binary, nvq_params array<double>"
             )
+        if fine is not None:
+            schema += ", sub_id int"
         data = df.mapInPandas(assign_encode, schema=schema)
         # Size the write shuffle to the data, not the cluster default: one
         # task per ~128 MB of (vec + codes) payload. At sf0.1 that is ONE
@@ -315,9 +336,13 @@ class IVFIndexBuilder:
         est_bytes = n * spill * (4 * dim + self.pq_m + 24)
         n_write_tasks = int(min(max(1, est_bytes // (128 << 20) + 1), 4096))
         # ---- job 2: encode + partitioned write (stats ride the map stage) ----
+        shuffled = data.repartition(n_write_tasks, "part_id")
+        if fine is not None:
+            # cluster row groups by sub_id so parquet min/max stats prune
+            # a pushed `sub_id IN (...)` probe filter at read time
+            shuffled = shuffled.sortWithinPartitions("part_id", "sub_id")
         (
-            data.repartition(n_write_tasks, "part_id")
-            .write.mode("overwrite")
+            shuffled.write.mode("overwrite")
             .partitionBy("part_id")
             .parquet(os.path.join(seg_dir, "data.parquet"))
         )
@@ -338,13 +363,20 @@ class IVFIndexBuilder:
         )
         # ---- job 3: tiny centroids+stats write ----
         cent_df.coalesce(1).write.mode("overwrite").parquet(os.path.join(seg_dir, "centroids.parquet"))
+        if fine is not None:
+            spark.createDataFrame(
+                [(i, fine[i].tolist()) for i in range(len(fine))],
+                "sub_id int, centroid array<double>",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(seg_dir, "fine_centroids.parquet")
+            )
         pq.save(os.path.join(seg_dir, "pq"))
 
         if manifest is None:
             manifest = IndexManifest(
                 dim=dim, metric=self.metric, pq_m=self.pq_m,
                 pq_clusters=self.pq_clusters, n_partitions=self.n_partitions,
-                spill=self.spill, rerank=self.rerank,
+                spill=self.spill, rerank=self.rerank, fine_factor=self.fine_factor,
             )
         manifest.segments.append(SegmentInfo(name=seg_name, n_rows=n, n_partitions=int(len(centroids))))
         return manifest
@@ -434,6 +466,13 @@ class IVFIndex:
                 minnorm[r["part_id"]] = r["min_norm"]
             if has_rows_col:
                 has_rows[r["part_id"]] = r["has_rows"]
+        fine = None
+        fine_path = os.path.join(seg_dir, "fine_centroids.parquet")
+        if os.path.exists(fine_path):
+            frows = self.spark.read.parquet(fine_path).collect()
+            fine = np.zeros((len(frows), self.manifest.dim), dtype=np.float64)
+            for r in frows:
+                fine[r["sub_id"]] = np.asarray(r["centroid"])
         self._segments[seg_name] = {
             "dir": seg_dir,
             "centroids": arr,
@@ -442,6 +481,7 @@ class IVFIndex:
             "max_norm": mnorm,
             "min_norm": minnorm,
             "has_rows": has_rows,
+            "fine": fine,
             "pq": ProductQuantizer.load(os.path.join(seg_dir, "pq")),
         }
 
@@ -504,8 +544,18 @@ class IVFIndex:
         predicate=None,
         accept_ids=None,
         ssp=None,
+        n_probe_fine: int | None = None,
     ) -> DataFrame:
         """Fused two-phase partition-pruned k-NN join over live segments.
+
+        On a two-level index (``fine_factor > 0``), ``n_probe_fine`` probes
+        only the union of each query's nearest fine sub-clusters: the
+        ``sub_id IN (...)`` filter is pushed into the sorted parquet scan,
+        so row groups outside the probed sub-clusters are skipped — IO per
+        probe becomes sublinear in coarse-partition size (the lever that
+        matters when a partition is tens of millions of rows). Tightest
+        for small query batches; a large batch's union degrades gracefully
+        toward plain IVF.
 
         ``ssp`` (a :class:`~jvector_spark.operators.search.SearchScoreProvider`,
         X2 SPI) overrides n_probe / overquery and can force the stage-2
@@ -540,6 +590,8 @@ class IVFIndex:
             overquery = ssp.overquery
             if ssp.rerank is not None:
                 rerank = ssp.rerank
+            if ssp.n_probe_fine is not None:
+                n_probe_fine = ssp.n_probe_fine
         if rerank == "nvq" and self.manifest.rerank != "nvq":
             raise ValueError(
                 "rerank='nvq' requires an index built with IVFIndexBuilder(rerank='nvq')"
@@ -572,6 +624,7 @@ class IVFIndex:
             self._segment_fused_scan(
                 self._segments[seg.name], qids, qmat, metric, k, rerank_k, n_probe, dead,
                 predicate=predicate, accept_df=accept_df, rerank=rerank,
+                n_probe_fine=n_probe_fine,
             )
             for seg in self.manifest.segments
         ]
@@ -602,6 +655,7 @@ class IVFIndex:
         predicate=None,
         accept_df: DataFrame | None = None,
         rerank: str | None = None,
+        n_probe_fine: int | None = None,
     ) -> DataFrame:
         cents: np.ndarray = info["centroids"]
         pq: ProductQuantizer = info["pq"]
@@ -628,6 +682,19 @@ class IVFIndex:
         data = self.spark.read.parquet(os.path.join(info["dir"], "data.parquet"))
         # Catalyst partition-prunes the scan to the probed part_ids
         data = data.filter(F.col("part_id").isin(probed_parts))
+        # two-level probe: pushed sub_id filter -> parquet row-group skip
+        # (files are sorted by sub_id within each partition at write time)
+        if n_probe_fine and info.get("fine") is not None:
+            fine_c = info["fine"]
+            npf = min(int(n_probe_fine), len(fine_c))
+            fdist = (
+                np.einsum("ij,ij->i", qmat, qmat)[:, None]
+                + np.einsum("ij,ij->i", fine_c, fine_c)[None, :]
+                - 2.0 * qmat @ fine_c.T
+            )
+            fsub = np.argsort(fdist, axis=1)[:, :npf]
+            probed_subs = sorted({int(s) for s in fsub.ravel()})
+            data = data.filter(F.col("sub_id").isin(probed_subs))
         # F1 accept filter BEFORE candidate selection: batch-local top-k then
         # only ever ranks accepted rows — exact w.r.t. the filtered corpus
         # (the reference applies acceptOrds the same way, never as traversal
@@ -874,6 +941,7 @@ class IVFIndex:
             pq_clusters=self.manifest.pq_clusters,
             spill=self.manifest.spill,
             rerank=self.manifest.rerank,
+            fine_factor=self.manifest.fine_factor,
         )
         if df.isEmpty():  # limit-1 probe, far cheaper than a count
             return
@@ -895,6 +963,7 @@ class IVFIndex:
             pq_clusters=self.manifest.pq_clusters,
             spill=self.manifest.spill,
             rerank=self.manifest.rerank,
+            fine_factor=self.manifest.fine_factor,
         )
         seg_name = f"seg-{self.manifest.version:06d}c"
         fresh = IndexManifest(
@@ -905,6 +974,7 @@ class IVFIndex:
             n_partitions=self.manifest.n_partitions,
             spill=self.manifest.spill,
             rerank=self.manifest.rerank,
+            fine_factor=self.manifest.fine_factor,
             version=self.manifest.version,
         )
         # warm-start PQ from the largest live segment's codebooks (the

@@ -50,6 +50,7 @@ class SearchScoreProvider:
     n_probe: int = 8
     overquery: float = 4.0
     rerank: str | None = None
+    n_probe_fine: int | None = None  # two-level indexes only (fine_factor > 0)
 
 
 def pq_score_scan(

@@ -48,6 +48,7 @@ class IndexManifest:
     n_partitions: int | None = None  # build config; None = auto (~sqrt(n))
     spill: int = 1  # copies per vector (multi-assignment recall boost)
     rerank: str = "fp32"  # stage-2 resolution: "fp32" | "nvq" (FeatureId analog)
+    fine_factor: int = 0  # fine sub-clusters per coarse partition (0 = off)
     segments: list[SegmentInfo] = field(default_factory=list)
     version: int = 0
     format_version: int = MANIFEST_VERSION

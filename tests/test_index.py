@@ -139,6 +139,30 @@ def test_spill_recall_low_nprobe(spark, corpus_df, queries_df, tmp_path_factory)
     assert r >= 0.9, f"spill=4 recall@{K} at n_probe=4 = {r}"
 
 
+def test_two_level_fine_pruning(spark, corpus_df, queries_df, tmp_path_factory):
+    """IMI-style two-level index: sub_id IN (...) is pushed into the
+    sorted parquet scan, recall stays above the bound at a fraction of the
+    rows scanned, and omitting n_probe_fine degrades to plain IVF."""
+    df, _ = corpus_df
+    path = str(tmp_path_factory.mktemp("ivf_fine") / "index")
+    idx = IVFIndexBuilder(
+        metric="COSINE", n_partitions=16, pq_m=8, fine_factor=8
+    ).fit(df, path)
+    assert idx.manifest.fine_factor == 8
+    gt = exact.knn_join(df, queries_df, K, metric="COSINE", strategy="numpy").cache()
+
+    fine = idx.search(queries_df, K, n_probe=16, overquery=8.0, n_probe_fine=24)
+    plan = fine._jdf.queryExecution().executedPlan().toString()
+    assert "sub_id" in plan  # pushed probe filter reached the scan
+    r_fine = recall_at_k(fine, gt, K)
+    assert r_fine >= 0.8, f"two-level recall@{K}={r_fine}"
+
+    # without fine probing the same index behaves as plain IVF (>= recall)
+    plain = idx.search(queries_df, K, n_probe=16, overquery=8.0)
+    r_plain = recall_at_k(plain, gt, K)
+    assert r_plain >= r_fine - 1e-9
+
+
 def test_search_score_provider_override(spark, corpus_df, queries_df, tmp_path_factory):
     """X2 SPI: a SearchScoreProvider forces the stage-2 resolution per
     query — fp32 rerank on an NVQ index uses the stored fp32 column and
