@@ -29,12 +29,21 @@ from jvector_spark.operators.index import IVFIndex, IVFIndexBuilder
 class VectorIndex:
     """Verb-level facade over the IVF index lifecycle."""
 
-    def __init__(self, spark: SparkSession, path: str, index: IVFIndex | None, metric: str, dim: int):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        index: IVFIndex | None,
+        metric: str,
+        dim: int,
+        builder_kwargs: dict | None = None,
+    ):
         self.spark = spark
         self.path = path
         self._index = index
         self.metric = metric
         self.dim = dim
+        self._builder_kwargs = dict(builder_kwargs or {})
         self._write_buffer: list[tuple[int, list[float]]] = []
 
     # ----------------------------------------------------------- lifecycle
@@ -42,9 +51,11 @@ class VectorIndex:
     def create(
         cls, spark: SparkSession, path: str, dim: int, metric: str = "COSINE", **builder_kwargs
     ) -> "VectorIndex":
-        """CREATE dims sim — declare an empty index; first load builds it."""
+        """CREATE dims sim — declare an empty index; first load builds it.
+        ``builder_kwargs`` (spill=, rerank=, fine_factor=, pq_m=, ...) are
+        applied when the first segment is built."""
         os.makedirs(path, exist_ok=True)
-        return cls(spark, path, None, metric, dim)
+        return cls(spark, path, None, metric, dim, builder_kwargs=builder_kwargs)
 
     @classmethod
     def open(cls, spark: SparkSession, path: str) -> "VectorIndex":
@@ -82,7 +93,7 @@ class VectorIndex:
             df = source
         self._flush()
         if self._index is None:
-            self._index = IVFIndexBuilder(metric=self.metric).fit(df, self.path)
+            self._index = IVFIndexBuilder(metric=self.metric, **self._builder_kwargs).fit(df, self.path)
         else:
             self._index.append(df)
 
@@ -137,7 +148,7 @@ class VectorIndex:
         df = self.spark.createDataFrame(self._write_buffer, "id long, vec array<float>")
         self._write_buffer = []
         if self._index is None:
-            self._index = IVFIndexBuilder(metric=self.metric).fit(df, self.path)
+            self._index = IVFIndexBuilder(metric=self.metric, **self._builder_kwargs).fit(df, self.path)
         else:
             self._index.append(df)
 
