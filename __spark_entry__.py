@@ -614,6 +614,48 @@ SELECT qid, id, ROUND(_s, 6) AS score FROM s WHERE _s >= 0.6
 )
 
 
+def _threshold_ivf_metric(metric: str, threshold: float):
+    """Exact threshold search through the IVF index for a non-cosine
+    metric — exercises the metric-specific pruning bounds end-to-end
+    (notably the DOT_PRODUCT min-norm branch for negative cosines, the
+    round-1 advisory fix). Exact despite pruning -> full hash oracle."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from jvector_spark.operators.index import IVFIndexBuilder
+
+        emb = _emb(spark, sf_dir)
+        corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+        tmp = tempfile.mkdtemp(prefix=f"jvs_entry_thr_{metric.lower()}_")
+        idx = IVFIndexBuilder(metric=metric, pq_m=8).fit(corpus, tmp)
+        queries = corpus.filter(F.col("id") < 8).selectExpr("id as qid", "vec")
+        res = idx.threshold_search(queries, threshold=threshold)
+        return res.filter(F.col("qid") != F.col("id")).select(
+            "qid", "id", F.round("score", 6).alias("score")
+        )
+
+    return run
+
+
+def _threshold_ivf_metric_sql(metric: str, threshold: float) -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 8),
+s AS (
+  SELECT q.qid, e.vec_id AS id,
+         {sql_similarity(metric, "e.embedding", "q.qvec")} AS _s
+  FROM embeddings e, q WHERE e.vec_id <> q.qid
+)
+SELECT qid, id, ROUND(_s, 6) AS score FROM s WHERE _s >= {threshold}
+"""
+
+
+_register("threshold_search_ivf_dot")(_threshold_ivf_metric("DOT_PRODUCT", 0.62))
+_oracle("threshold_search_ivf_dot", _threshold_ivf_metric_sql("DOT_PRODUCT", 0.62))
+_register("threshold_search_ivf_euclidean")(_threshold_ivf_metric("EUCLIDEAN", 0.40))
+_oracle("threshold_search_ivf_euclidean", _threshold_ivf_metric_sql("EUCLIDEAN", 0.40))
+
+
 @_register("ann_lsh_topk")
 def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH k-NN join (J2 bucketed variant): one fused
