@@ -107,10 +107,17 @@ class VectorIndex:
         self._index = self._require_index().compact()
 
     # -------------------------------------------------------------- reads
-    def search(self, queries: DataFrame, top_k: int, n_probe: int = 8, overquery: float = 4.0) -> DataFrame:
-        """SEARCH — batch k-NN join against the index (qid, id, score, rank)."""
+    def search(
+        self, queries: DataFrame, top_k: int, n_probe: int = 8, overquery: float = 4.0,
+        **search_kwargs,
+    ) -> DataFrame:
+        """SEARCH — batch k-NN join against the index (qid, id, score, rank).
+        Extra kwargs (predicate=, accept_ids=, ssp=, n_probe_fine=) pass
+        through to :meth:`IVFIndex.search`."""
         self._flush()
-        return self._require_index().search(queries, top_k, n_probe=n_probe, overquery=overquery)
+        return self._require_index().search(
+            queries, top_k, n_probe=n_probe, overquery=overquery, **search_kwargs
+        )
 
     def search_vectors(self, vecs, top_k: int, n_probe: int = 8, overquery: float = 4.0) -> DataFrame:
         """SEARCH with inline query vectors (the IPC call shape)."""

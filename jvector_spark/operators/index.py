@@ -512,11 +512,12 @@ class IVFIndex:
             return self.spark.read.parquet(p)
         return None
 
-    def _tombstone_ids(self) -> frozenset:
+    def _apply_liveness(self, data: DataFrame) -> DataFrame:
+        """F2 liveness: anti-join the scan against the tombstone table IN
+        THE PLAN (AQE broadcasts the small side) — never materialized on
+        the driver, so a billion tombstones cannot OOM anything."""
         t = self.tombstones()
-        if t is None:
-            return frozenset()
-        return frozenset(r[0] for r in t.select("id").collect())
+        return data.join(t.select("id"), "id", "left_anti") if t is not None else data
 
     def live_vectors(self) -> DataFrame:
         """F2 liveness filter: anti-join against the tombstone table."""
@@ -618,11 +619,9 @@ class IVFIndex:
         qrows = queries_df.select(query_id_col, query_vec_col).collect()
         qids = np.array([r[0] for r in qrows], dtype=np.int64)
         qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
-        dead = self._tombstone_ids()
-
         parts = [
             self._segment_fused_scan(
-                self._segments[seg.name], qids, qmat, metric, k, rerank_k, n_probe, dead,
+                self._segments[seg.name], qids, qmat, metric, k, rerank_k, n_probe,
                 predicate=predicate, accept_df=accept_df, rerank=rerank,
                 n_probe_fine=n_probe_fine,
             )
@@ -651,7 +650,6 @@ class IVFIndex:
         k: int,
         rerank_k: int,
         n_probe: int,
-        dead: frozenset,
         predicate=None,
         accept_df: DataFrame | None = None,
         rerank: str | None = None,
@@ -682,6 +680,7 @@ class IVFIndex:
         data = self.spark.read.parquet(os.path.join(info["dir"], "data.parquet"))
         # Catalyst partition-prunes the scan to the probed part_ids
         data = data.filter(F.col("part_id").isin(probed_parts))
+        data = self._apply_liveness(data)  # F2 tombstones, in-plan anti-join
         # two-level probe: pushed sub_id filter -> parquet row-group skip
         # (files are sorted by sub_id within each partition at write time)
         if n_probe_fine and info.get("fine") is not None:
@@ -718,11 +717,11 @@ class IVFIndex:
             nvq_codec = NVQuantizer(dim=self.manifest.dim)
         b = self.spark.sparkContext.broadcast(
             (pq.m, qids, qmat, luts, mag, qnorms, metric, k, rerank_k, part_to_queries,
-             dead, nvq_codec)
+             nvq_codec)
         )
 
         def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            m, q_ids, q_mat, q_luts, mag_lut, q_norms, met, kk, keep, p2q, tomb, nvq_c = b.value
+            m, q_ids, q_mat, q_luts, mag_lut, q_norms, met, kk, keep, p2q, nvq_c = b.value
             cols = np.arange(m)
             for pdf in batches:
                 if len(pdf) == 0:
@@ -732,12 +731,6 @@ class IVFIndex:
                     if not q_idx:
                         continue
                     ids = grp["id"].to_numpy(dtype=np.int64)
-                    if tomb:
-                        alive = ~np.isin(ids, np.fromiter(tomb, dtype=np.int64))
-                        if not alive.any():
-                            continue
-                        grp = grp.iloc[np.flatnonzero(alive)]
-                        ids = ids[alive]
                     codes = np.frombuffer(b"".join(grp["codes"]), dtype=np.uint8).reshape(
                         len(grp), m
                     )
@@ -828,11 +821,9 @@ class IVFIndex:
         qrows = queries_df.select(query_id_col, query_vec_col).collect()
         qids = np.array([r[0] for r in qrows], dtype=np.int64)
         qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
-        dead = self._tombstone_ids()
-
         parts = [
             self._segment_threshold_scan(
-                self._segments[seg.name], qids, qmat, metric, threshold, dead
+                self._segments[seg.name], qids, qmat, metric, threshold
             )
             for seg in self.manifest.segments
         ]
@@ -850,7 +841,6 @@ class IVFIndex:
         qmat: np.ndarray,
         metric: str,
         threshold: float,
-        dead: frozenset,
     ) -> DataFrame:
         bound, _ = _partition_score_bounds(info, qmat, metric)
         probe_mask = bound + 1e-9 >= threshold  # (nq, nparts); -inf = empty
@@ -864,12 +854,13 @@ class IVFIndex:
 
         data = self.spark.read.parquet(os.path.join(info["dir"], "data.parquet"))
         data = data.filter(F.col("part_id").isin(probed_parts))
+        data = self._apply_liveness(data)  # F2 tombstones, in-plan anti-join
         b = self.spark.sparkContext.broadcast(
-            (qids, qmat, metric, threshold, part_to_queries, dead)
+            (qids, qmat, metric, threshold, part_to_queries)
         )
 
         def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            q_ids, q_mat, met, t, p2q, tomb = b.value
+            q_ids, q_mat, met, t, p2q = b.value
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -878,12 +869,6 @@ class IVFIndex:
                     if not q_idx:
                         continue
                     ids = grp["id"].to_numpy(dtype=np.int64)
-                    if tomb:
-                        alive = ~np.isin(ids, np.fromiter(tomb, dtype=np.int64))
-                        if not alive.any():
-                            continue
-                        grp = grp.iloc[np.flatnonzero(alive)]
-                        ids = ids[alive]
                     x = kernels.as_matrix(grp["vec"])
                     scores = kernels.similarity(met, q_mat[q_idx], x)
                     qi_idx, row_idx = np.nonzero(scores >= t)
@@ -1004,7 +989,14 @@ class IVFIndex:
     # ----------------------------------------------------------------- stats
     def stats(self) -> dict:
         """A10 analog: per-segment row/partition counts + avg partition size."""
-        out = {"version": self.manifest.version, "segments": []}
+        out = {
+            "version": self.manifest.version,
+            "metric": self.manifest.metric,
+            "spill": self.manifest.spill,
+            "rerank": self.manifest.rerank,
+            "fine_factor": self.manifest.fine_factor,
+            "segments": [],
+        }
         for seg in self.manifest.segments:
             sizes = self._segment_data(seg.name).groupBy("part_id").count()
             row = sizes.agg(
