@@ -129,3 +129,27 @@ def test_vector_compressor_spi():
     for cls in (ProductQuantizer, BinaryQuantizer, NVQuantizer):
         for meth in ("encode_numpy", "encode", "save", "load"):
             assert callable(getattr(cls, meth))
+
+
+def test_sql_function_registration(spark, random_vectors):
+    """SURVEY §4 SQL surface: jv_* SQL scalar UDFs inline into plans and
+    reproduce the Column-builder scores exactly, enabling pure-SQL top-k."""
+    import numpy as np
+
+    from jvector_spark.functions import kernels
+    from jvector_spark.functions.sql_udf import register_sql_functions
+
+    names = register_sql_functions(spark)
+    assert "jv_cosine_sim" in names
+    df, mat = random_vectors
+    df.createOrReplaceTempView("jvtest_corpus")
+    q = mat[5].astype(np.float64)
+    qlit = "array(" + ",".join(f"CAST({float(x)} AS DOUBLE)" for x in q) + ")"
+    rows = spark.sql(
+        f"""SELECT id, jv_cosine_sim(CAST(vec AS ARRAY<DOUBLE>), {qlit}) AS score
+            FROM jvtest_corpus ORDER BY score DESC, id ASC LIMIT 5"""
+    ).collect()
+    s = kernels.similarity("COSINE", q[None, :], mat.astype(np.float64))[0]
+    order = np.lexsort((np.arange(len(mat)), -s))[:5]
+    assert [r["id"] for r in rows] == order.tolist()
+    np.testing.assert_allclose([r["score"] for r in rows], s[order], rtol=1e-9)

@@ -163,6 +163,24 @@ def test_two_level_fine_pruning(spark, corpus_df, queries_df, tmp_path_factory):
     assert r_plain >= r_fine - 1e-9
 
 
+def test_two_level_survives_append_and_compact(spark, corpus_df, queries_df, tmp_path_factory):
+    """The fine level must propagate through append and compaction —
+    the compacted index still answers fine-probed searches."""
+    df, _ = corpus_df
+    path = str(tmp_path_factory.mktemp("ivf_fine_cmp") / "index")
+    idx = IVFIndexBuilder(
+        metric="COSINE", n_partitions=16, pq_m=8, fine_factor=8
+    ).fit(df.filter("id < 2000"), path)
+    idx.append(df.filter("id >= 2000"))
+    compacted = idx.compact()
+    assert compacted.manifest.fine_factor == 8
+    assert all(s["fine"] is not None for s in compacted._segments.values())
+    got = compacted.search(queries_df, K, n_probe=16, overquery=8.0, n_probe_fine=32)
+    gt = exact.knn_join(df, queries_df, K, metric="COSINE", strategy="numpy")
+    r = recall_at_k(got, gt, K)
+    assert r >= 0.8, f"compacted two-level recall@{K}={r}"
+
+
 def test_search_score_provider_override(spark, corpus_df, queries_df, tmp_path_factory):
     """X2 SPI: a SearchScoreProvider forces the stage-2 resolution per
     query — fp32 rerank on an NVQ index uses the stored fp32 column and
