@@ -153,15 +153,18 @@ def ngram_jaccard_pairs(
     n: int = 3,
     block_col: str = "source",
     text_col: str = "text",
+    tiles: int = 4,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs within a blocking key.
 
-    Each doc's shingle set shuffles ONCE (groupBy block), then a numpy
-    kernel scores all pairs of the block with one boolean matmul —
-    instead of a self-join that would shuffle the arrays once per PAIR.
-    Pair count is bounded by the largest block squared; a block must fit
-    in worker memory by contract (for unblocked corpora use
-    minhash_lsh_pairs).
+    Docs hash into ``tiles`` sub-tiles per block and every unordered tile
+    pair becomes one task scoring its cross-pairs with a single boolean
+    matmul. Compared to one-task-per-block, a skewed block (one dominant
+    ``source`` at corpus scale) fans out over tiles*(tiles+1)/2 tasks and
+    peak memory per task drops quadratically — the same all-pairs shape
+    as ``embedding_neardup``. Shingle arrays replicate ~tiles/2 times
+    through one shuffle. Still O(block^2) pair work by contract; the
+    unblocked scale path remains minhash_lsh_pairs.
     """
     import numpy as np
     import pandas as pd
@@ -171,43 +174,64 @@ def ngram_jaccard_pairs(
         F.col(block_col).alias("_blk"),
         shingles(norm_text(text_col), n).alias("_sh"),
     )
+    t = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(tiles)).cast("int")
+    pair_keys = F.array(
+        *[
+            F.struct(F.least(t, F.lit(o)).alias("t1"), F.greatest(t, F.lit(o)).alias("t2"))
+            for o in range(tiles)
+        ]
+    )
+    exploded = sh.select(
+        "doc_id", "_blk", "_sh", t.alias("_t"),
+        F.explode(F.array_distinct(pair_keys)).alias("tp"),
+    ).select("doc_id", "_blk", "_sh", "_t", F.col("tp.t1").alias("t1"), F.col("tp.t2").alias("t2"))
 
-    def block_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        m = len(pdf)
-        if m < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []}).astype(
-                {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
-            )
-        order = np.argsort(pdf["doc_id"].to_numpy())
-        ids = pdf["doc_id"].to_numpy()[order]
-        sets = [pdf["_sh"].iloc[i] for i in order]
-        lens = np.array([len(s) for s in sets])
-        flat = np.concatenate([np.asarray(s, dtype=object) for s in sets])
+    def tile_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        _blk, t1, t2 = key
+        empty = pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []}).astype(
+            {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
+        )
+        left = pdf[pdf["_t"] == t1]
+        right = pdf[pdf["_t"] == t2] if t1 != t2 else left
+        if len(left) == 0 or len(right) == 0 or (t1 == t2 and len(left) < 2):
+            return empty
+        # one binary doc-x-gram matrix over the tile pair's gram union;
+        # boolean matmul gives all intersection sizes at once
+        all_sets = list(left["_sh"]) + ([] if t1 == t2 else list(right["_sh"]))
+        lens = np.array([len(s) for s in all_sets])
+        flat = np.concatenate([np.asarray(s, dtype=object) for s in all_sets])
         _, gram_idx = np.unique(flat, return_inverse=True)
-        row_idx = np.repeat(np.arange(m), lens)
-        mat = np.zeros((m, gram_idx.max() + 1), dtype=np.float32)
+        row_idx = np.repeat(np.arange(len(all_sets)), lens)
+        mat = np.zeros((len(all_sets), gram_idx.max() + 1), dtype=np.float32)
         mat[row_idx, gram_idx] = 1.0
+        la = mat[: len(left)]
+        rb = la if t1 == t2 else mat[len(left):]
+        ids_a_all = left["doc_id"].to_numpy()
+        ids_b_all = right["doc_id"].to_numpy()
         # counts are small integers -> exact in float32; divide in float64
         # so ROUND(x, 6) matches the oracle's double math bit-for-bit
-        inter = (mat @ mat.T).astype(np.float64)
-        sizes = mat.sum(axis=1, dtype=np.float64)
-        union = sizes[:, None] + sizes[None, :] - inter
-        jac = inter / union
-        ia, ib = np.triu_indices(m, k=1)
+        inter = (la @ rb.T).astype(np.float64)
+        sa = la.sum(axis=1, dtype=np.float64)
+        sb = rb.sum(axis=1, dtype=np.float64)
+        union = sa[:, None] + sb[None, :] - inter
         # round BEFORE thresholding so the cut matches the oracle's
         # ROUND(x, 6) >= t exactly at the boundary (and minhash_lsh_pairs)
-        jac_r = np.round(jac[ia, ib].astype(np.float64), 6)
-        keep = jac_r >= threshold
-        return pd.DataFrame(
-            {
-                "doc_a": ids[ia[keep]],
-                "doc_b": ids[ib[keep]],
-                "jaccard": jac_r[keep],
-            }
-        )
+        jac = np.round(inter / union, 6)
+        ia, ib = np.nonzero(jac >= threshold)
+        ids_a, ids_b, vals = ids_a_all[ia], ids_b_all[ib], jac[ia, ib]
+        if t1 == t2:
+            keep = ids_a < ids_b  # same-tile matrix holds both orientations
+            ids_a, ids_b, vals = ids_a[keep], ids_b[keep], vals[keep]
+        else:
+            swap = ids_a > ids_b  # cross-tile pairs appear once; orient
+            ids_a2 = np.where(swap, ids_b, ids_a)
+            ids_b2 = np.where(swap, ids_a, ids_b)
+            keep = ids_a2 != ids_b2
+            ids_a, ids_b, vals = ids_a2[keep], ids_b2[keep], vals[keep]
+        return pd.DataFrame({"doc_a": ids_a, "doc_b": ids_b, "jaccard": vals})
 
-    return sh.groupBy("_blk").applyInPandas(
-        block_pairs, schema="doc_a long, doc_b long, jaccard double"
+    return exploded.groupBy("_blk", "t1", "t2").applyInPandas(
+        tile_pairs, schema="doc_a long, doc_b long, jaccard double"
     )
 
 
