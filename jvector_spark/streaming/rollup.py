@@ -43,3 +43,36 @@ def windowed_event_rollup(
             "sum_value",
         )
     )
+
+
+def session_rollup(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Session-window aggregation per key (``F.session_window``): sessions
+    close after ``gap`` of inactivity — the streaming twin of
+    ``pipeline.events.sessionize`` (same gap semantics; the session
+    windows merge on overlap incrementally, with watermark-bounded state).
+    On a batch input it returns the same sessions as the batch
+    lag/cumsum formulation.
+    """
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap).alias("win"), F.col(key_col))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("sum_value"),
+        )
+        .select(
+            F.col(key_col),
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )

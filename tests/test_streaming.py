@@ -112,3 +112,21 @@ def test_replayed_batch_is_idempotent(spark, rng, tmp_path):
     idx.append(extra, seg_name="seg-b000000")  # replay: must be a no-op
     assert len(idx.manifest.segments) == 2
     assert idx.vectors().count() == 250
+
+
+def test_session_rollup_matches_batch_sessionize(spark, sf_dir):
+    """F.session_window (streaming-capable) must produce the same sessions
+    as the batch lag/cumsum sessionizer on the same events."""
+    from pyspark.sql import functions as F
+
+    from jvector_spark.pipeline.events import sessionize
+    from jvector_spark.streaming.rollup import session_rollup
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev_ts = ev.withColumn("ts_t", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    got = session_rollup(ev_ts, gap="30 minutes", ts_col="ts_t").collect()
+    want = sessionize(ev, gap_minutes=30).collect()
+    g = sorted((r["user_id"], r["session_start"], r["n_events"]) for r in got)
+    w = sorted((r["user_id"], r["session_start"], r["n_events"]) for r in want)
+    assert g == w
