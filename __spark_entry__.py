@@ -812,6 +812,28 @@ def _register_pipeline() -> None:
 _register_pipeline()
 
 
+@_register("sample_stratified")
+def _sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (data-mixing weights): keep 50%
+    of src0, 25% of src1, 10% of everything else, by hash(id) — map-only,
+    shuffle-free, stable across reruns/engines."""
+    from jvector_spark.pipeline.sampling import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    return stratified_sample(
+        docs, {"src0": 0.5, "src1": 0.25}, default_fraction=0.1
+    ).select("doc_id", "source")
+
+
+def _sample_stratified_oracle() -> str:
+    from jvector_spark.pipeline.sampling import stratified_sample_sql
+
+    return stratified_sample_sql({"src0": 0.5, "src1": 0.25}, default_fraction=0.1)
+
+
+_oracle("sample_stratified", _sample_stratified_oracle())
+
+
 @_register("multimodal_features")
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode plumbing: documents' text bytes become opaque
