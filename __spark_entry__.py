@@ -102,6 +102,56 @@ for _m in _METRIC_QID:
     _oracle(f"knn_topk_{_m.lower()}", _knn_topk_sql(_m))
 
 
+@_register("knn_topk_custom_metric")
+def _knn_topk_custom_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 SPI end-to-end: register a user metric (Manhattan similarity
+    1/(1+L1)) with its kernel + Column builder + SQL twin, then run the
+    stock exact top-k operator under the custom name — score math and
+    ranking fully hash-checked against the DuckDB twin."""
+    import numpy as np
+
+    from jvector_spark.functions.registry import ScoreFunction, register_score_function
+    from jvector_spark.operators import exact
+
+    def l1_kernel(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        return 1.0 / (1.0 + np.abs(a[:, None, :] - b[None, :, :]).sum(axis=-1))
+
+    def l1_column(a, b):
+        ac = (a if not isinstance(a, str) else F.col(a)).cast("array<double>")
+        bc = (b if not isinstance(b, str) else F.col(b)).cast("array<double>")
+        l1 = F.aggregate(
+            F.zip_with(ac, bc, lambda x, y: F.abs(x - y)), F.lit(0.0), lambda s, x: s + x
+        )
+        return F.lit(1.0) / (F.lit(1.0) + l1)
+
+    register_score_function(ScoreFunction(name="L1_SIM", kernel=l1_kernel, column=l1_column))
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    qvec = emb.filter(F.col("vec_id") == 9).select("embedding").first()[0]
+    res = exact.topk(corpus, qvec, 10, metric="L1_SIM", exclude_ids=[9])
+    return res.select(
+        "id", F.round("score", 6).alias("score"), F.col("rank").cast("long").alias("rank")
+    )
+
+
+_oracle(
+    "knn_topk_custom_metric",
+    """
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 9),
+s AS (
+  SELECT e.vec_id AS id,
+         1.0 / (1.0 + list_sum(list_transform(range(1, len(e.embedding) + 1),
+                i -> abs(CAST(e.embedding[i] AS DOUBLE) - CAST(q.qvec[i] AS DOUBLE))))) AS _s
+  FROM embeddings e, q WHERE e.vec_id <> 9
+)
+SELECT id, ROUND(_s, 6) AS score,
+       CAST(row_number() OVER (ORDER BY _s DESC, id ASC) AS BIGINT) AS rank
+FROM s ORDER BY _s DESC, id ASC LIMIT 10
+""",
+)
+
+
 @_register("knn_filtered")
 def _knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered ANN (F1): predicate label=3 applied below top-k — exact in batch."""
