@@ -179,8 +179,9 @@ def knn_join(
     Returns (qid, id, score, rank).
     """
     if strategy == "auto":
-        m = queries.count()
-        strategy = "numpy" if m <= BROADCAST_QUERY_CAP else "blocked"
+        # LIMIT cap+1 probe, not a full count — O(cap) regardless of size
+        big = queries.limit(BROADCAST_QUERY_CAP + 1).count() > BROADCAST_QUERY_CAP
+        strategy = "blocked" if big else "numpy"
     if strategy == "blocked":
         return _knn_join_blocked(
             corpus, queries, k, metric, id_col, vec_col, query_id_col, query_vec_col

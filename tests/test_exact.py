@@ -108,3 +108,15 @@ def test_knn_join_strategies_agree(random_vectors, spark):
     a = exact.knn_join(df, queries, 5, strategy="expr").select("qid", "id", "rank").collect()
     b = exact.knn_join(df, queries, 5, strategy="numpy").select("qid", "id", "rank").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_knn_join_auto_routes_large_query_side(random_vectors, spark, monkeypatch):
+    """auto must route corpus-sized query sides to the distributed blocked
+    join (no driver collect) and small ones to the broadcast path."""
+    monkeypatch.setattr(exact, "BROADCAST_QUERY_CAP", 100)
+    df, mat = random_vectors
+    queries = df.select(F.col("id").alias("qid"), "vec")  # 1000 > cap
+    got = exact.knn_join(df, queries, 3, strategy="auto")
+    # blocked output is correct and complete
+    assert got.groupBy("qid").count().filter("count != 3").count() == 0
+    assert got.count() == 3 * 1000
