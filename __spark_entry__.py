@@ -862,6 +862,30 @@ def _register_pipeline() -> None:
 _register_pipeline()
 
 
+@_register("dedup_clusters")
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: MinHash near-dup pairs -> connected
+    components (iterative min-label propagation) -> (doc_id, cluster_id).
+    The oracle replicates the fixpoint with a recursive CTE, so even this
+    iterative operator is fully hash-checked."""
+    from jvector_spark.pipeline import dedup as D
+    from jvector_spark.pipeline.cluster import duplicate_clusters
+
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.7)
+    return duplicate_clusters(pairs)
+
+
+def _dedup_clusters_oracle() -> str:
+    from jvector_spark.pipeline import dedup as D
+    from jvector_spark.pipeline.cluster import duplicate_clusters_sql
+
+    return duplicate_clusters_sql(D.minhash_lsh_pairs_sql(threshold=0.7))
+
+
+_oracle("dedup_clusters", _dedup_clusters_oracle())
+
+
 @_register("sample_stratified")
 def _sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (data-mixing weights): keep 50%

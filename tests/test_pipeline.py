@@ -125,3 +125,16 @@ def test_fingerprint_deterministic_and_norm_invariant(docs):
     assert fp[0] == fp[1]  # normalization-invariant
     assert fp[0] != fp[2]
     assert all(0 <= v < T.MOD for v in fp.values())
+
+
+def test_duplicate_clusters_known_components(spark):
+    """Min-label propagation resolves transitive chains and leaves
+    singleton-free output (docs with no pair are absent)."""
+    from jvector_spark.pipeline.cluster import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
