@@ -119,13 +119,16 @@ class VectorIndex:
             queries, top_k, n_probe=n_probe, overquery=overquery, **search_kwargs
         )
 
-    def search_vectors(self, vecs, top_k: int, n_probe: int = 8, overquery: float = 4.0) -> DataFrame:
-        """SEARCH with inline query vectors (the IPC call shape)."""
+    def search_vectors(
+        self, vecs, top_k: int, n_probe: int = 8, overquery: float = 4.0, **search_kwargs
+    ) -> DataFrame:
+        """SEARCH with inline query vectors (the IPC call shape); extra
+        kwargs pass through like :meth:`search`."""
         q = self.spark.createDataFrame(
             [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
             "qid long, vec array<float>",
         )
-        return self.search(q, top_k, n_probe=n_probe, overquery=overquery)
+        return self.search(q, top_k, n_probe=n_probe, overquery=overquery, **search_kwargs)
 
     def memory(self) -> dict:
         """MEMORY — index footprint: bytes on disk per component + stats."""

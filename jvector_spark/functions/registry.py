@@ -42,11 +42,21 @@ _REGISTRY: dict[str, ScoreFunction] = {}
 
 
 def register_score_function(spec: ScoreFunction) -> None:
-    """Register (or replace) a scoring strategy under ``spec.name``.
+    """Register (or replace a previously registered CUSTOM) scoring
+    strategy under ``spec.name``. Every operator taking ``metric=``
+    accepts the name afterwards: ``exact.topk(df, q, k, metric="my_metric")``.
 
-    Every operator taking ``metric=`` accepts the name afterwards:
-    ``exact.topk(df, q, k, metric="my_metric")``.
+    The three builtin names cannot be overridden — operators resolve them
+    before consulting the registry, so accepting a replacement here would
+    silently never execute it. Use a new name instead.
     """
+    from jvector_spark.functions import kernels
+
+    if spec.name in kernels.METRICS:
+        raise ValueError(
+            f"{spec.name!r} is a builtin metric and cannot be overridden; "
+            f"register under a different name"
+        )
     _REGISTRY[spec.name] = spec
 
 
@@ -83,13 +93,12 @@ def _register_builtins() -> None:
     from jvector_spark.functions import kernels, similarity
 
     for name in kernels.METRICS:
-        register_score_function(
-            ScoreFunction(
-                name=name,
-                kernel=(lambda met: lambda a, b: kernels.similarity(met, a, b))(name),
-                column=(lambda met: lambda a, b: similarity.similarity(met, a, b))(name),
-                sql=(lambda met: lambda a, b: similarity.sql_similarity(met, a, b))(name),
-            )
+        # direct insert: the public register function refuses builtin names
+        _REGISTRY[name] = ScoreFunction(
+            name=name,
+            kernel=(lambda met: lambda a, b: kernels.similarity(met, a, b))(name),
+            column=(lambda met: lambda a, b: similarity.similarity(met, a, b))(name),
+            sql=(lambda met: lambda a, b: similarity.sql_similarity(met, a, b))(name),
         )
 
 

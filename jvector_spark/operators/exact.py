@@ -133,18 +133,26 @@ def threshold_search(
 BROADCAST_QUERY_CAP = 8192
 
 
-def assert_point_query_batch(queries: DataFrame, op: str, cap: int = BROADCAST_QUERY_CAP) -> None:
-    """Guard for operators whose contract is a point-query *batch* (the
-    query side is collected to the driver and broadcast, e.g. as per-query
-    ADC LUTs). A corpus-sized query side would OOM the driver at scale, so
-    refuse it loudly with the right alternative instead of degrading.
-    The probe is a LIMIT cap+1 count — O(cap), not a full count."""
-    if queries.limit(cap + 1).count() > cap:
+def collect_point_query_batch(
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    op: str,
+    cap: int = BROADCAST_QUERY_CAP,
+) -> list:
+    """Collect the query side of a point-query-batch operator with the cap
+    enforced in the SAME job: ``take(cap + 1)`` both bounds driver memory
+    (a corpus-sized query side fails loudly instead of OOMing) and returns
+    the rows the operator needs — the query-side plan executes once, not
+    once for a guard count and again for the collect."""
+    rows = queries.select(id_col, vec_col).take(cap + 1)
+    if len(rows) > cap:
         raise ValueError(
             f"{op} is a point-query-batch operator (query side is broadcast); "
             f"got more than {cap} query rows. Use exact.knn_join(strategy="
             f"'blocked') for corpus-sized query sets, or chunk the queries."
         )
+    return rows
 
 
 def knn_join(

@@ -144,27 +144,19 @@ class IVFIndexBuilder:
         manifest.save(path)
         return IVFIndex.load(spark, path)
 
-    def _sample_and_count(self, df: DataFrame) -> tuple[int, np.ndarray]:
-        """ONE job returning (row count, uniform training sample).
-
-        Every row draws an independent uniform key; the global sample_cap
-        smallest keys form an exact uniform sample (distributed bottom-k).
-        Each input partition forwards only its local smallest ``k_local``
-        keys — with the 4x safety factor no partition of an evenly-hashed
-        input contributes more than that to the global bottom-cap, and the
-        partition row counts ride along in the same pass (the ref's Floyd
-        sampling + size(), ProductQuantization.java:64,141-179, fused)."""
-        k_local = min(
-            self.sample_cap,
-            max(64, int(math.ceil(self.sample_cap * 4.0 / max(df.rdd.getNumPartitions(), 1)))),
-        )
+    def _run_sample_pass(self, df: DataFrame, base_quota: int, quotas: dict | None):
+        """One distributed bottom-k pass: each partition forwards its
+        smallest min(quota, rows) keys plus its row count, keyed by pid."""
         seed = self.seed
+        quotas = quotas or {}
 
         def sample_count(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from pyspark import TaskContext
 
             ctx = TaskContext.get()
-            rng = np.random.default_rng((seed + 1) * 1_000_003 + (ctx.partitionId() if ctx else 0))
+            pid = ctx.partitionId() if ctx else 0
+            quota = int(quotas.get(pid, base_quota))
+            rng = np.random.default_rng((seed + 1) * 1_000_003 + pid)
             total = 0
             keys = np.empty(0, dtype=np.float64)
             vecs: list = []
@@ -174,32 +166,63 @@ class IVFIndexBuilder:
                     continue
                 total += m
                 bk = rng.random(m)
-                take = min(k_local, m)
+                take = min(quota, m)
                 idx = np.argpartition(bk, take - 1)[:take] if take < m else np.arange(m)
                 keys = np.concatenate([keys, bk[idx]])
                 vecs.extend(pdf["vec"].iloc[i] for i in idx)
-                if len(keys) > k_local:
-                    cut = np.argpartition(keys, k_local - 1)[:k_local]
+                if len(keys) > quota:
+                    cut = np.argpartition(keys, quota - 1)[:quota]
                     keys = keys[cut]
                     vecs = [vecs[i] for i in cut]
             yield pd.DataFrame(
                 {
+                    "pid": np.full(len(keys) + 1, pid, dtype=np.int32),
                     "cnt": np.concatenate([[total], np.zeros(len(keys), dtype=np.int64)]).astype(np.int64),
                     "key": np.concatenate([[2.0], keys]),  # count row sorts last
                     "vec": [None] + vecs,
                 }
             )
 
-        rows = (
+        return (
             df.select("vec")
-            .mapInPandas(sample_count, schema="cnt long, key double, vec array<float>")
+            .mapInPandas(sample_count, schema="pid int, cnt long, key double, vec array<float>")
             .collect()
         )
-        n = int(sum(r["cnt"] for r in rows))
+
+    def _sample_and_count(self, df: DataFrame) -> tuple[int, np.ndarray]:
+        """Row count + uniform training sample, normally in ONE job.
+
+        Every row draws an independent uniform key; the global sample_cap
+        smallest keys form an exact uniform sample (distributed bottom-k).
+        Each partition forwards only its local smallest ``base_quota``
+        keys (4x safety over an even split), and its row count rides in
+        the same pass (the ref's Floyd sampling + size(),
+        ProductQuantization.java:64,141-179, fused). The per-partition
+        counts expose skew: if a partition's fair share of the bottom-cap
+        provably exceeds what it was allowed to forward, ONE corrective
+        pass reruns with per-partition quotas sized from the now-known
+        shares — so heavily skewed inputs still yield an unbiased sample
+        (2 jobs there instead of 1)."""
+        base_quota = min(
+            self.sample_cap,
+            max(64, int(math.ceil(self.sample_cap * 4.0 / max(df.rdd.getNumPartitions(), 1)))),
+        )
+        rows = self._run_sample_pass(df, base_quota, None)
+        n = int(sum(r["cnt"] for r in rows if r["vec"] is None))
+        if n == 0:
+            raise ValueError("cannot build an index over an empty DataFrame")
+        counts = {r["pid"]: int(r["cnt"]) for r in rows if r["vec"] is None}
+        needed = {
+            pid: min(cnt, self.sample_cap, int(math.ceil(4.0 * self.sample_cap * cnt / n)))
+            for pid, cnt in counts.items()
+        }
+        if any(v > base_quota * 1.5 for v in needed.values()):
+            quotas = {
+                pid: min(counts[pid], self.sample_cap, v + 64) for pid, v in needed.items()
+            }
+            rows = self._run_sample_pass(df, base_quota, quotas)
         picked = sorted((r for r in rows if r["vec"] is not None), key=lambda r: r["key"])
         picked = picked[: self.sample_cap]
-        if not picked:
-            raise ValueError("cannot build an index over an empty DataFrame")
         sample = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in picked])
         return n, sample
 
@@ -565,10 +588,12 @@ class IVFIndex:
         been built with NVQ bytes.
 
         Per probed Arrow batch: ADC approximate scores -> top
-        ``overquery*k`` batch-local candidates -> exact fp32 rerank of just
-        those rows -> batch-local exact top-k. One global window merges
-        batch/segment results (J6). Reported scores are exact
-        (GraphSearcher.java:471-507 contract).
+        ``overquery*k`` batch-local candidates -> high-resolution rerank of
+        just those rows -> batch-local top-k. One global window merges
+        batch/segment results (J6). With fp32 rerank (the default) reported
+        scores are exact (GraphSearcher.java:471-507 contract); with
+        ``rerank="nvq"`` they are near-exact dequantized-NVQ scores (the
+        reference's default feature — ordering can differ from fp32 by ~1%).
 
         Filtered ANN (F1, ref ``GraphSearcher.search(..., Bits acceptOrds)``
         GraphSearcher.java:145-152,215-218):
@@ -612,11 +637,12 @@ class IVFIndex:
         elif isinstance(accept_ids, DataFrame):
             accept_df = accept_ids.select("id")
 
-        from jvector_spark.operators.exact import assert_point_query_batch
+        from jvector_spark.operators.exact import collect_point_query_batch
 
-        assert_point_query_batch(queries_df, "IVFIndex.search")
         rerank_k = max(k, int(round(overquery * k)))
-        qrows = queries_df.select(query_id_col, query_vec_col).collect()
+        qrows = collect_point_query_batch(
+            queries_df, query_id_col, query_vec_col, "IVFIndex.search"
+        )
         qids = np.array([r[0] for r in qrows], dtype=np.int64)
         qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
         parts = [
@@ -814,11 +840,12 @@ class IVFIndex:
           COSINE:      angle(q,x) >= max(0, angle(q,c) - theta)
           DOT_PRODUCT: dot(q,x) <= ||q|| * M * cos(max(0, angle(q,c)-theta))
         """
-        from jvector_spark.operators.exact import assert_point_query_batch
+        from jvector_spark.operators.exact import collect_point_query_batch
 
-        assert_point_query_batch(queries_df, "IVFIndex.threshold_search")
         metric = self.manifest.metric
-        qrows = queries_df.select(query_id_col, query_vec_col).collect()
+        qrows = collect_point_query_batch(
+            queries_df, query_id_col, query_vec_col, "IVFIndex.threshold_search"
+        )
         qids = np.array([r[0] for r in qrows], dtype=np.int64)
         qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
         parts = [

@@ -95,10 +95,9 @@ def rp_lsh_knn_join(
     if n_planes is None:
         n = corpus.count()
         n_planes = max(3, min(24, int(math.ceil(math.log2(max(n / 64.0, 2.0))))))
-    from jvector_spark.operators.exact import assert_point_query_batch
+    from jvector_spark.operators.exact import collect_point_query_batch
 
-    assert_point_query_batch(queries, "rp_lsh_knn_join")
-    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qrows = collect_point_query_batch(queries, query_id_col, query_vec_col, "rp_lsh_knn_join")
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     dim = qmat.shape[1]

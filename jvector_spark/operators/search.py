@@ -137,11 +137,10 @@ def two_phase_knn_join(
     bench config (yaml-configs/index-parameters/default.yml `NVQ rerank`;
     NVQScorer.java): ~4x fewer bytes read in stage 2 for near-fp32 scores.
     """
-    from jvector_spark.operators.exact import assert_point_query_batch
+    from jvector_spark.operators.exact import collect_point_query_batch
 
-    assert_point_query_batch(queries_df, "two_phase_knn_join")
     rerank_k = max(k, int(round(overquery * k)))
-    qrows = queries_df.select(query_id_col, query_vec_col).collect()
+    qrows = collect_point_query_batch(queries_df, query_id_col, query_vec_col, "two_phase_knn_join")
     queries = [(r[0], np.asarray(r[1], dtype=np.float64)) for r in qrows]
 
     stage1 = pq_score_scan(codes_df, pq, queries, metric, rerank_k, id_col, codes_col)

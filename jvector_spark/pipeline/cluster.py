@@ -41,6 +41,7 @@ def duplicate_clusters(
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     ).cache()
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -65,8 +66,17 @@ def duplicate_clusters(
         labels.unpersist()
         labels = updated
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # falling through would silently split one component into several
+        # clusters (labels past the propagation frontier never updated)
+        raise RuntimeError(
+            f"duplicate_clusters did not converge within {max_iterations} "
+            f"iterations — a component's diameter exceeds it; raise "
+            f"max_iterations (rounds needed ~= longest chain length)"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

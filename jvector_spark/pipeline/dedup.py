@@ -162,9 +162,9 @@ def ngram_jaccard_pairs(
     matmul. Compared to one-task-per-block, a skewed block (one dominant
     ``source`` at corpus scale) fans out over tiles*(tiles+1)/2 tasks and
     peak memory per task drops quadratically — the same all-pairs shape
-    as ``embedding_neardup``. Shingle arrays replicate ~tiles/2 times
-    through one shuffle. Still O(block^2) pair work by contract; the
-    unblocked scale path remains minhash_lsh_pairs.
+    as ``embedding_neardup``. Each doc's shingle array replicates to its
+    ``tiles`` tile-pair groups through one shuffle. Still O(block^2) pair
+    work by contract; the unblocked scale path remains minhash_lsh_pairs.
     """
     import numpy as np
     import pandas as pd

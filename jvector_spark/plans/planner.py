@@ -58,16 +58,20 @@ def plan_knn(
     if index is None and corpus is None:
         raise ValueError("plan_knn needs an index and/or a corpus DataFrame")
 
+    # materialize ONCE — a generator accept list must not be exhausted by
+    # the rule checks before it reaches the operator
+    if accept_ids is not None and not isinstance(accept_ids, DataFrame):
+        accept_ids = [int(i) for i in accept_ids]
+
     # rule 1: selective accept-list -> exact filter-first (cheapest + exact)
     if (
-        accept_ids is not None
-        and not isinstance(accept_ids, DataFrame)
+        isinstance(accept_ids, list)
         and index is not None
         and predicate is None
-        and len(list(accept_ids)) <= index.FILTER_PIVOT_ROWS
+        and len(accept_ids) <= index.FILTER_PIVOT_ROWS
     ):
-        df = index.search(queries, k, accept_ids=list(accept_ids))
-        return SearchPlan("exact_filter_first", df, {"accepted": len(list(accept_ids))})
+        df = index.search(queries, k, accept_ids=accept_ids)
+        return SearchPlan("exact_filter_first", df, {"accepted": len(accept_ids)})
 
     # rule 2: indexed corpus -> fused IVF scan
     if index is not None:
@@ -91,7 +95,7 @@ def plan_knn(
         else:
             from pyspark.sql import functions as F
 
-            c = c.filter(F.col("id").isin([int(i) for i in accept_ids]))
+            c = c.filter(F.col("id").isin(accept_ids))
     big = queries.limit(exact.BROADCAST_QUERY_CAP + 1).count() > exact.BROADCAST_QUERY_CAP
     strategy = "blocked" if big else "numpy"
     df = exact.knn_join(c, queries, k, metric=metric, strategy=strategy)

@@ -299,3 +299,21 @@ def exact_threshold_pairs(df, qrows, t):
         for i in np.flatnonzero(s >= t):
             out.add((qr.qid, int(ids[i])))
     return out
+
+
+def test_skewed_partition_sampling_unbiased(spark):
+    """A partition holding 90% of rows must contribute ~90% of the
+    training sample — the corrective quota pass kicks in when the base
+    per-partition cap would truncate its fair share."""
+    big = spark.createDataFrame(
+        [(i, [20.0, 1.0]) for i in range(1800)], "id long, vec array<float>"
+    ).coalesce(1)
+    small = spark.createDataFrame(
+        [(10_000 + i, [-20.0, 1.0]) for i in range(200)], "id long, vec array<float>"
+    ).repartition(15)
+    df = big.unionByName(small)
+    builder = IVFIndexBuilder(sample_cap=200)
+    n, sample = builder._sample_and_count(df)
+    assert n == 2000
+    share = float((sample[:, 0] > 0).mean())
+    assert 0.8 <= share <= 0.98, f"big-partition sample share {share}, want ~0.9"
