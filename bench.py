@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "vector_centroids",
     "l2_normalize",
     "vector_arith",
+    "vector_scale_add",
+    "sample_stratified",
     # pipeline operators (registered in later rounds; skipped if absent)
     "dedup_exact",
     "dedup_minhash_lsh",
