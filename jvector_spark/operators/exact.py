@@ -165,6 +165,8 @@ def knn_join(
     query_id_col: str = "qid",
     query_vec_col: str = "vec",
     strategy: str = "auto",
+    n_hint: int | None = None,
+    m_hint: int | None = None,
 ) -> DataFrame:
     """Exact k-NN join: for every query row, its top-k corpus neighbors.
 
@@ -175,7 +177,8 @@ def knn_join(
       - ``numpy``: Arrow-batched BLAS scoring with per-partition partial
         top-k (map-side combine), then a final per-query merge over the
         reduced candidate set. Collects + broadcasts the query side, so
-        it is the point-query-batch path (queries ≪ corpus by contract).
+        it is the point-query-batch path (queries ≪ corpus by contract);
+        query sides over ``BROADCAST_QUERY_CAP`` rows fail loudly.
       - ``blocked``: fully distributed 2-D blocked BLAS join — NO driver
         collect of either side; both sides shuffle once into (query-block
         × corpus-block) tiles scored with one matmul each (the
@@ -184,15 +187,25 @@ def knn_join(
       - ``auto``: counts the query side; ``numpy`` at or below
         ``BROADCAST_QUERY_CAP`` rows, else ``blocked``.
 
+    ``n_hint`` / ``m_hint``: approximate corpus / query row counts used to
+    size the blocked join's tiles. Passing them (or reusing a count the
+    caller already has) removes the two sizing ``count()`` jobs — at 100 TB
+    those are two extra full scans of possibly-expensive lineage. Hints
+    only affect tile granularity, never correctness.
+
     Returns (qid, id, score, rank).
     """
     if strategy == "auto":
-        # LIMIT cap+1 probe, not a full count — O(cap) regardless of size
-        big = queries.limit(BROADCAST_QUERY_CAP + 1).count() > BROADCAST_QUERY_CAP
+        if m_hint is not None:
+            big = m_hint > BROADCAST_QUERY_CAP
+        else:
+            # LIMIT cap+1 probe, not a full count — O(cap) regardless of size
+            big = queries.limit(BROADCAST_QUERY_CAP + 1).count() > BROADCAST_QUERY_CAP
         strategy = "blocked" if big else "numpy"
     if strategy == "blocked":
         return _knn_join_blocked(
-            corpus, queries, k, metric, id_col, vec_col, query_id_col, query_vec_col
+            corpus, queries, k, metric, id_col, vec_col, query_id_col, query_vec_col,
+            n_hint=n_hint, m_hint=m_hint,
         )
     if strategy == "expr":
         q = queries.select(
@@ -235,12 +248,17 @@ def _knn_join_numpy(
     The query set is collected to the driver (it is the small side by
     contract — same asymmetry the reference assumes: queries ≪ corpus) and
     broadcast as dense numpy matrices; each corpus partition emits at most
-    k candidates per query.
+    k candidates per query. The collect is capped at
+    ``BROADCAST_QUERY_CAP`` rows and fails loudly above it (same contract
+    as every point-query-batch operator) — corpus-sized query sides must
+    use ``strategy='blocked'``.
     """
     from jvector_spark.functions.registry import resolve_kernel
 
     kernel = resolve_kernel(metric)  # driver-side: X1 registry lives here
-    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qrows = collect_point_query_batch(
+        queries, query_id_col, query_vec_col, "exact.knn_join(strategy='numpy')"
+    )
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     sc = corpus.sparkSession.sparkContext
@@ -288,6 +306,8 @@ def _knn_join_blocked(
     vec_col: str,
     query_id_col: str,
     query_vec_col: str,
+    n_hint: int | None = None,
+    m_hint: int | None = None,
 ) -> DataFrame:
     """Fully-distributed exact k-NN join (no driver collect of either side).
 
@@ -299,14 +319,18 @@ def _knn_join_blocked(
     volume is O(|corpus|·B + |queries|·C) — the standard all-pairs shape
     (cf. ``dedup.embedding_neardup``) — for the inherently O(n·m) scoring
     work, and no single node ever holds a full side.
+
+    Tile counts come from ``n_hint`` / ``m_hint`` when given (approximate
+    is fine — they only set granularity); otherwise one sizing ``count()``
+    per un-hinted side.
     """
     import math
 
     from jvector_spark.functions.registry import resolve_kernel
 
     kernel = resolve_kernel(metric)  # driver-side: X1 registry lives here
-    n = corpus.count()
-    m = queries.count()
+    n = n_hint if n_hint is not None else corpus.count()
+    m = m_hint if m_hint is not None else queries.count()
     c_blocks = max(1, math.ceil(n / _C_TILE))
     q_blocks = max(1, math.ceil(m / _Q_TILE))
 

@@ -95,10 +95,21 @@ class IVFIndexBuilder:
         sample_cap: int = 128_000,
         kmeans_iterations: int = 6,
         seed: int = 42,
-        spill: int = 1,
+        spill: int = 2,
         rerank: str = "fp32",
         fine_factor: int = 0,
     ):
+        # The index hardwires the builtin metrics: ADC LUT construction,
+        # partition-pruning bounds, and normalization all branch on them.
+        # A registry-registered custom metric (X1) would silently score
+        # with the dot-partials branch — refuse at build time and point at
+        # the exact operators, which DO resolve custom metrics.
+        if metric not in kernels.METRICS:
+            raise ValueError(
+                f"IVFIndexBuilder supports only builtin metrics {kernels.METRICS}; "
+                f"got {metric!r}. Use jvector_spark.operators.exact (knn_join/topk) "
+                f"for registry-registered custom score functions."
+            )
         self.metric = metric
         self.n_partitions = n_partitions
         self.pq_m = pq_m

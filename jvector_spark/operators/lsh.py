@@ -69,6 +69,7 @@ def rp_lsh_knn_join(
     query_vec_col: str = "vec",
     predicate=None,
     accept_ids=None,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """Approximate k-NN join via random-hyperplane LSH + exact rerank.
 
@@ -76,7 +77,10 @@ def rp_lsh_knn_join(
     Recall knobs: more planes = smaller buckets (faster, lower recall);
     more probe_bits = more buckets probed (slower, higher recall).
     ``n_planes=None`` auto-sizes to ~64 rows per bucket so small corpora
-    don't shatter into singleton buckets (and huge ones don't flood).
+    don't shatter into singleton buckets (and huge ones don't flood); the
+    auto-sizing ``count()`` is skipped when the caller passes ``n_hint``
+    (an approximate corpus row count — loops over the same corpus should
+    count once and hint, not pay a scan per call).
 
     ``predicate`` (Column) / ``accept_ids`` (DataFrame with an ``id``
     column, or an id collection) restrict the corpus BEFORE hashing and
@@ -93,7 +97,7 @@ def rp_lsh_knn_join(
         else:
             corpus = corpus.filter(F.col(id_col).isin([int(i) for i in accept_ids]))
     if n_planes is None:
-        n = corpus.count()
+        n = n_hint if n_hint is not None else corpus.count()
         n_planes = max(3, min(24, int(math.ceil(math.log2(max(n / 64.0, 2.0))))))
     from jvector_spark.operators.exact import collect_point_query_batch
 
