@@ -87,9 +87,15 @@ def main() -> None:
         if fn is None:
             continue
         t0 = time.perf_counter()
-        _materialize(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"bench {name}: {timings[name]}s", file=sys.stderr)
+        try:
+            _materialize(fn(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+            print(f"bench {name}: {timings[name]}s", file=sys.stderr)
+        except Exception as e:
+            # One bad query must never take down the whole bench: record the
+            # failure and keep emitting the JSON line (round-3 postmortem).
+            timings[name] = -1.0
+            print(f"bench {name} FAILED: {e}", file=sys.stderr)
 
     # Index lifecycle bench: build IVF+PQ over embeddings, then batch
     # two-phase search (BASELINE.md: build time + batch k-NN throughput).

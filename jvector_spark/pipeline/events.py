@@ -33,7 +33,15 @@ def sessionize(
     (user_id, session_idx, n_events, sum_value, session_start, session_end).
     """
     ts = F.col(ts_col)
-    if dict(events.dtypes)[ts_col] != "bigint":
+    dtype = dict(events.dtypes)[ts_col]
+    if dtype == "bigint":
+        pass  # already epoch nanoseconds (TIMESTAMP(NANOS) parquet read as long)
+    elif dtype.startswith("timestamp"):
+        # Covers both TIMESTAMP and TIMESTAMP_NTZ: the session timezone is
+        # pinned to UTC (session.py), so NTZ->TZ cast preserves the wall
+        # clock and unix_micros gives the exact integer epoch.
+        ts = (F.unix_micros(ts.cast("timestamp")) * F.lit(1000)).cast("long")
+    else:
         ts = (ts.cast("double") * F.lit(1e9)).cast("long")
     gap_ns = int(gap_minutes) * 60 * 1_000_000_000
 

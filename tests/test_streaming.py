@@ -124,7 +124,12 @@ def test_session_rollup_matches_batch_sessionize(spark, sf_dir):
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ev_ts = ev.withColumn("ts_t", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    if dict(ev.dtypes)["ts"] == "bigint":  # TIMESTAMP(NANOS) read as long
+        ev_ts = ev.withColumn(
+            "ts_t", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    else:  # timestamp / timestamp_ntz (session tz pinned UTC)
+        ev_ts = ev.withColumn("ts_t", F.col("ts").cast("timestamp"))
     got = session_rollup(ev_ts, gap="30 minutes", ts_col="ts_t").collect()
     want = sessionize(ev, gap_minutes=30).collect()
     g = sorted((r["user_id"], r["session_start"], r["n_events"]) for r in got)
