@@ -589,11 +589,12 @@ def _knn_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     TestLowCardinalityFiltering.java:52-90): accept-list = ids with
     label=3, passed as a DataFrame so the in-index semi-join path runs.
 
-    Fully hash-checkable: this config probes EVERY partition and keeps
-    overquery*k = 300 candidates per batch — more rows than the whole
-    accept-list at the driver's sf (~50 at sf0.01) — so the ADC cut keeps
-    every accepted row, every one is exact-reranked, and the global top-k
-    is provably the exact filtered top-k."""
+    Fully hash-checkable AT ANY SCALE: this config probes EVERY partition
+    and sizes rerank_k from the accept-list's actual row count — the ADC
+    cut keeps at least |accept| candidates per batch, so every accepted
+    row is exact-reranked and the global top-k is provably the exact
+    filtered top-k (a fixed overquery was only exact while the accept
+    cohort stayed under overquery*k rows — scale-fragile, r3 ADVICE)."""
     import tempfile
 
     from jvector_spark.operators.index import IVFIndexBuilder
@@ -601,10 +602,14 @@ def _knn_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
     accept = emb.filter(F.col("label") == 3).select(F.col("vec_id").alias("id"))
+    n_accept = accept.count()
     tmp = tempfile.mkdtemp(prefix="jvs_entry_fivf_")
     idx = IVFIndexBuilder(metric="COSINE", pq_m=8).fit(corpus, tmp)
     queries = corpus.filter(F.col("id") < 16).selectExpr("id as qid", "vec")
-    res = idx.search(queries, k=5, n_probe=4096, overquery=60.0, accept_ids=accept)
+    res = idx.search(
+        queries, k=5, n_probe=4096, overquery=float(n_accept) / 5.0 + 1.0,
+        accept_ids=accept,
+    )
     return res.select(
         "qid", "id", F.round("score", 6).alias("score"), F.col("rank").cast("long").alias("rank")
     )
@@ -706,6 +711,140 @@ _register("threshold_search_ivf_euclidean")(_threshold_ivf_metric("EUCLIDEAN", 0
 _oracle("threshold_search_ivf_euclidean", _threshold_ivf_metric_sql("EUCLIDEAN", 0.40))
 
 
+@_register("compact_search_exact")
+def _compact_search_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction equivalence under the full hash oracle (ref
+    TestOnDiskGraphIndexCompactor.java): build on half the corpus (M2),
+    append the other half as a second segment (M1/U2), tombstone every
+    id % 7 == 0 (M5 two-phase delete), then compact() — N:1 merge with
+    warm-started PQ retrain (U1/M7) that physically drops the deleted
+    rows. The post-compaction search probes EVERY partition with
+    rerank_k = |live corpus| (the ADC cut keeps everything -> provably
+    exact), so the result must hash-match DuckDB's exact top-10 over the
+    surviving rows at any scale factor."""
+    import tempfile
+
+    from jvector_spark.operators.index import IVFIndex, IVFIndexBuilder
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    n = corpus.count()
+    half = n // 2
+    tmp = tempfile.mkdtemp(prefix="jvs_entry_compact_")
+    idx = IVFIndexBuilder(metric="COSINE", pq_m=8).fit(
+        corpus.filter(F.col("id") < half), tmp
+    )
+    idx.append(corpus.filter(F.col("id") >= half))
+    assert len(idx.manifest.segments) == 2
+    dead = [r["id"] for r in corpus.filter(F.col("id") % 7 == 0).select("id").collect()]
+    idx.delete(dead)
+    idx = idx.compact()
+    assert len(idx.manifest.segments) == 1 and idx.tombstones() is None
+    n_live = n - len(dead)
+    queries = corpus.filter(F.col("id") < 16).selectExpr("id as qid", "vec")
+    res = idx.search(
+        queries, k=10, n_probe=4096, overquery=float(n_live) / 10.0
+    )
+    return res.select(
+        "qid", "id", F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_oracle(
+    "compact_search_exact",
+    f"""
+WITH v AS (SELECT vec_id AS id, embedding FROM embeddings WHERE vec_id % 7 <> 0),
+q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 16),
+s AS (
+  SELECT q.qid, v.id,
+         {sql_similarity("COSINE", "v.embedding", "q.qvec")} AS _s
+  FROM v, q
+),
+r AS (
+  SELECT qid, id, _s,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY _s DESC, id ASC) AS BIGINT) AS rank
+  FROM s
+)
+SELECT qid, id, ROUND(_s, 6) AS score, rank FROM r WHERE rank <= 10
+""",
+)
+
+
+@_register("ann_ivf_nvq")
+def _ann_ivf_nvq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with NVQ stage-2 rerank — the reference's DEFAULT index
+    configuration (yaml-configs/index-parameters/default.yml NVQ_VECTORS,
+    NVQScorer.java): stage 2 reads dequantized NVQ bytes instead of the
+    fp32 column (~4x fewer stage-2 bytes; parquet prunes `vec` away).
+    NVQ scores are near-exact, so this is recall-GATED like ann_ivf_topk:
+    per-query recall@10 vs the exact oracle >= 0.5 (observed floor 0.7 at
+    n_probe=16/overquery=8 — NVQ reconstruction error is ~1e-3, far below
+    the candidate-set margins; build sampling is seeded)."""
+    import tempfile
+
+    from jvector_spark.operators import exact
+    from jvector_spark.operators.index import IVFIndexBuilder
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    tmp = tempfile.mkdtemp(prefix="jvs_entry_nvq_")
+    idx = IVFIndexBuilder(metric="COSINE", pq_m=8, rerank="nvq").fit(corpus, tmp)
+    assert idx.manifest.rerank == "nvq"
+    queries = corpus.filter(F.col("id") < 16).selectExpr("id as qid", "vec")
+    res = idx.search(queries, k=10, n_probe=16, overquery=8.0)
+    gt = exact.knn_join(corpus, queries, k=10, metric="COSINE", strategy="numpy")
+    return _recall_gate(res, gt, min_hits=5)
+
+
+_oracle("ann_ivf_nvq", _gate_oracle(n_results=10))
+
+
+@_register("knn_paginated_ivf")
+def _knn_paginated_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination THROUGH the index (J5 parity with the exact path; ref
+    GraphSearcher.resume, GraphSearcher.java:509-547): page 2 (rows 11-20)
+    of each query's ranking via IVFIndex.search_page. Exhaustive probes +
+    rerank_k = |corpus| make every page provably exact -> full hash
+    oracle."""
+    import tempfile
+
+    from jvector_spark.operators.index import IVFIndexBuilder
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    n = corpus.count()
+    tmp = tempfile.mkdtemp(prefix="jvs_entry_pgivf_")
+    idx = IVFIndexBuilder(metric="COSINE", pq_m=8).fit(corpus, tmp)
+    queries = corpus.filter(F.col("id") < 8).selectExpr("id as qid", "vec")
+    res = idx.search_page(
+        queries, page_size=10, page=1, n_probe=4096, overquery=float(n) / 20.0
+    )
+    return res.select(
+        "qid", "id", F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_oracle(
+    "knn_paginated_ivf",
+    f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 8),
+s AS (
+  SELECT q.qid, e.vec_id AS id,
+         {sql_similarity("COSINE", "e.embedding", "q.qvec")} AS _s
+  FROM embeddings e, q
+),
+r AS (
+  SELECT qid, id, _s,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY _s DESC, id ASC) AS BIGINT) AS rank
+  FROM s
+)
+SELECT qid, id, ROUND(_s, 6) AS score, rank FROM r WHERE rank > 10 AND rank <= 20
+""",
+)
+
+
 @_register("ann_lsh_topk")
 def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH k-NN join (J2 bucketed variant): one fused
@@ -772,8 +911,11 @@ def _dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     for semantic dedup. threshold_search's centroid-radius pruning is a
     rigorous bound, so results are EXACT (full hash oracle — same SQL as
     the blocked-matmul dedup_embedding) while only scanning partitions
-    that can contain a pair. At 100 TB this replaces the O(n^2/blocks)
-    matmul with index-pruned work per query."""
+    that can contain a pair. The corpus-as-queries side runs on the
+    DISTRIBUTED route (no driver collect, no query cap — probe assignment
+    and scoring both shuffle-local tile joins), so the same plan holds at
+    100 TB: index-pruned work per query instead of the O(n^2/blocks)
+    matmul."""
     import tempfile
 
     from jvector_spark.operators.index import IVFIndexBuilder
@@ -787,7 +929,9 @@ def _dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # search slightly BELOW the target so pairs that round up to the
     # threshold at 6 decimals (the oracle's cut) are not lost at the
     # normalized-score boundary; the final rounded filter is authoritative
-    res = idx.threshold_search(queries, threshold=(1.0 + threshold) / 2.0 - 1e-6)
+    res = idx.threshold_search(
+        queries, threshold=(1.0 + threshold) / 2.0 - 1e-6, strategy="distributed"
+    )
     return (
         res.filter(F.col("qid") < F.col("id"))  # each unordered pair once
         .select(

@@ -76,7 +76,7 @@ def main() -> None:
     spark = get_spark("jvector_spark_bench")
 
     # Warm the JVM + Arrow path so query 1 doesn't pay startup.
-    spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    n_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
 
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
@@ -109,7 +109,10 @@ def main() -> None:
         tmp = tempfile.mkdtemp(prefix="jvs_bench_idx_")
         try:
             t0 = time.perf_counter()
-            idx = IVFIndexBuilder(metric="COSINE", pq_m=8).fit(emb, tmp)
+            # spill=1 explicitly: the builder DEFAULT is spill=2, so without
+            # this the idx2 "spill2" comparison below benches two identical
+            # builds (caught in r4: identical recall grids)
+            idx = IVFIndexBuilder(metric="COSINE", pq_m=8, spill=1).fit(emb, tmp)
             timings["ivf_build"] = round(time.perf_counter() - t0, 3)
 
             qdf = emb.limit(64).select(F.col("id").alias("qid"), "vec")
@@ -117,6 +120,18 @@ def main() -> None:
             res = idx.search(qdf, k=10, n_probe=8, overquery=4.0)
             _materialize(res)
             timings["ivf_search_64q"] = round(time.perf_counter() - t0, 3)
+
+            # Bulk query side: the WHOLE corpus as queries through the
+            # distributed (uncapped) route — the batch-engine headline
+            # (corpus-sized embedding joins / semantic dedup shape).
+            qall = emb.select(F.col("id").alias("qid"), "vec")
+            t0 = time.perf_counter()
+            res = idx.search(
+                qall, k=10, n_probe=8, overquery=4.0,
+                strategy="distributed", m_hint=n_emb,
+            )
+            _materialize(res)
+            timings["ivf_search_bulk"] = round(time.perf_counter() - t0, 3)
 
             # Recall grid (the batch analog of the reference's QPS-at-recall
             # table, 671.testing.md:37-50): recall@10 vs the exact oracle

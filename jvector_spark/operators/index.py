@@ -57,12 +57,80 @@ from pyspark.sql import functions as F
 from pyspark.accumulators import AccumulatorParam
 
 from jvector_spark.functions import kernels
+from jvector_spark.operators.exact import _C_TILE, _Q_TILE, BROADCAST_QUERY_CAP
 from jvector_spark.operators.quantize.pq import ProductQuantizer
 from jvector_spark.types import IndexManifest, SegmentInfo
 
 MAX_CENTROIDS = 4096  # keep the broadcast "upper layer" small
 
 _DATA_SCHEMA = "id long, vec array<float>, codes binary, part_id int"
+
+
+def _fused_block_topk(
+    met: str,
+    k: int,
+    rerank_k: int,
+    q_ids: np.ndarray,
+    q_mat: np.ndarray,
+    luts: np.ndarray,
+    mag_lut,
+    q_norms: np.ndarray,
+    ids: np.ndarray,
+    code_idx: np.ndarray,
+    vec_rows=None,
+    nvq=None,
+):
+    """Fused two-phase scoring of one (query block × row block).
+
+    Phase 1: ADC approximate scores from the PQ codes (``luts`` is the
+    per-query ADC LUT stack); keep the block-local top ``rerank_k``.
+    Phase 2: high-resolution rerank of just those rows — from fp32
+    (``vec_rows``: the batch's vec column) or dequantized NVQ bytes
+    (``nvq`` = (codec, nvq_series, params_series)) — then per-query exact
+    top-k with the score-desc/id-asc tie-break (T4).
+
+    Shared by the broadcast-query scan and the distributed tile join so
+    both routes score identically. Returns (qid, id, score) arrays.
+    """
+    m = code_idx.shape[1]
+    cols = np.arange(m)
+    if met == "COSINE":
+        mags = np.sqrt(np.maximum(mag_lut[cols, code_idx].sum(axis=1), 1e-30))
+    approx = np.empty((len(q_ids), len(ids)), dtype=np.float64)
+    for row in range(len(q_ids)):
+        partial = luts[row][cols, code_idx].sum(axis=1)
+        if met == "EUCLIDEAN":
+            approx[row] = 1.0 / (1.0 + partial)
+        elif met == "DOT_PRODUCT":
+            approx[row] = (1.0 + partial) / 2.0
+        else:
+            approx[row] = (1.0 + partial / (mags * max(q_norms[row], 1e-30))) / 2.0
+    cand_idx, _ = kernels.topk_per_row(approx, rerank_k, ids=ids)
+    uniq = np.unique(cand_idx.ravel())
+    if nvq is not None:
+        nvq_codec, nvq_series, params_series = nvq
+        nvq_rows = np.frombuffer(
+            b"".join(nvq_series.iloc[uniq]), dtype=np.uint8
+        ).reshape(len(uniq), nvq_codec.dim)
+        nvq_params = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in params_series.iloc[uniq]]
+        )
+        x = nvq_codec.decode_numpy(nvq_rows, nvq_params)
+    else:
+        x = kernels.as_matrix(vec_rows.iloc[uniq])
+    pos_of = {int(u): j for j, u in enumerate(uniq)}
+    out_q, out_i, out_s = [], [], []
+    for row in range(len(q_ids)):
+        cand = cand_idx[row]
+        xs = x[[pos_of[int(c)] for c in cand]]
+        exact = kernels.similarity(met, q_mat[row][None, :], xs)[0]
+        top = min(k, len(cand))
+        # sort by exact score desc, id asc (T4 tie-break)
+        order = np.lexsort((ids[cand], -exact))[:top]
+        out_q.append(np.full(top, q_ids[row], dtype=np.int64))
+        out_i.append(ids[cand[order]])
+        out_s.append(exact[order])
+    return np.concatenate(out_q), np.concatenate(out_i), np.concatenate(out_s)
 
 
 class _PartStatsParam(AccumulatorParam):
@@ -580,8 +648,34 @@ class IVFIndex:
         accept_ids=None,
         ssp=None,
         n_probe_fine: int | None = None,
+        strategy: str = "auto",
+        m_hint: int | None = None,
     ) -> DataFrame:
         """Fused two-phase partition-pruned k-NN join over live segments.
+
+        ``strategy`` picks the query-side physical plan (the reference has
+        no query-count cap — searches are per-thread streams,
+        GraphSearcher.java:222; neither do we):
+
+        - ``broadcast``: queries are collected + broadcast, per-query ADC
+          LUTs are precomputed on the driver, and ONE fused scan of the
+          probed partitions scores them (point-query-batch path; capped at
+          ``BROADCAST_QUERY_CAP`` rows).
+        - ``distributed``: NO driver collect of either side. Probe
+          assignment runs as a map-only pass over the query DataFrame
+          (centroids broadcast), queries shuffle to their probed
+          ``part_id``s, and a 2-D blocked tile join (the
+          ``exact._knn_join_blocked`` shape keyed by (part_id, qb, cb))
+          runs the same fused ADC→rerank scoring per tile. The
+          corpus-as-queries path: bulk embedding joins, semantic dedup.
+        - ``auto``: ``broadcast`` at or below ``BROADCAST_QUERY_CAP`` query
+          rows, else ``distributed`` (LIMIT-probe, not a full count).
+
+        ``m_hint``: approximate query-side row count; skips the sizing
+        probe/count jobs (affects only routing + tile granularity, never
+        correctness). On the distributed route ``n_probe_fine`` is ignored
+        (a bulk query side's fine-probe union covers everything anyway —
+        recall can only improve).
 
         On a two-level index (``fine_factor > 0``), ``n_probe_fine`` probes
         only the union of each query's nearest fine sub-clusters: the
@@ -651,6 +745,22 @@ class IVFIndex:
         from jvector_spark.operators.exact import collect_point_query_batch
 
         rerank_k = max(k, int(round(overquery * k)))
+        if strategy == "auto":
+            if m_hint is not None:
+                big = m_hint > BROADCAST_QUERY_CAP
+            else:
+                big = (
+                    queries_df.limit(BROADCAST_QUERY_CAP + 1).count()
+                    > BROADCAST_QUERY_CAP
+                )
+            strategy = "distributed" if big else "broadcast"
+        if strategy == "distributed":
+            return self._search_distributed(
+                queries_df, metric, k, rerank_k, n_probe,
+                query_id_col, query_vec_col, predicate, accept_df, rerank, m_hint,
+            )
+        if strategy != "broadcast":
+            raise ValueError(f"unknown search strategy {strategy!r}")
         qrows = collect_point_query_batch(
             queries_df, query_id_col, query_vec_col, "IVFIndex.search"
         )
@@ -677,6 +787,27 @@ class IVFIndex:
             .filter(F.col("rank") <= k)
             .orderBy("qid", "rank")
         )
+
+    def search_page(
+        self,
+        queries_df: DataFrame,
+        page_size: int,
+        page: int,
+        **kwargs,
+    ) -> DataFrame:
+        """Paginated search through the index (J5; ref
+        ``GraphSearcher.resume(additionalK, ...)``,
+        GraphSearcher.java:509-547, which continues any search from its
+        evicted candidates). The batch analog re-runs with
+        ``k = (page+1)*page_size`` and keeps the page's rank slice —
+        deterministic under the score-desc/id-asc total order (T4), so
+        pages never overlap or skip; TakeOrdered-style bounded heaps mean
+        no full sort. Accepts every :meth:`search` kwarg (n_probe,
+        overquery, strategy, filters...). With exhaustive probes and a
+        rerank covering the probed rows the pages are provably exact."""
+        lo, hi = page * page_size, (page + 1) * page_size
+        full = self.search(queries_df, hi, **kwargs)
+        return full.filter(F.col("rank") > lo)
 
     def _segment_fused_scan(
         self,
@@ -759,7 +890,6 @@ class IVFIndex:
 
         def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             m, q_ids, q_mat, q_luts, mag_lut, q_norms, met, kk, keep, p2q, nvq_c = b.value
-            cols = np.arange(m)
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -768,58 +898,22 @@ class IVFIndex:
                     if not q_idx:
                         continue
                     ids = grp["id"].to_numpy(dtype=np.int64)
-                    codes = np.frombuffer(b"".join(grp["codes"]), dtype=np.uint8).reshape(
-                        len(grp), m
+                    code_idx = np.frombuffer(
+                        b"".join(grp["codes"]), dtype=np.uint8
+                    ).reshape(len(grp), m).astype(np.int64)
+                    # phase 1 ADC + phase 2 rerank (fp32, or dequantized NVQ
+                    # bytes — the reference's default rerank feature,
+                    # NVQScorer.java; parquet column pruning means the
+                    # 4-bytes/dim fp32 column is never read in that mode)
+                    qsel = np.asarray(q_idx)
+                    oq, oi, osc = _fused_block_topk(
+                        met, kk, keep,
+                        q_ids[qsel], q_mat[qsel], q_luts[qsel], mag_lut,
+                        q_norms[qsel], ids, code_idx,
+                        vec_rows=None if nvq_c is not None else grp["vec"],
+                        nvq=(nvq_c, grp["nvq"], grp["nvq_params"]) if nvq_c is not None else None,
                     )
-                    code_idx = codes.astype(np.int64)
-                    # phase 1: ADC approximate scores (nq, n)
-                    if met == "COSINE":
-                        mags = np.sqrt(np.maximum(mag_lut[cols, code_idx].sum(axis=1), 1e-30))
-                    approx = np.empty((len(q_idx), len(grp)), dtype=np.float64)
-                    for row, qi in enumerate(q_idx):
-                        partial = q_luts[qi][cols, code_idx].sum(axis=1)
-                        if met == "EUCLIDEAN":
-                            approx[row] = 1.0 / (1.0 + partial)
-                        elif met == "DOT_PRODUCT":
-                            approx[row] = (1.0 + partial) / 2.0
-                        else:
-                            approx[row] = (1.0 + partial / (mags * max(q_norms[qi], 1e-30))) / 2.0
-                    cand_idx, _ = kernels.topk_per_row(approx, keep, ids=ids)
-                    # phase 2: high-resolution rerank of the candidate union
-                    # only — from fp32, or dequantized NVQ bytes (the
-                    # reference's default rerank feature, NVQScorer.java;
-                    # parquet column pruning means the 4-bytes/dim fp32
-                    # column is never read in that mode)
-                    uniq = np.unique(cand_idx.ravel())
-                    if nvq_c is not None:
-                        nvq_rows = np.frombuffer(
-                            b"".join(grp["nvq"].iloc[uniq]), dtype=np.uint8
-                        ).reshape(len(uniq), nvq_c.dim)
-                        nvq_params = np.stack(
-                            [np.asarray(v, dtype=np.float64) for v in grp["nvq_params"].iloc[uniq]]
-                        )
-                        x = nvq_c.decode_numpy(nvq_rows, nvq_params)
-                    else:
-                        x = kernels.as_matrix(grp["vec"].iloc[uniq])
-                    pos_of = {int(u): j for j, u in enumerate(uniq)}
-                    out_q, out_i, out_s = [], [], []
-                    for row, qi in enumerate(q_idx):
-                        cand = cand_idx[row]
-                        xs = x[[pos_of[int(c)] for c in cand]]
-                        exact = kernels.similarity(met, q_mat[qi][None, :], xs)[0]
-                        top = min(kk, len(cand))
-                        # sort by exact score desc, id asc (T4 tie-break)
-                        order = np.lexsort((ids[cand], -exact))[:top]
-                        out_q.append(np.full(top, q_ids[qi], dtype=np.int64))
-                        out_i.append(ids[cand[order]])
-                        out_s.append(exact[order])
-                    yield pd.DataFrame(
-                        {
-                            "qid": np.concatenate(out_q),
-                            "id": np.concatenate(out_i),
-                            "score": np.concatenate(out_s),
-                        }
-                    )
+                    yield pd.DataFrame({"qid": oq, "id": oi, "score": osc})
 
         cols = (
             ["part_id", "id", "codes", "nvq", "nvq_params"]
@@ -830,12 +924,319 @@ class IVFIndex:
             scan, schema="qid long, id long, score double"
         )
 
+    # ------------------------------------------- distributed query side
+    def _assign_probes(
+        self,
+        queries_df: DataFrame,
+        info: dict,
+        n_probe: int,
+        qid_col: str,
+        qvec_col: str,
+        metric: str | None = None,
+        threshold: float | None = None,
+    ) -> DataFrame:
+        """Distributed probe assignment: a map-only pass over the query
+        DataFrame with the segment's centroids+stats broadcast (the
+        hierarchical-descent analog run where the queries live, not on the
+        driver — removes the reference-has-no-cap gap,
+        GraphSearcher.java:222). Emits one (part_id, qid, vec) row per
+        (query, probed partition).
+
+        ``threshold is None``: the ``n_probe`` nearest non-empty centroids
+        per query (same selection as the broadcast path). Otherwise: every
+        partition whose rigorous score upper bound (X4 stats) reaches
+        ``threshold`` — identical pruning to the broadcast path, so
+        threshold results stay exact on this route too."""
+        stats = {
+            key: info[key]
+            for key in (
+                "centroids", "radius", "ang_radius", "max_norm", "min_norm", "has_rows"
+            )
+        }
+        n_live = int(stats["has_rows"].sum())
+        if n_live == 0:
+            return self.spark.createDataFrame(
+                [], "part_id int, qid long, vec array<float>"
+            )
+        npb = int(max(1, min(n_probe, n_live))) if threshold is None else 0
+        bcast = self.spark.sparkContext.broadcast((stats, npb, metric, threshold))
+
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            st, npb_, met, thr = bcast.value
+            cents = st["centroids"]
+            live = st["has_rows"]
+            cc = np.einsum("ij,ij->i", cents, cents)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                qmat = kernels.as_matrix(pdf["vec"])
+                if thr is None:
+                    d = -2.0 * qmat @ cents.T + cc[None, :]  # dist^2 - ||q||^2
+                    d[:, ~live] = np.inf
+                    # probe membership is a set — argpartition, no sort
+                    sel = np.argpartition(d, npb_ - 1, axis=1)[:, :npb_]
+                    qi = np.repeat(np.arange(len(pdf)), npb_)
+                    pi = sel.ravel()
+                else:
+                    bound, _ = _partition_score_bounds(st, qmat, met)
+                    qi, pi = np.nonzero(bound + 1e-9 >= thr)
+                if len(qi) == 0:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "part_id": pi.astype(np.int32),
+                        "qid": pdf["qid"].to_numpy(dtype=np.int64)[qi],
+                        "vec": pdf["vec"].iloc[qi].reset_index(drop=True),
+                    }
+                )
+
+        qin = queries_df.select(
+            F.col(qid_col).alias("qid"), F.col(qvec_col).alias("vec")
+        )
+        return qin.mapInPandas(assign, schema="part_id int, qid long, vec array<float>")
+
+    def _search_distributed(
+        self,
+        queries_df: DataFrame,
+        metric: str,
+        k: int,
+        rerank_k: int,
+        n_probe: int,
+        qid_col: str,
+        qvec_col: str,
+        predicate,
+        accept_df: DataFrame | None,
+        rerank: str,
+        m_hint: int | None,
+    ) -> DataFrame:
+        """Uncapped k-NN search: neither side is ever driver-collected.
+
+        Per segment: distributed probe assignment, then a (part_id, qb, cb)
+        tile join running the same fused two-phase scoring as the broadcast
+        scan. Per-tile rerank_k can only ADD candidates relative to a
+        global rerank_k, so recall at a given overquery is >= the
+        broadcast path's (same argument as the Arrow-batch-local rerank)."""
+        m = int(m_hint) if m_hint is not None else queries_df.count()
+        use_nvq = rerank == "nvq"
+        parts = []
+        for seg in self.manifest.segments:
+            info = self._segments[seg.name]
+            n_live = max(1, int(info["has_rows"].sum()))
+            npb = max(1, min(n_probe, n_live))
+            spill = max(1, min(self.manifest.spill, n_live))
+            assigned = self._assign_probes(queries_df, info, npb, qid_col, qvec_col)
+            # expected per-partition tile loads (skewed partitions get
+            # proportionally bigger tiles; the per-512-query chunking inside
+            # the tile bounds peak memory regardless)
+            c_blocks = max(1, math.ceil(seg.n_rows * spill / n_live / _C_TILE))
+            q_blocks = max(1, math.ceil(m * npb / n_live / _Q_TILE))
+            parts.append(
+                self._segment_tile_scan(
+                    info, assigned, metric, k, rerank_k, c_blocks, q_blocks,
+                    predicate, accept_df, use_nvq, None,
+                )
+            )
+        scanned = parts[0]
+        for d in parts[1:]:
+            scanned = scanned.unionByName(d)  # J6: multi-segment merge
+        if self.manifest.spill > 1:
+            scanned = scanned.dropDuplicates(["qid", "id"])  # U3 dedup
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
+        return (
+            scanned.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .orderBy("qid", "rank")
+        )
+
+    def _segment_tile_scan(
+        self,
+        info: dict,
+        assigned: DataFrame,
+        metric: str,
+        k: int,
+        rerank_k: int,
+        c_blocks: int,
+        q_blocks: int,
+        predicate,
+        accept_df: DataFrame | None,
+        use_nvq: bool,
+        threshold: float | None,
+    ) -> DataFrame:
+        """2-D blocked tile join between probe assignments and the probed
+        scan — ``exact._knn_join_blocked``'s shape with ``part_id`` as an
+        extra key. Corpus rows hash into ``c_blocks`` and replicate across
+        ``q_blocks``; assignments hash into ``q_blocks`` and replicate
+        across ``c_blocks``; each (part_id, qb, cb) tile scores its pair
+        with the fused ADC->rerank kernel (threshold mode: exact fp32
+        scores + filter). Shuffle volume is O(stored·q_blocks +
+        assignments·c_blocks); no task holds more than ~one tile."""
+        data = self.spark.read.parquet(os.path.join(info["dir"], "data.parquet"))
+        # In-plan scan pruning, no driver collect: semi-join against the
+        # probed-partition set (<= MAX_CENTROIDS distinct values, broadcast;
+        # a partition-column join, so dynamic partition pruning can skip
+        # unprobed files entirely).
+        data = data.join(
+            F.broadcast(assigned.select("part_id").distinct()), "part_id", "semi"
+        )
+        data = self._apply_liveness(data)  # F2 tombstones
+        if predicate is not None:
+            data = data.filter(predicate)
+        if accept_df is not None:
+            data = data.join(accept_df, "id", "semi")  # F1 accept list
+
+        extra = []
+        if threshold is None:
+            extra.append("codes")
+            if use_nvq:
+                extra += ["nvq", "nvq_params"]
+        null_of = {"codes": "binary", "nvq": "binary", "nvq_params": "array<double>"}
+        c_base = data.select(
+            "part_id",
+            F.col("id").alias("rid"),
+            # NVQ rerank never reads the fp32 column (parquet prunes it)
+            (F.lit(None).cast("array<float>") if use_nvq and threshold is None else F.col("vec")).alias("vec"),
+            *[F.col(c) for c in extra],
+        )
+        c_side = (
+            c_base.withColumn(
+                "cb", F.pmod(F.xxhash64("rid"), F.lit(c_blocks)).cast("int")
+            )
+            .withColumn("qb", F.explode(F.array(*[F.lit(i) for i in range(q_blocks)])))
+            .withColumn("is_q", F.lit(0))
+        )
+        q_base = assigned.select(
+            "part_id",
+            F.col("qid").alias("rid"),
+            "vec",
+            *[F.lit(None).cast(null_of[c]).alias(c) for c in extra],
+        )
+        q_side = (
+            q_base.withColumn(
+                "qb", F.pmod(F.xxhash64("rid"), F.lit(q_blocks)).cast("int")
+            )
+            .withColumn("cb", F.explode(F.array(*[F.lit(i) for i in range(c_blocks)])))
+            .withColumn("is_q", F.lit(1))
+        )
+
+        pq_obj = info["pq"]
+        nvq_codec = None
+        if use_nvq and threshold is None:
+            from jvector_spark.operators.quantize.nvq import NVQuantizer
+
+            nvq_codec = NVQuantizer(dim=self.manifest.dim)
+        bt = self.spark.sparkContext.broadcast(
+            (pq_obj, metric, k, rerank_k, threshold, nvq_codec)
+        )
+
+        def tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            pq_o, met, kk, keep, thr, nvq_c = bt.value
+            empty = pd.DataFrame(
+                {
+                    "qid": pd.Series(dtype="int64"),
+                    "id": pd.Series(dtype="int64"),
+                    "score": pd.Series(dtype="float64"),
+                }
+            )
+            qs = pdf[pdf["is_q"] == 1]
+            cs = pdf[pdf["is_q"] == 0]
+            if len(qs) == 0 or len(cs) == 0:
+                return empty
+            ids = cs["rid"].to_numpy(dtype=np.int64)
+            q_ids = qs["rid"].to_numpy(dtype=np.int64)
+            q_mat_all = kernels.as_matrix(qs["vec"])
+            frames = []
+            if thr is not None:
+                cmat = kernels.as_matrix(cs["vec"])
+                for lo in range(0, len(q_ids), 512):
+                    scores = kernels.similarity(met, q_mat_all[lo : lo + 512], cmat)
+                    qi, ri = np.nonzero(scores >= thr)
+                    if len(qi) == 0:
+                        continue
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "qid": q_ids[lo : lo + 512][qi],
+                                "id": ids[ri],
+                                "score": scores[qi, ri],
+                            }
+                        )
+                    )
+                return pd.concat(frames, ignore_index=True) if frames else empty
+            code_idx = np.frombuffer(b"".join(cs["codes"]), dtype=np.uint8).reshape(
+                len(cs), pq_o.m
+            ).astype(np.int64)
+            mag = pq_o.magnitude_lut() if met == "COSINE" else None
+            cs_vec = None if nvq_c is not None else cs["vec"]
+            nvq_pack = (
+                (nvq_c, cs["nvq"], cs["nvq_params"]) if nvq_c is not None else None
+            )
+            # chunk the query axis so LUT stack + score matrix stay bounded
+            for lo in range(0, len(q_ids), 512):
+                q_mat = q_mat_all[lo : lo + 512]
+                luts = np.stack(
+                    [pq_o.adc_lut(q_mat[i], met) for i in range(len(q_mat))]
+                )
+                qn = np.linalg.norm(q_mat, axis=1)
+                oq, oi, osc = _fused_block_topk(
+                    met, kk, keep, q_ids[lo : lo + 512], q_mat, luts, mag, qn,
+                    ids, code_idx, vec_rows=cs_vec, nvq=nvq_pack,
+                )
+                frames.append(pd.DataFrame({"qid": oq, "id": oi, "score": osc}))
+            return pd.concat(frames, ignore_index=True) if frames else empty
+
+        return (
+            c_side.unionByName(q_side)
+            .groupBy("part_id", "qb", "cb")
+            .applyInPandas(tile, schema="qid long, id long, score double")
+        )
+
+    def _threshold_distributed(
+        self,
+        queries_df: DataFrame,
+        metric: str,
+        threshold: float,
+        qid_col: str,
+        qvec_col: str,
+    ) -> DataFrame:
+        """Uncapped threshold search: bound-pruned probe assignment runs
+        distributed; survivors are scored exactly at fp32 in the tile join,
+        so results remain EXACT (pruning only ever saves IO)."""
+        parts = []
+        for seg in self.manifest.segments:
+            info = self._segments[seg.name]
+            n_live = max(1, int(info["has_rows"].sum()))
+            spill = max(1, min(self.manifest.spill, n_live))
+            assigned = self._assign_probes(
+                queries_df, info, 0, qid_col, qvec_col,
+                metric=metric, threshold=threshold,
+            )
+            # ONE map-only pass sizes the tiles from the actual (bound-
+            # dependent, not knowable a priori) assignment count; the main
+            # job re-runs the same cheap lineage.
+            n_assign = assigned.count()
+            c_blocks = max(1, math.ceil(seg.n_rows * spill / n_live / _C_TILE))
+            q_blocks = max(1, math.ceil(n_assign / n_live / _Q_TILE))
+            parts.append(
+                self._segment_tile_scan(
+                    info, assigned, metric, 0, 0, c_blocks, q_blocks,
+                    None, None, False, threshold,
+                )
+            )
+        out = parts[0]
+        for d in parts[1:]:
+            out = out.unionByName(d)
+        if self.manifest.spill > 1:
+            out = out.dropDuplicates(["qid", "id"])
+        return out
+
     def threshold_search(
         self,
         queries_df: DataFrame,
         threshold: float,
         query_id_col: str = "qid",
         query_vec_col: str = "vec",
+        strategy: str = "auto",
+        m_hint: int | None = None,
     ) -> DataFrame:
         """Threshold query (J4) with rigorous partition pruning (X4 analog).
 
@@ -846,6 +1247,13 @@ class IVFIndex:
         IO — unlike the reference's probabilistic early stop
         (ScoreTracker.java:80-147), which trades recall.
 
+        ``strategy``: ``broadcast`` collects + broadcasts the query side
+        (capped at ``BROADCAST_QUERY_CAP``); ``distributed`` runs probe
+        assignment and scoring fully distributed (the corpus-as-queries
+        dedup path — exactness is preserved because pruning uses the same
+        bounds and survivors are scored identically); ``auto`` routes on
+        query-side size (``m_hint`` skips the LIMIT-probe job).
+
         Bounds per metric (c = centroid, r/theta/M = stored stats):
           EUCLIDEAN:   d(q,x) >= max(0, ||q-c|| - r)  -> 1/(1+d^2) bound
           COSINE:      angle(q,x) >= max(0, angle(q,c) - theta)
@@ -854,6 +1262,21 @@ class IVFIndex:
         from jvector_spark.operators.exact import collect_point_query_batch
 
         metric = self.manifest.metric
+        if strategy == "auto":
+            if m_hint is not None:
+                big = m_hint > BROADCAST_QUERY_CAP
+            else:
+                big = (
+                    queries_df.limit(BROADCAST_QUERY_CAP + 1).count()
+                    > BROADCAST_QUERY_CAP
+                )
+            strategy = "distributed" if big else "broadcast"
+        if strategy == "distributed":
+            return self._threshold_distributed(
+                queries_df, metric, threshold, query_id_col, query_vec_col
+            )
+        if strategy != "broadcast":
+            raise ValueError(f"unknown search strategy {strategy!r}")
         qrows = collect_point_query_batch(
             queries_df, query_id_col, query_vec_col, "IVFIndex.threshold_search"
         )

@@ -1,0 +1,133 @@
+"""Distributed (uncapped) query-side index search.
+
+The reference never caps a search's query stream (GraphSearcher.java:222
+is a per-thread loop; GraphIndexBuilder.java:327-335 runs corpus-sized
+query sets during build). The batch analog is a corpus-sized query
+DataFrame through ``IVFIndex.search`` / ``threshold_search`` — these tests
+push >BROADCAST_QUERY_CAP queries through the auto-route and prove
+(a) the distributed route returns EXACTLY the broadcast route's results
+    where both are defined (threshold mode, and exhaustive-probe top-k),
+(b) the auto-route engages above the cap without raising.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from jvector_spark.operators import exact
+from jvector_spark.operators.exact import BROADCAST_QUERY_CAP
+from jvector_spark.operators.index import IVFIndexBuilder
+
+DIM = 8
+
+
+def _mk_corpus(spark, rng, n, n_clusters=24):
+    """Clustered vectors (mixture of Gaussians) so IVF probing is
+    meaningful; the last 50 rows duplicate the first 50 (distinct ids) so
+    threshold/dedup queries always have exact-pair hits and tie-breaking
+    is exercised."""
+    centers = rng.normal(size=(n_clusters, DIM))
+    assign = rng.integers(0, n_clusters, size=n)
+    mat = centers[assign] + 0.15 * rng.normal(size=(n, DIM))
+    mat[n - 50 :] = mat[:50]
+    rows = [(int(i), [float(x) for x in mat[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "id long, vec array<float>")
+
+
+@pytest.fixture(scope="module")
+def big_setup(spark, rng, tmp_path_factory):
+    n = BROADCAST_QUERY_CAP + 300  # > the broadcast cap
+    corpus = _mk_corpus(spark, rng, n).cache()
+    corpus.count()
+    path = str(tmp_path_factory.mktemp("ivf_dist") / "index")
+    idx = IVFIndexBuilder(metric="COSINE", n_partitions=16, pq_m=4).fit(corpus, path)
+    yield corpus, idx, n
+    corpus.unpersist()
+
+
+def test_search_auto_routes_over_cap_exact_parity(spark, big_setup):
+    """Corpus-as-queries (> cap) auto-routes to the distributed tile join;
+    with exhaustive probes and rerank_k >= any tile's rows, stage 1 keeps
+    everything, so the result equals the exact blocked k-NN join bit for
+    bit (same fp32-storage inputs, same fp64 scoring, same T4 tie-break)."""
+    corpus, idx, n = big_setup
+    k = 5
+    queries = corpus.selectExpr("id as qid", "vec")
+    got = idx.search(
+        queries, k, n_probe=16, overquery=float(n) / k, m_hint=n
+    )  # auto -> distributed (m_hint > cap)
+    want = exact.knn_join(
+        corpus, queries, k, metric="COSINE", strategy="blocked",
+        n_hint=n, m_hint=n,
+    )
+    g = [(r["qid"], r["rank"], r["id"], round(r["score"], 9)) for r in got.collect()]
+    w = [(r["qid"], r["rank"], r["id"], round(r["score"], 9)) for r in want.collect()]
+    assert len(g) == n * k
+    assert sorted(g) == sorted(w)
+
+
+def test_search_distributed_matches_broadcast(spark, big_setup):
+    """Probe-selection parity at non-exhaustive n_probe: with rerank_k
+    covering every probed row, both routes are exact over their probed
+    subsets, so identical probe sets => identical results. (At partial
+    overquery the two routes' rerank cuts run at different batch
+    granularities — both within the documented batch-local contract — so
+    exact equality is only defined when the cut keeps everything.)"""
+    corpus, idx, n = big_setup
+    queries = corpus.limit(64).selectExpr("id as qid", "vec")
+    oq = float(n) / 10
+    a = idx.search(queries, 10, n_probe=4, overquery=oq, strategy="distributed")
+    b = idx.search(queries, 10, n_probe=4, overquery=oq, strategy="broadcast")
+    ga = [(r["qid"], r["rank"], r["id"], round(r["score"], 9)) for r in a.collect()]
+    gb = [(r["qid"], r["rank"], r["id"], round(r["score"], 9)) for r in b.collect()]
+    assert sorted(ga) == sorted(gb)
+
+
+def test_threshold_distributed_matches_broadcast(spark, big_setup):
+    """Threshold search is exact on BOTH routes -> identical result sets."""
+    corpus, idx, _ = big_setup
+    queries = corpus.limit(500).selectExpr("id as qid", "vec")
+    t = 0.97  # normalized cosine score
+    a = idx.threshold_search(queries, t, strategy="distributed")
+    b = idx.threshold_search(queries, t, strategy="broadcast")
+    ga = sorted((r["qid"], r["id"], round(r["score"], 9)) for r in a.collect())
+    gb = sorted((r["qid"], r["id"], round(r["score"], 9)) for r in b.collect())
+    assert len(ga) > 0
+    assert ga == gb
+
+
+def test_threshold_auto_routes_over_cap(spark, big_setup):
+    """Corpus-as-queries threshold search (the semantic-dedup shape) runs
+    uncapped and matches the exact brute-force pair set."""
+    corpus, idx, n = big_setup
+    queries = corpus.selectExpr("id as qid", "vec")
+    t = 0.995
+    got = idx.threshold_search(queries, t, m_hint=n)  # auto -> distributed
+    pairs = sorted(
+        (r["qid"], r["id"]) for r in got.filter(F.col("qid") < F.col("id")).collect()
+    )
+    # brute-force oracle on the driver (fp32 storage, fp64 scoring)
+    rows = corpus.orderBy("id").collect()
+    mat = np.asarray([r["vec"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    want = []
+    for i in range(len(rows)):
+        cos = (mat[i + 1 :] @ mat[i]) / np.maximum(norms[i + 1 :] * norms[i], 1e-30)
+        for j in np.flatnonzero((1.0 + cos) / 2.0 >= t):
+            want.append((rows[i]["id"], rows[i + 1 + j]["id"]))
+    assert pairs == sorted(want)
+
+
+def test_search_distributed_respects_filters(spark, big_setup):
+    """predicate + accept-list DataFrames flow through the distributed
+    route: results only ever contain accepted, live ids."""
+    corpus, idx, _ = big_setup
+    queries = corpus.limit(32).selectExpr("id as qid", "vec")
+    accept = corpus.select("id").filter(F.col("id") % 2 == 0)
+    res = idx.search(
+        queries, 5, n_probe=8, strategy="distributed", accept_ids=accept
+    ).collect()
+    assert len(res) > 0
+    assert all(r["id"] % 2 == 0 for r in res)

@@ -138,3 +138,18 @@ def test_duplicate_clusters_known_components(spark):
     )
     got = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_duplicate_clusters_long_chain_round_budget(spark):
+    """A 1,000-node chain (diameter 999) must converge under a small
+    round budget: path halving makes rounds O(log diameter) (~12 here),
+    where plain min-propagation would need ~999 and overrun any sane
+    max_iterations."""
+    from jvector_spark.pipeline.cluster import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(999)], "doc_a long, doc_b long"
+    )
+    got = duplicate_clusters(pairs, max_iterations=20).collect()
+    assert len(got) == 1000
+    assert all(r["cluster_id"] == 0 for r in got)
