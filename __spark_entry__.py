@@ -800,6 +800,37 @@ def _ann_ivf_nvq(spark: SparkSession, sf_dir: str) -> DataFrame:
 _oracle("ann_ivf_nvq", _gate_oracle(n_results=10))
 
 
+@_register("ann_ivf_anisotropic")
+def _ann_ivf_anisotropic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with ANISOTROPIC PQ codebooks on the dot-product corpus
+    (ScaNN-style parallel-residual weighting; ref
+    ProductQuantization.java:101-104 `anisotropicThreshold`,
+    KMeansPlusPlusClusterer.java:140-147): codebooks minimize the error
+    component that perturbs dot-product RANKINGS instead of total
+    reconstruction error. Recall-gated like ann_ivf_topk: per-query
+    recall@10 vs the exact oracle >= 0.5 (training is seeded, so the gate
+    booleans are deterministic)."""
+    import tempfile
+
+    from jvector_spark.operators import exact
+    from jvector_spark.operators.index import IVFIndexBuilder
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    tmp = tempfile.mkdtemp(prefix="jvs_entry_aniso_")
+    idx = IVFIndexBuilder(
+        metric="DOT_PRODUCT", pq_m=8, anisotropic_threshold=0.2
+    ).fit(corpus, tmp)
+    assert idx.manifest.anisotropic_threshold == 0.2
+    queries = corpus.filter(F.col("id") < 16).selectExpr("id as qid", "vec")
+    res = idx.search(queries, k=10, n_probe=16, overquery=8.0)
+    gt = exact.knn_join(corpus, queries, k=10, metric="DOT_PRODUCT", strategy="numpy")
+    return _recall_gate(res, gt, min_hits=5)
+
+
+_oracle("ann_ivf_anisotropic", _gate_oracle(n_results=10))
+
+
 @_register("knn_paginated_ivf")
 def _knn_paginated_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pagination THROUGH the index (J5 parity with the exact path; ref
@@ -841,6 +872,30 @@ r AS (
   FROM s
 )
 SELECT qid, id, ROUND(_s, 6) AS score, rank FROM r WHERE rank > 10 AND rank <= 20
+""",
+)
+
+
+@_register("ordinal_renumber")
+def _ordinal_renumber(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 ordinal projection (ref graph/disk/OrdinalMapper.java:30-114,
+    RemappedRandomAccessVectorValues.java): densify a corpus-with-holes
+    (every doc_id % 3 == 0 removed — the post-deletion shape compaction
+    renumbers) to ordinals 0..n-1 in id order. Runs the distributed
+    bucketed prefix-sum plan, NOT a single-partition global row_number;
+    the result is provably identical, so the full hash oracle applies."""
+    from jvector_spark.operators.ordinal import dense_ordinals
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 3 != 0)
+    return dense_ordinals(docs, id_col="doc_id").select("doc_id", "ordinal")
+
+
+_oracle(
+    "ordinal_renumber",
+    """
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS ordinal
+FROM documents WHERE doc_id % 3 <> 0
 """,
 )
 

@@ -65,6 +65,39 @@ MAX_CENTROIDS = 4096  # keep the broadcast "upper layer" small
 
 _DATA_SCHEMA = "id long, vec array<float>, codes binary, part_id int"
 
+# byte-wise popcount table for the BQ hamming stage-1 (numpy in this env has
+# no vectorized bit_count on uint64; a uint8-view LUT gather is BLAS-free
+# but stays fully vectorized)
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _load_codec(path: str):
+    """Load a segment's stage-1 codec by its params.json discriminator
+    (X5 VectorCompressor SPI: "pq" -> ADC LUTs, "bq" -> sign-bit hamming,
+    ref BuildScoreProvider.java:170-212 treating BQ as a first-class
+    build/search scorer)."""
+    import json
+
+    with open(os.path.join(path, "params.json")) as f:
+        kind = json.load(f).get("type", "pq")
+    if kind == "bq":
+        from jvector_spark.operators.quantize.bq import BinaryQuantizer
+
+        return BinaryQuantizer.load(path)
+    return ProductQuantizer.load(path)
+
+
+def _bq_hamming_block(q_words: np.ndarray, c_words: np.ndarray, dim: int) -> np.ndarray:
+    """(mq, words) x (n, words) packed uint64 -> 1 - hamming/dim (the BQ
+    similarity proxy, BQVectors.java:116-117), vectorized via a uint8
+    popcount LUT. Callers chunk the query axis so the (mq, n, 8*words)
+    intermediate stays bounded."""
+    x = np.bitwise_xor(q_words[:, None, :], c_words[None, :, :])
+    pop = _POP8[x.view(np.uint8).reshape(len(q_words), len(c_words), -1)].sum(
+        axis=2, dtype=np.int64
+    )
+    return 1.0 - pop / float(dim)
+
 
 def _fused_block_topk(
     met: str,
@@ -79,11 +112,16 @@ def _fused_block_topk(
     code_idx: np.ndarray,
     vec_rows=None,
     nvq=None,
+    bq=None,
 ):
     """Fused two-phase scoring of one (query block × row block).
 
-    Phase 1: ADC approximate scores from the PQ codes (``luts`` is the
-    per-query ADC LUT stack); keep the block-local top ``rerank_k``.
+    Phase 1: approximate scores from the stage-1 codec — ADC over PQ codes
+    (``luts`` is the per-query LUT stack) or, when ``bq`` is given as
+    (q_words, dim), hamming over packed sign bits (``code_idx`` is then the
+    (n, words) uint64 word matrix; hamming is a metric-agnostic ranking
+    proxy, exactly the reference's BQ first pass,
+    BuildScoreProvider.java:170-212). Keep the block-local top ``rerank_k``.
     Phase 2: high-resolution rerank of just those rows — from fp32
     (``vec_rows``: the batch's vec column) or dequantized NVQ bytes
     (``nvq`` = (codec, nvq_series, params_series)) — then per-query exact
@@ -92,19 +130,23 @@ def _fused_block_topk(
     Shared by the broadcast-query scan and the distributed tile join so
     both routes score identically. Returns (qid, id, score) arrays.
     """
-    m = code_idx.shape[1]
-    cols = np.arange(m)
-    if met == "COSINE":
-        mags = np.sqrt(np.maximum(mag_lut[cols, code_idx].sum(axis=1), 1e-30))
-    approx = np.empty((len(q_ids), len(ids)), dtype=np.float64)
-    for row in range(len(q_ids)):
-        partial = luts[row][cols, code_idx].sum(axis=1)
-        if met == "EUCLIDEAN":
-            approx[row] = 1.0 / (1.0 + partial)
-        elif met == "DOT_PRODUCT":
-            approx[row] = (1.0 + partial) / 2.0
-        else:
-            approx[row] = (1.0 + partial / (mags * max(q_norms[row], 1e-30))) / 2.0
+    if bq is not None:
+        q_words, bq_dim = bq
+        approx = _bq_hamming_block(q_words, code_idx, bq_dim)
+    else:
+        m = code_idx.shape[1]
+        cols = np.arange(m)
+        if met == "COSINE":
+            mags = np.sqrt(np.maximum(mag_lut[cols, code_idx].sum(axis=1), 1e-30))
+        approx = np.empty((len(q_ids), len(ids)), dtype=np.float64)
+        for row in range(len(q_ids)):
+            partial = luts[row][cols, code_idx].sum(axis=1)
+            if met == "EUCLIDEAN":
+                approx[row] = 1.0 / (1.0 + partial)
+            elif met == "DOT_PRODUCT":
+                approx[row] = (1.0 + partial) / 2.0
+            else:
+                approx[row] = (1.0 + partial / (mags * max(q_norms[row], 1e-30))) / 2.0
     cand_idx, _ = kernels.topk_per_row(approx, rerank_k, ids=ids)
     uniq = np.unique(cand_idx.ravel())
     if nvq is not None:
@@ -166,6 +208,8 @@ class IVFIndexBuilder:
         spill: int = 2,
         rerank: str = "fp32",
         fine_factor: int = 0,
+        first_pass: str = "pq",
+        anisotropic_threshold: float | None = None,
     ):
         # The index hardwires the builtin metrics: ADC LUT construction,
         # partition-pruning bounds, and normalization all branch on them.
@@ -194,6 +238,23 @@ class IVFIndexBuilder:
         if rerank not in ("fp32", "nvq"):
             raise ValueError(f"rerank must be 'fp32' or 'nvq', got {rerank!r}")
         self.rerank = rerank
+        # first_pass picks the stage-1 candidate codec (X5 SPI; ref
+        # BuildScoreProvider.java:170-212 — BQ is a first-class build/search
+        # scorer, not just a standalone operator): "pq" = ADC LUT scoring,
+        # "bq" = one sign bit/dim + hamming (no training, 8x smaller codes
+        # than pq_m=8 on 64-dim, cheaper builds; coarser ranking — buy
+        # recall back with overquery).
+        if first_pass not in ("pq", "bq"):
+            raise ValueError(f"first_pass must be 'pq' or 'bq', got {first_pass!r}")
+        self.first_pass = first_pass
+        # Anisotropic PQ codebooks (ScaNN-style parallel-residual weighting;
+        # ref ProductQuantization.java:101-104 `anisotropicThreshold`,
+        # KMeansPlusPlusClusterer.java:140-147): better ADC ranking for
+        # dot-product / cosine scored corpora. None = isotropic (default,
+        # matching the reference's UNWEIGHTED default).
+        if anisotropic_threshold is not None and first_pass == "bq":
+            raise ValueError("anisotropic_threshold applies to the PQ first pass only")
+        self.anisotropic_threshold = anisotropic_threshold
         # fine_factor > 0 adds a second centroid level (IMI-style two-level
         # IVF): every row gets a global ``sub_id`` (nearest of
         # fine_factor * n_partitions fine centroids), data files are sorted
@@ -334,7 +395,18 @@ class IVFIndexBuilder:
         n_parts = self.n_partitions or max(1, min(MAX_CENTROIDS, int(math.sqrt(max(n, 1)))))
 
         centroids = kmeans_pp(sample, n_parts, self.kmeans_iterations, self.seed)
-        if warm_pq is not None and warm_pq.dim == dim and warm_pq.m == self.pq_m:
+        if self.first_pass == "bq":
+            # BQ stage-1: stateless sign-bit codec, nothing to train (ref
+            # BinaryQuantization.java:88-111)
+            from jvector_spark.operators.quantize.bq import BinaryQuantizer
+
+            pq = BinaryQuantizer(dim=dim)
+        elif (
+            warm_pq is not None
+            and isinstance(warm_pq, ProductQuantizer)
+            and warm_pq.dim == dim
+            and warm_pq.m == self.pq_m
+        ):
             # PQRetrainer analog (ref PQRetrainer.java:42-89): fine-tune the
             # existing codebooks on the fresh sample instead of retraining
             # from scratch — fewer Lloyd's rounds, no codebook churn across
@@ -345,6 +417,7 @@ class IVFIndexBuilder:
                 sample, m=self.pq_m, clusters=self.pq_clusters,
                 center=(self.metric == "EUCLIDEAN"),
                 iterations=self.kmeans_iterations, seed=self.seed,
+                anisotropic_threshold=self.anisotropic_threshold,
             )
 
         seg_dir = os.path.join(path, "segments", seg_name)
@@ -479,6 +552,8 @@ class IVFIndexBuilder:
                 dim=dim, metric=self.metric, pq_m=self.pq_m,
                 pq_clusters=self.pq_clusters, n_partitions=self.n_partitions,
                 spill=self.spill, rerank=self.rerank, fine_factor=self.fine_factor,
+                first_pass=self.first_pass,
+                anisotropic_threshold=self.anisotropic_threshold,
             )
         manifest.segments.append(SegmentInfo(name=seg_name, n_rows=n, n_partitions=int(len(centroids))))
         return manifest
@@ -584,7 +659,7 @@ class IVFIndex:
             "min_norm": minnorm,
             "has_rows": has_rows,
             "fine": fine,
-            "pq": ProductQuantizer.load(os.path.join(seg_dir, "pq")),
+            "pq": _load_codec(os.path.join(seg_dir, "pq")),
         }
 
     # ------------------------------------------------------------------ load
@@ -873,8 +948,15 @@ class IVFIndex:
             # side is small, and a shuffled join when it is corpus-sized
             data = data.join(accept_df, "id", "semi")
 
-        luts = np.stack([pq.adc_lut(qmat[i], metric) for i in range(len(qids))])
-        mag = pq.magnitude_lut() if metric == "COSINE" else None
+        # stage-1 query-side precompute, by codec kind (X5 SPI)
+        from jvector_spark.operators.quantize.bq import BinaryQuantizer
+
+        if isinstance(pq, BinaryQuantizer):
+            stage1 = ("bq", pq.encode_numpy(qmat), pq.dim, pq.words)
+        else:
+            luts = np.stack([pq.adc_lut(qmat[i], metric) for i in range(len(qids))])
+            mag = pq.magnitude_lut() if metric == "COSINE" else None
+            stage1 = ("pq", luts, mag, pq.m)
         qnorms = np.linalg.norm(qmat, axis=1)
         part_to_queries = part_to_queries_raw
         use_nvq = (rerank or self.manifest.rerank) == "nvq"
@@ -884,12 +966,12 @@ class IVFIndex:
 
             nvq_codec = NVQuantizer(dim=self.manifest.dim)
         b = self.spark.sparkContext.broadcast(
-            (pq.m, qids, qmat, luts, mag, qnorms, metric, k, rerank_k, part_to_queries,
+            (stage1, qids, qmat, qnorms, metric, k, rerank_k, part_to_queries,
              nvq_codec)
         )
 
         def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            m, q_ids, q_mat, q_luts, mag_lut, q_norms, met, kk, keep, p2q, nvq_c = b.value
+            s1, q_ids, q_mat, q_norms, met, kk, keep, p2q, nvq_c = b.value
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -898,20 +980,30 @@ class IVFIndex:
                     if not q_idx:
                         continue
                     ids = grp["id"].to_numpy(dtype=np.int64)
-                    code_idx = np.frombuffer(
-                        b"".join(grp["codes"]), dtype=np.uint8
-                    ).reshape(len(grp), m).astype(np.int64)
-                    # phase 1 ADC + phase 2 rerank (fp32, or dequantized NVQ
-                    # bytes — the reference's default rerank feature,
-                    # NVQScorer.java; parquet column pruning means the
-                    # 4-bytes/dim fp32 column is never read in that mode)
                     qsel = np.asarray(q_idx)
+                    if s1[0] == "bq":
+                        _, q_words, bdim, words = s1
+                        code_idx = np.frombuffer(
+                            b"".join(grp["codes"]), dtype=np.uint64
+                        ).reshape(len(grp), words)
+                        luts_sel, mag_lut, bq_pack = None, None, (q_words[qsel], bdim)
+                    else:
+                        _, q_luts, mag_lut, m = s1
+                        code_idx = np.frombuffer(
+                            b"".join(grp["codes"]), dtype=np.uint8
+                        ).reshape(len(grp), m).astype(np.int64)
+                        luts_sel, bq_pack = q_luts[qsel], None
+                    # phase 1 ADC/hamming + phase 2 rerank (fp32, or
+                    # dequantized NVQ bytes — the reference's default rerank
+                    # feature, NVQScorer.java; parquet column pruning means
+                    # the 4-bytes/dim fp32 column is never read in that mode)
                     oq, oi, osc = _fused_block_topk(
                         met, kk, keep,
-                        q_ids[qsel], q_mat[qsel], q_luts[qsel], mag_lut,
+                        q_ids[qsel], q_mat[qsel], luts_sel, mag_lut,
                         q_norms[qsel], ids, code_idx,
                         vec_rows=None if nvq_c is not None else grp["vec"],
                         nvq=(nvq_c, grp["nvq"], grp["nvq_params"]) if nvq_c is not None else None,
+                        bq=bq_pack,
                     )
                     yield pd.DataFrame({"qid": oq, "id": oi, "score": osc})
 
@@ -1162,10 +1254,19 @@ class IVFIndex:
                         )
                     )
                 return pd.concat(frames, ignore_index=True) if frames else empty
-            code_idx = np.frombuffer(b"".join(cs["codes"]), dtype=np.uint8).reshape(
-                len(cs), pq_o.m
-            ).astype(np.int64)
-            mag = pq_o.magnitude_lut() if met == "COSINE" else None
+            from jvector_spark.operators.quantize.bq import BinaryQuantizer as _BQ
+
+            is_bq = isinstance(pq_o, _BQ)
+            if is_bq:
+                code_idx = np.frombuffer(
+                    b"".join(cs["codes"]), dtype=np.uint64
+                ).reshape(len(cs), pq_o.words)
+                mag = None
+            else:
+                code_idx = np.frombuffer(
+                    b"".join(cs["codes"]), dtype=np.uint8
+                ).reshape(len(cs), pq_o.m).astype(np.int64)
+                mag = pq_o.magnitude_lut() if met == "COSINE" else None
             cs_vec = None if nvq_c is not None else cs["vec"]
             nvq_pack = (
                 (nvq_c, cs["nvq"], cs["nvq_params"]) if nvq_c is not None else None
@@ -1173,13 +1274,17 @@ class IVFIndex:
             # chunk the query axis so LUT stack + score matrix stay bounded
             for lo in range(0, len(q_ids), 512):
                 q_mat = q_mat_all[lo : lo + 512]
-                luts = np.stack(
-                    [pq_o.adc_lut(q_mat[i], met) for i in range(len(q_mat))]
-                )
+                if is_bq:
+                    luts, bq_pack = None, (pq_o.encode_numpy(q_mat), pq_o.dim)
+                else:
+                    luts = np.stack(
+                        [pq_o.adc_lut(q_mat[i], met) for i in range(len(q_mat))]
+                    )
+                    bq_pack = None
                 qn = np.linalg.norm(q_mat, axis=1)
                 oq, oi, osc = _fused_block_topk(
                     met, kk, keep, q_ids[lo : lo + 512], q_mat, luts, mag, qn,
-                    ids, code_idx, vec_rows=cs_vec, nvq=nvq_pack,
+                    ids, code_idx, vec_rows=cs_vec, nvq=nvq_pack, bq=bq_pack,
                 )
                 frames.append(pd.DataFrame({"qid": oq, "id": oi, "score": osc}))
             return pd.concat(frames, ignore_index=True) if frames else empty
@@ -1388,6 +1493,8 @@ class IVFIndex:
             spill=self.manifest.spill,
             rerank=self.manifest.rerank,
             fine_factor=self.manifest.fine_factor,
+            first_pass=self.manifest.first_pass,
+            anisotropic_threshold=self.manifest.anisotropic_threshold,
         )
         if df.isEmpty():  # limit-1 probe, far cheaper than a count
             return
@@ -1410,6 +1517,8 @@ class IVFIndex:
             spill=self.manifest.spill,
             rerank=self.manifest.rerank,
             fine_factor=self.manifest.fine_factor,
+            first_pass=self.manifest.first_pass,
+            anisotropic_threshold=self.manifest.anisotropic_threshold,
         )
         seg_name = f"seg-{self.manifest.version:06d}c"
         fresh = IndexManifest(
@@ -1421,6 +1530,8 @@ class IVFIndex:
             spill=self.manifest.spill,
             rerank=self.manifest.rerank,
             fine_factor=self.manifest.fine_factor,
+            first_pass=self.manifest.first_pass,
+            anisotropic_threshold=self.manifest.anisotropic_threshold,
             version=self.manifest.version,
         )
         # warm-start PQ from the largest live segment's codebooks (the
@@ -1455,6 +1566,7 @@ class IVFIndex:
             "metric": self.manifest.metric,
             "spill": self.manifest.spill,
             "rerank": self.manifest.rerank,
+            "first_pass": self.manifest.first_pass,
             "fine_factor": self.manifest.fine_factor,
             "segments": [],
         }

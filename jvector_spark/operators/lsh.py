@@ -70,6 +70,8 @@ def rp_lsh_knn_join(
     predicate=None,
     accept_ids=None,
     n_hint: int | None = None,
+    strategy: str = "auto",
+    m_hint: int | None = None,
 ) -> DataFrame:
     """Approximate k-NN join via random-hyperplane LSH + exact rerank.
 
@@ -81,6 +83,18 @@ def rp_lsh_knn_join(
     auto-sizing ``count()`` is skipped when the caller passes ``n_hint``
     (an approximate corpus row count — loops over the same corpus should
     count once and hint, not pay a scan per call).
+
+    ``strategy``: ``broadcast`` collects + broadcasts the query side and
+    runs the fused single-pass corpus scan (point-query-batch path, capped
+    at ``BROADCAST_QUERY_CAP``); ``distributed`` hashes BOTH sides
+    map-only and equi-joins on the bucket key — no driver collect, the
+    same shuffle shape as the MinHash-LSH dedup self-join, with AQE's
+    skew-join handling hot buckets — scoring JVM-side per collision;
+    ``auto`` routes on query-side size (``m_hint`` skips the probe job).
+    Candidate SETS are identical on both routes (same planes, same
+    buckets); reported scores are float64 on both but summed in different
+    orders (BLAS vs codegen), so last-ulp rank flips between routes are
+    possible on near-tied pairs.
 
     ``predicate`` (Column) / ``accept_ids`` (DataFrame with an ``id``
     column, or an id collection) restrict the corpus BEFORE hashing and
@@ -99,8 +113,23 @@ def rp_lsh_knn_join(
     if n_planes is None:
         n = n_hint if n_hint is not None else corpus.count()
         n_planes = max(3, min(24, int(math.ceil(math.log2(max(n / 64.0, 2.0))))))
-    from jvector_spark.operators.exact import collect_point_query_batch
+    from jvector_spark.operators.exact import BROADCAST_QUERY_CAP, collect_point_query_batch
 
+    if strategy == "auto":
+        if m_hint is not None:
+            big = m_hint > BROADCAST_QUERY_CAP
+        else:
+            big = (
+                queries.limit(BROADCAST_QUERY_CAP + 1).count() > BROADCAST_QUERY_CAP
+            )
+        strategy = "distributed" if big else "broadcast"
+    if strategy == "distributed":
+        return _rp_lsh_distributed(
+            corpus, queries, k, metric, n_planes, probe_bits, seed,
+            id_col, vec_col, query_id_col, query_vec_col,
+        )
+    if strategy != "broadcast":
+        raise ValueError(f"unknown strategy {strategy!r}")
     qrows = collect_point_query_batch(queries, query_id_col, query_vec_col, "rp_lsh_knn_join")
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
@@ -162,6 +191,87 @@ def rp_lsh_knn_join(
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
     return (
         candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("qid", "rank")
+    )
+
+
+def _rp_lsh_distributed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    metric: str,
+    n_planes: int,
+    probe_bits: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+) -> DataFrame:
+    """Uncapped LSH join: both sides hash map-only (planes broadcast),
+    candidates come from a bucket-key equi-join — the shuffle carries
+    (key, id, vec) rows, exactly the MinHash-LSH dedup shape
+    (``pipeline/dedup.py``), and AQE's skew-join splits hot buckets.
+    Each row lands in ONE bucket, so a (query, row) pair collides at most
+    once — no dedup needed. Scoring is the JVM ``similarity`` expression
+    per collision (whole-stage codegen; X1 registry metrics with a Column
+    builder work too), then the usual per-query top-k window."""
+    from jvector_spark.functions.similarity import similarity as col_similarity
+
+    sc = corpus.sparkSession.sparkContext
+    dim = len(queries.select(query_vec_col).first()[0])
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_planes, dim))
+    planes /= np.linalg.norm(planes, axis=1, keepdims=True)
+    b = sc.broadcast((planes, probe_bits))
+
+    def hash_corpus(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl, _ = b.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = kernels.as_matrix(pdf[vec_col])
+            yield pd.DataFrame(
+                {
+                    "bkey": _bucket_of(x, pl),
+                    "id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "cvec": pdf[vec_col],
+                }
+            )
+
+    def hash_queries(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl, pb = b.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = kernels.as_matrix(pdf[query_vec_col])
+            keys, reps = [], []
+            for i in range(len(pdf)):
+                bks = _probe_buckets(x[i], pl, pb)
+                keys.append(bks)
+                reps.append(len(bks))
+            rep_idx = np.repeat(np.arange(len(pdf)), reps)
+            yield pd.DataFrame(
+                {
+                    "bkey": np.concatenate(keys),
+                    "qid": pdf[query_id_col].to_numpy(dtype=np.int64)[rep_idx],
+                    "qvec": pdf[query_vec_col].iloc[rep_idx].reset_index(drop=True),
+                }
+            )
+
+    c_side = corpus.select(id_col, vec_col).mapInPandas(
+        hash_corpus, schema="bkey long, id long, cvec array<float>"
+    )
+    q_side = queries.select(query_id_col, query_vec_col).mapInPandas(
+        hash_queries, schema="bkey long, qid long, qvec array<float>"
+    )
+    pairs = c_side.join(q_side, "bkey").select(
+        "qid", "id", col_similarity(metric, F.col("cvec"), F.col("qvec")).alias("score")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .orderBy("qid", "rank")
     )

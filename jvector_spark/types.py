@@ -48,6 +48,8 @@ class IndexManifest:
     n_partitions: int | None = None  # build config; None = auto (~sqrt(n))
     spill: int = 1  # copies per vector (multi-assignment recall boost)
     rerank: str = "fp32"  # stage-2 resolution: "fp32" | "nvq" (FeatureId analog)
+    first_pass: str = "pq"  # stage-1 codec: "pq" (ADC) | "bq" (hamming)
+    anisotropic_threshold: float | None = None  # ScaNN-style PQ objective
     fine_factor: int = 0  # fine sub-clusters per coarse partition (0 = off)
     segments: list[SegmentInfo] = field(default_factory=list)
     version: int = 0

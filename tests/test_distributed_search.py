@@ -131,3 +131,36 @@ def test_search_distributed_respects_filters(spark, big_setup):
     ).collect()
     assert len(res) > 0
     assert all(r["id"] % 2 == 0 for r in res)
+
+
+def test_lsh_distributed_matches_broadcast(spark, big_setup):
+    """The bucket-key equi-join route visits the SAME candidate sets as
+    the fused broadcast scan (same seeded planes, same multiprobe), so
+    top-k membership agrees; scores are float64 on both routes."""
+    from jvector_spark.operators.lsh import rp_lsh_knn_join
+
+    corpus, _, _ = big_setup
+    queries = corpus.limit(200).selectExpr("id as qid", "vec")
+    a = rp_lsh_knn_join(
+        corpus, queries, 5, n_planes=6, probe_bits=2, strategy="distributed"
+    )
+    b = rp_lsh_knn_join(
+        corpus, queries, 5, n_planes=6, probe_bits=2, strategy="broadcast"
+    )
+    ga = sorted((r["qid"], r["id"]) for r in a.collect())
+    gb = sorted((r["qid"], r["id"]) for r in b.collect())
+    assert ga == gb
+
+
+def test_lsh_auto_routes_over_cap(spark, big_setup):
+    """Corpus-as-queries LSH join (> cap) runs uncapped end to end."""
+    from jvector_spark.operators.lsh import rp_lsh_knn_join
+
+    corpus, _, n = big_setup
+    queries = corpus.selectExpr("id as qid", "vec")
+    res = rp_lsh_knn_join(
+        corpus, queries, 3, n_planes=6, probe_bits=1, m_hint=n
+    ).cache()
+    assert res.select("qid").distinct().count() == n  # every query answered
+    assert res.groupBy("qid").count().agg(F.max("count")).first()[0] <= 3
+    res.unpersist()

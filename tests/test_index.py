@@ -320,3 +320,67 @@ def test_skewed_partition_sampling_unbiased(spark):
     assert n == 2000
     share = float((sample[:, 0] > 0).mean())
     assert 0.8 <= share <= 0.98, f"big-partition sample share {share}, want ~0.9"
+
+
+def test_bq_first_pass_codec(spark, corpus_df, queries_df, tmp_path_factory):
+    """first_pass='bq' (ref BuildScoreProvider.java:170-212,
+    BinaryQuantization.java:88-111: BQ as a first-class build/search
+    scorer): sign-bit codes + hamming drive stage 1, fp32 rerank stage 2.
+    At equal overquery BQ's coarser ranking loses some recall vs PQ ADC
+    but must stay in the same regime, survive save/load, and the
+    broadcast and distributed routes must agree with each other."""
+    df, _ = corpus_df
+    p1 = str(tmp_path_factory.mktemp("ivf_bq") / "index")
+    p2 = str(tmp_path_factory.mktemp("ivf_pq") / "index")
+    idx_bq = IVFIndexBuilder(
+        metric="COSINE", n_partitions=32, first_pass="bq"
+    ).fit(df, p1)
+    idx_pq = IVFIndexBuilder(metric="COSINE", n_partitions=32, pq_m=8).fit(df, p2)
+    assert idx_bq.manifest.first_pass == "bq"
+    # codes column stores packed uint64 words, not PQ bytes
+    seg = idx_bq.manifest.segments[0].name
+    row = idx_bq._segment_data(seg).select("codes").first()
+    assert len(row["codes"]) == 8 * ((DIM + 63) // 64)
+
+    gt = exact.knn_join(df, queries_df, K, metric="COSINE", strategy="numpy").cache()
+    gt.count()
+    r_bq = recall_at_k(idx_bq.search(queries_df, K, n_probe=16, overquery=8.0), gt, K)
+    r_pq = recall_at_k(idx_pq.search(queries_df, K, n_probe=16, overquery=8.0), gt, K)
+    assert r_bq >= 0.5, f"bq recall@{K}={r_bq}"
+    assert r_bq >= r_pq - 0.35, f"bq={r_bq} pq={r_pq}"
+
+    # save/load roundtrip re-resolves the codec from params.json
+    reloaded = IVFIndex.load(spark, p1)
+    a = reloaded.search(queries_df, K, n_probe=16, overquery=8.0).collect()
+    b = idx_bq.search(queries_df, K, n_probe=16, overquery=8.0).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    # distributed route shares the same stage-1: full-partition rerank
+    # makes both routes exact over the probed rows -> identical results
+    oq_full = float(N) / K
+    d = idx_bq.search(
+        queries_df, K, n_probe=8, overquery=oq_full, strategy="distributed"
+    ).collect()
+    e = idx_bq.search(
+        queries_df, K, n_probe=8, overquery=oq_full, strategy="broadcast"
+    ).collect()
+    assert sorted(map(tuple, d)) == sorted(map(tuple, e))
+    gt.unpersist()
+
+
+def test_anisotropic_pq_through_builder(spark, corpus_df, queries_df, tmp_path_factory):
+    """anisotropic_threshold wires through build -> manifest -> compaction
+    (ref ProductQuantization.java:101-104): the index searches with sane
+    recall on a dot-product corpus and the knob round-trips persistence."""
+    df, _ = corpus_df
+    path = str(tmp_path_factory.mktemp("ivf_aniso") / "index")
+    idx = IVFIndexBuilder(
+        metric="DOT_PRODUCT", n_partitions=32, pq_m=8, anisotropic_threshold=0.2
+    ).fit(df, path)
+    assert idx.manifest.anisotropic_threshold == 0.2
+    assert IVFIndex.load(spark, path).manifest.anisotropic_threshold == 0.2
+    gt = exact.knn_join(df, queries_df, K, metric="DOT_PRODUCT", strategy="numpy")
+    r = recall_at_k(idx.search(queries_df, K, n_probe=16, overquery=8.0), gt, K)
+    assert r >= 0.7, f"anisotropic recall@{K}={r}"
+    with pytest.raises(ValueError, match="anisotropic"):
+        IVFIndexBuilder(first_pass="bq", anisotropic_threshold=0.2)
