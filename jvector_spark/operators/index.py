@@ -210,7 +210,15 @@ class IVFIndexBuilder:
         fine_factor: int = 0,
         first_pass: str = "pq",
         anisotropic_threshold: float | None = None,
+        bsp=None,
     ):
+        # X3 SPI: a BuildScoreProvider bundles the construction-scoring
+        # choice; explicit kwargs win (ref BuildScoreProvider.java:32-258)
+        if bsp is not None:
+            if first_pass == "pq":
+                first_pass = bsp.first_pass
+            if anisotropic_threshold is None:
+                anisotropic_threshold = bsp.anisotropic_threshold
         # The index hardwires the builtin metrics: ADC LUT construction,
         # partition-pruning bounds, and normalization all branch on them.
         # A registry-registered custom metric (X1) would silently score

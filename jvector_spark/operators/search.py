@@ -34,6 +34,28 @@ from jvector_spark.operators.quantize.pq import ProductQuantizer
 
 
 @dataclass(frozen=True)
+class BuildScoreProvider:
+    """X3 SPI: which scorer drives index CONSTRUCTION (ref
+    ``graph/similarity/BuildScoreProvider.java:32-258`` — the reference
+    builds with an exact, PQ, or BQ scorer; the batch analog is the
+    stage-1 codec trained/stored at build time plus its training
+    objective). Accepted by ``IVFIndexBuilder(bsp=...)``; explicit
+    ``first_pass=`` / ``anisotropic_threshold=`` kwargs win over the
+    provider's fields when both are given.
+
+    - ``first_pass="pq"``: ADC-scored product quantization
+      (pqBuildScoreProvider analog)
+    - ``first_pass="bq"``: hamming-scored sign bits
+      (bqBuildScoreProvider analog, BuildScoreProvider.java:170-212)
+    - ``anisotropic_threshold``: ScaNN-style parallel-residual PQ
+      objective (ProductQuantization.java:101-104)
+    """
+
+    first_pass: str = "pq"
+    anisotropic_threshold: float | None = None
+
+
+@dataclass(frozen=True)
 class SearchScoreProvider:
     """X2 SPI: the approximate-scorer + reranker pairing and its knobs
     (ref ``graph/similarity/SearchScoreProvider.java`` /

@@ -73,14 +73,26 @@ def plan_knn(
         df = index.search(queries, k, accept_ids=accept_ids)
         return SearchPlan("exact_filter_first", df, {"accepted": len(accept_ids)})
 
-    # rule 2: indexed corpus -> fused IVF scan
+    # rule 2: indexed corpus -> fused IVF scan. The query-side route is
+    # probed HERE (one LIMIT job) and passed explicitly so the plan can
+    # report it and search() doesn't re-probe: broadcast for point-query
+    # batches, the uncapped tile join for corpus-sized query sides.
     if index is not None:
+        from jvector_spark.operators import exact as _exact
+
+        big = (
+            queries.limit(_exact.BROADCAST_QUERY_CAP + 1).count()
+            > _exact.BROADCAST_QUERY_CAP
+        )
+        route = "distributed" if big else "broadcast"
         df = index.search(
             queries, k, n_probe=n_probe, overquery=overquery,
             predicate=predicate, accept_ids=accept_ids, n_probe_fine=n_probe_fine,
+            strategy=route,
         )
         knobs = {"n_probe": n_probe, "overquery": overquery,
-                 "rerank": index.manifest.rerank, "spill": index.manifest.spill}
+                 "rerank": index.manifest.rerank, "spill": index.manifest.spill,
+                 "query_route": route}
         if n_probe_fine:
             knobs["n_probe_fine"] = n_probe_fine
         return SearchPlan("ivf_fused", df, knobs)

@@ -56,6 +56,36 @@ class IndexManifest:
     format_version: int = MANIFEST_VERSION
     created_at: float = 0.0
 
+    def features(self) -> dict[str, list[str]]:
+        """X6 Feature SPI analog (ref ``graph/disk/feature/Feature.java``,
+        ``FeatureId.java:31-36``): which on-disk components this index
+        carries, mapped to the Parquet columns / sub-tables that implement
+        them. The reference enumerates features in the index header and
+        readers dispatch on the set; here the manifest config determines
+        the set, and readers (the fused scan's column list, the codec
+        loader) dispatch the same way — this accessor is the introspection
+        surface that keeps the mapping explicit and testable.
+        """
+        out: dict[str, list[str]] = {
+            # full-resolution vectors are always stored (compaction /
+            # exact fallbacks read them) — the INLINE_VECTORS analog
+            "INLINE_VECTORS": ["data.parquet: vec"],
+        }
+        if self.first_pass == "bq":
+            out["BQ_CODES"] = ["data.parquet: codes (packed sign words)"]
+        else:
+            out["FUSED_ADC_PQ"] = ["data.parquet: codes", "pq/ codebooks"]
+        if self.rerank == "nvq":
+            out["NVQ_VECTORS"] = ["data.parquet: nvq, nvq_params"]
+        if self.fine_factor > 0:
+            out["FINE_CENTROIDS"] = [
+                "fine_centroids.parquet",
+                "data.parquet: sub_id (row-group sorted)",
+            ]
+        if self.spill > 1:
+            out["SPILLED_ASSIGNMENT"] = [f"data.parquet: {self.spill}x part_id copies"]
+        return out
+
     def to_json(self) -> str:
         d = asdict(self)
         return json.dumps(d, indent=2)

@@ -384,3 +384,32 @@ def test_anisotropic_pq_through_builder(spark, corpus_df, queries_df, tmp_path_f
     assert r >= 0.7, f"anisotropic recall@{K}={r}"
     with pytest.raises(ValueError, match="anisotropic"):
         IVFIndexBuilder(first_pass="bq", anisotropic_threshold=0.2)
+
+
+def test_build_score_provider_and_features(spark, corpus_df, tmp_path_factory):
+    """X3 BuildScoreProvider bundles the construction-scoring choice; X6
+    features() reports exactly the on-disk components the config implies,
+    and the actual data columns agree with the declared feature set."""
+    from jvector_spark.operators.search import BuildScoreProvider
+
+    df, _ = corpus_df
+    path = str(tmp_path_factory.mktemp("ivf_bsp") / "index")
+    idx = IVFIndexBuilder(
+        metric="COSINE", n_partitions=16,
+        bsp=BuildScoreProvider(first_pass="bq"),
+    ).fit(df, path)
+    assert idx.manifest.first_pass == "bq"
+    feats = idx.manifest.features()
+    assert "BQ_CODES" in feats and "FUSED_ADC_PQ" not in feats
+    assert "INLINE_VECTORS" in feats and "SPILLED_ASSIGNMENT" in feats
+
+    path2 = str(tmp_path_factory.mktemp("ivf_bsp2") / "index")
+    idx2 = IVFIndexBuilder(
+        metric="COSINE", n_partitions=16, pq_m=8, rerank="nvq", spill=1
+    ).fit(df, path2)
+    feats2 = idx2.manifest.features()
+    assert "FUSED_ADC_PQ" in feats2 and "NVQ_VECTORS" in feats2
+    assert "SPILLED_ASSIGNMENT" not in feats2
+    # declared feature columns exist in the data files
+    cols = set(idx2._segment_data(idx2.manifest.segments[0].name).columns)
+    assert {"vec", "codes", "nvq", "nvq_params"} <= cols
