@@ -56,6 +56,10 @@ BENCH_QUERIES = [
     "knn_join_wide",
     "ann_lsh_topk",
     "knn_paginated",
+    "ordinal_renumber",
+    # corpus-as-queries semantic dedup through the index (distributed
+    # route, builds its own index — the 100TB-shape flagship)
+    "dedup_embedding_ivf",
 ]
 
 

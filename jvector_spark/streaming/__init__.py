@@ -15,10 +15,18 @@ accumulation + N:1 compaction (``docs/compaction.md``). Our analogs:
 
 Watermark/window operators are additive (Spark-native, no reference
 counterpart): ``rollup.windowed_event_rollup`` is the streaming twin of the
-batch ``events_rollup`` driver query.
+batch ``events_rollup`` driver query; ``rollup.session_rollup`` of the
+batch sessionizer; ``dedup.streaming_exact_dedup`` (custom keyed state via
+``applyInPandasWithState``) of the batch exact dedup.
 """
 
+from jvector_spark.streaming.dedup import streaming_exact_dedup
 from jvector_spark.streaming.ingest import stream_ingest
-from jvector_spark.streaming.rollup import windowed_event_rollup
+from jvector_spark.streaming.rollup import session_rollup, windowed_event_rollup
 
-__all__ = ["stream_ingest", "windowed_event_rollup"]
+__all__ = [
+    "stream_ingest",
+    "windowed_event_rollup",
+    "session_rollup",
+    "streaming_exact_dedup",
+]

@@ -135,3 +135,46 @@ def test_session_rollup_matches_batch_sessionize(spark, sf_dir):
     g = sorted((r["user_id"], r["session_start"], r["n_events"]) for r in got)
     w = sorted((r["user_id"], r["session_start"], r["n_events"]) for r in want)
     assert g == w
+
+
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    """applyInPandasWithState custom stateful operator: first occurrence
+    of each digest passes, later duplicates are dropped ACROSS
+    micro-batches; the kept set equals the batch exact_dedup canonical
+    picks (ids arrive in ascending batches)."""
+    from jvector_spark.pipeline.dedup import exact_dedup
+    from jvector_spark.streaming.dedup import streaming_exact_dedup
+
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    docs1 = [(i, f"text number {i % 7}") for i in range(20)]
+    docs2 = [(100 + i, f"text number {i % 7}") for i in range(10)]  # all dups
+    docs2.append((200, "fresh text only in batch two"))
+    spark.createDataFrame(docs1, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    spark.createDataFrame(docs2, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("sdedup")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM sdedup").collect()}
+
+    batch = spark.createDataFrame(docs1 + docs2, "doc_id long, text string")
+    want = {
+        r["doc_id"] for r in exact_dedup(batch).filter("is_canonical").collect()
+    }
+    assert got == want  # 7 canonical digests from batch 1 + the fresh doc
