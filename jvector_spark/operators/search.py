@@ -150,6 +150,9 @@ def two_phase_knn_join(
     query_id_col: str = "qid",
     query_vec_col: str = "vec",
     nvq=None,
+    strategy: str = "auto",
+    m_hint: int | None = None,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """J3 for a query set: PQ first pass, high-resolution rerank, top-k.
 
@@ -158,10 +161,38 @@ def two_phase_knn_join(
     reranks from an NVQ-encoded table instead, the reference's *default*
     bench config (yaml-configs/index-parameters/default.yml `NVQ rerank`;
     NVQScorer.java): ~4x fewer bytes read in stage 2 for near-fp32 scores.
+
+    ``strategy``: ``broadcast`` collects + broadcasts the query side
+    (point-query-batch path, capped); ``blocked`` runs the 2-D tile join —
+    no driver collect of either side, ADC stage 1 and rerank fused per
+    tile (the un-indexed sibling of ``IVFIndex.search(strategy=
+    "distributed")`` — every tile scans every corpus block, since there is
+    no partitioning to prune); ``auto`` routes on query-side size.
+    ``m_hint``/``n_hint`` skip the sizing jobs.
     """
-    from jvector_spark.operators.exact import collect_point_query_batch
+    from jvector_spark.operators.exact import (
+        BROADCAST_QUERY_CAP,
+        collect_point_query_batch,
+    )
 
     rerank_k = max(k, int(round(overquery * k)))
+    if strategy == "auto":
+        if m_hint is not None:
+            big = m_hint > BROADCAST_QUERY_CAP
+        else:
+            big = (
+                queries_df.limit(BROADCAST_QUERY_CAP + 1).count()
+                > BROADCAST_QUERY_CAP
+            )
+        strategy = "blocked" if big else "broadcast"
+    if strategy == "blocked":
+        return _two_phase_blocked(
+            codes_df, vectors_df, pq, queries_df, k, rerank_k, metric,
+            id_col, vec_col, codes_col, query_id_col, query_vec_col,
+            nvq, m_hint, n_hint,
+        )
+    if strategy != "broadcast":
+        raise ValueError(f"unknown strategy {strategy!r}")
     qrows = collect_point_query_batch(queries_df, query_id_col, query_vec_col, "two_phase_knn_join")
     queries = [(r[0], np.asarray(r[1], dtype=np.float64)) for r in qrows]
 
@@ -216,6 +247,124 @@ def two_phase_knn_join(
 
     reranked = joined.mapInPandas(rerank, schema="qid long, id long, score double")
     return _global_topk(reranked, k, "score").orderBy("qid", "rank")
+
+
+def _two_phase_blocked(
+    codes_df: DataFrame,
+    vectors_df: DataFrame,
+    pq: ProductQuantizer,
+    queries_df: DataFrame,
+    k: int,
+    rerank_k: int,
+    metric: str,
+    id_col: str,
+    vec_col: str,
+    codes_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    nvq,
+    m_hint: int | None,
+    n_hint: int | None,
+) -> DataFrame:
+    """Uncapped two-phase join: codes + rerank payload co-locate on id
+    (one equi-join shuffle), then the 2-D (qb, cb) tile join runs the same
+    fused ADC->rerank kernel as the IVF scan — per-tile rerank_k can only
+    ADD candidates vs a global cut, so recall at a given overquery is >=
+    the broadcast route's."""
+    import math
+
+    from jvector_spark.operators.exact import _C_TILE, _Q_TILE
+    from jvector_spark.operators.index import _fused_block_topk
+
+    spark = codes_df.sparkSession
+    n = n_hint if n_hint is not None else codes_df.count()
+    m = m_hint if m_hint is not None else queries_df.count()
+    c_blocks = max(1, math.ceil(n / _C_TILE))
+    q_blocks = max(1, math.ceil(m / _Q_TILE))
+
+    use_nvq = nvq is not None
+    if use_nvq:
+        nvq_df, nvq_codec = nvq
+        payload = nvq_df.select(
+            F.col(id_col).alias("rid"), "nvq_bytes", "nvq_params"
+        )
+        extra = ["nvq_bytes", "nvq_params"]
+        null_of = {"nvq_bytes": "binary", "nvq_params": "array<double>"}
+        vec_expr = F.lit(None).cast("array<float>").alias("vec")
+    else:
+        nvq_codec = None
+        payload = vectors_df.select(
+            F.col(id_col).alias("rid"), F.col(vec_col).alias("_v")
+        )
+        extra = []
+        null_of = {}
+        vec_expr = F.col("_v").alias("vec")
+    c_base = (
+        codes_df.select(F.col(id_col).alias("rid"), F.col(codes_col).alias("codes"))
+        .join(payload, "rid")
+        .select("rid", vec_expr, "codes", *[F.col(c) for c in extra])
+    )
+    c_side = (
+        c_base.withColumn("cb", F.pmod(F.xxhash64("rid"), F.lit(c_blocks)).cast("int"))
+        .withColumn("qb", F.explode(F.array(*[F.lit(i) for i in range(q_blocks)])))
+        .withColumn("is_q", F.lit(0))
+    )
+    q_side = (
+        queries_df.select(
+            F.col(query_id_col).alias("rid"),
+            F.col(query_vec_col).cast("array<float>").alias("vec"),
+            F.lit(None).cast("binary").alias("codes"),
+            *[F.lit(None).cast(null_of[c]).alias(c) for c in extra],
+        )
+        .withColumn("qb", F.pmod(F.xxhash64("rid"), F.lit(q_blocks)).cast("int"))
+        .withColumn("cb", F.explode(F.array(*[F.lit(i) for i in range(c_blocks)])))
+        .withColumn("is_q", F.lit(1))
+    )
+
+    bt = spark.sparkContext.broadcast((pq, metric, k, rerank_k, nvq_codec))
+
+    def tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pq_o, met, kk, keep, nvq_c = bt.value
+        empty = pd.DataFrame(
+            {
+                "qid": pd.Series(dtype="int64"),
+                "id": pd.Series(dtype="int64"),
+                "score": pd.Series(dtype="float64"),
+            }
+        )
+        qs = pdf[pdf["is_q"] == 1]
+        cs = pdf[pdf["is_q"] == 0]
+        if len(qs) == 0 or len(cs) == 0:
+            return empty
+        ids = cs["rid"].to_numpy(dtype=np.int64)
+        q_ids = qs["rid"].to_numpy(dtype=np.int64)
+        q_mat_all = kernels.as_matrix(qs["vec"])
+        code_idx = np.frombuffer(b"".join(cs["codes"]), dtype=np.uint8).reshape(
+            len(cs), pq_o.m
+        ).astype(np.int64)
+        mag = pq_o.magnitude_lut() if met == "COSINE" else None
+        cs_vec = None if nvq_c is not None else cs["vec"]
+        nvq_pack = (
+            (nvq_c, cs["nvq_bytes"], cs["nvq_params"]) if nvq_c is not None else None
+        )
+        frames = []
+        for lo in range(0, len(q_ids), 512):
+            q_mat = q_mat_all[lo : lo + 512]
+            luts = np.stack([pq_o.adc_lut(q_mat[i], met) for i in range(len(q_mat))])
+            qn = np.linalg.norm(q_mat, axis=1)
+            oq, oi, osc = _fused_block_topk(
+                met, kk, keep, q_ids[lo : lo + 512], q_mat, luts, mag, qn,
+                ids, code_idx, vec_rows=cs_vec, nvq=nvq_pack,
+            )
+            frames.append(pd.DataFrame({"qid": oq, "id": oi, "score": osc}))
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    tiled = (
+        c_side.unionByName(q_side)
+        .groupBy("qb", "cb")
+        .applyInPandas(tile, schema="qid long, id long, score double")
+    )
+    return _global_topk(tiled, k, "score").orderBy("qid", "rank")
 
 
 def two_phase_topk(

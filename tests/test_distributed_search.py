@@ -164,3 +164,36 @@ def test_lsh_auto_routes_over_cap(spark, big_setup):
     assert res.select("qid").distinct().count() == n  # every query answered
     assert res.groupBy("qid").count().agg(F.max("count")).first()[0] <= 3
     res.unpersist()
+
+
+def test_two_phase_blocked_matches_broadcast(spark, big_setup):
+    """two_phase_knn_join strategy='blocked' (no index, no driver collect)
+    equals the broadcast route when rerank covers the whole corpus (both
+    exact then); and the auto-route handles a corpus-as-queries side."""
+    from jvector_spark.operators.quantize.pq import ProductQuantizer
+    from jvector_spark.operators.search import two_phase_knn_join
+
+    corpus, _, n = big_setup
+    pq = ProductQuantizer.fit(corpus, m=4, seed=42)
+    codes = pq.encode(corpus).cache()
+    codes.count()
+    queries = corpus.limit(64).selectExpr("id as qid", "vec")
+    oq = float(n) / 10
+    a = two_phase_knn_join(
+        codes, corpus, pq, queries, 10, overquery=oq, strategy="blocked",
+        n_hint=n, m_hint=64,
+    )
+    b = two_phase_knn_join(
+        codes, corpus, pq, queries, 10, overquery=oq, strategy="broadcast"
+    )
+    ga = [(r["qid"], r["rank"], r["id"], round(r["score"], 9)) for r in a.collect()]
+    gb = [(r["qid"], r["rank"], r["id"], round(r["score"], 9)) for r in b.collect()]
+    assert sorted(ga) == sorted(gb)
+
+    # corpus-as-queries: auto -> blocked, uncapped
+    qall = corpus.selectExpr("id as qid", "vec")
+    res = two_phase_knn_join(
+        codes, corpus, pq, qall, 3, overquery=4.0, m_hint=n, n_hint=n
+    )
+    assert res.select("qid").distinct().count() == n
+    codes.unpersist()
