@@ -52,8 +52,9 @@ class VectorIndex:
         cls, spark: SparkSession, path: str, dim: int, metric: str = "COSINE", **builder_kwargs
     ) -> "VectorIndex":
         """CREATE dims sim — declare an empty index; first load builds it.
-        ``builder_kwargs`` (spill=, rerank=, fine_factor=, pq_m=, ...) are
-        applied when the first segment is built."""
+        ``builder_kwargs`` (spill=, rerank=, fine_factor=, pq_m=,
+        first_pass=, anisotropic_threshold=, bsp=, ...) are applied when
+        the first segment is built."""
         os.makedirs(path, exist_ok=True)
         return cls(spark, path, None, metric, dim, builder_kwargs=builder_kwargs)
 
@@ -112,8 +113,10 @@ class VectorIndex:
         **search_kwargs,
     ) -> DataFrame:
         """SEARCH — batch k-NN join against the index (qid, id, score, rank).
-        Extra kwargs (predicate=, accept_ids=, ssp=, n_probe_fine=) pass
-        through to :meth:`IVFIndex.search`."""
+        Extra kwargs (predicate=, accept_ids=, ssp=, n_probe_fine=,
+        strategy=, m_hint=) pass through to :meth:`IVFIndex.search` —
+        corpus-sized query sides auto-route to the uncapped distributed
+        plan."""
         self._flush()
         return self._require_index().search(
             queries, top_k, n_probe=n_probe, overquery=overquery, **search_kwargs
