@@ -147,7 +147,7 @@ def main() -> None:
 
             gt = exact.knn_join(emb, qdf, 10, metric="COSINE", strategy="numpy").cache()
             gt.count()
-            for n_probe in (1, 2, 4, 8):
+            for n_probe in (1, 2, 4, 8, 16):
                 r = idx.search(qdf, k=10, n_probe=n_probe, overquery=4.0)
                 recalls[f"recall@10_nprobe{n_probe}_oq4"] = round(recall_at_k(r, gt, 10), 4)
             for oq in (1.0, 2.0):
@@ -159,7 +159,7 @@ def main() -> None:
                 t0 = time.perf_counter()
                 idx2 = IVFIndexBuilder(metric="COSINE", pq_m=8, spill=2).fit(emb, tmp2)
                 timings["ivf_build_spill2"] = round(time.perf_counter() - t0, 3)
-                for n_probe in (2, 4, 8):
+                for n_probe in (2, 4, 8, 16):
                     r = idx2.search(qdf, k=10, n_probe=n_probe, overquery=4.0)
                     recalls[f"recall@10_nprobe{n_probe}_oq4_spill2"] = round(
                         recall_at_k(r, gt, 10), 4
