@@ -876,6 +876,55 @@ SELECT qid, id, ROUND(_s, 6) AS score, rank FROM r WHERE rank > 10 AND rank <= 2
 )
 
 
+@_register("knn_topk_ivf_distributed")
+def _knn_topk_ivf_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED top-k route under the full hash oracle: exhaustive
+    probes + rerank_k = |corpus| make the tile-join search provably exact
+    (stage 1 keeps every probed row), so the uncapped plan — probe
+    assignment as a map-only pass, (part_id, qb, cb) tile join, no driver
+    collect of either side — must hash-match DuckDB's exact top-10. The
+    same route's threshold mode is oracle'd by dedup_embedding_ivf; this
+    row pins the top-k mode (ref GraphSearcher.java:222 — searches are
+    uncapped streams)."""
+    import tempfile
+
+    from jvector_spark.operators.index import IVFIndexBuilder
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    n = corpus.count()
+    tmp = tempfile.mkdtemp(prefix="jvs_entry_dtopk_")
+    idx = IVFIndexBuilder(metric="COSINE", pq_m=8).fit(corpus, tmp)
+    queries = corpus.filter(F.col("id") < 16).selectExpr("id as qid", "vec")
+    res = idx.search(
+        queries, k=10, n_probe=4096, overquery=float(n) / 10.0,
+        strategy="distributed", m_hint=16,
+    )
+    return res.select(
+        "qid", "id", F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_oracle(
+    "knn_topk_ivf_distributed",
+    f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 16),
+s AS (
+  SELECT q.qid, e.vec_id AS id,
+         {sql_similarity("COSINE", "e.embedding", "q.qvec")} AS _s
+  FROM embeddings e, q
+),
+r AS (
+  SELECT qid, id, _s,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY _s DESC, id ASC) AS BIGINT) AS rank
+  FROM s
+)
+SELECT qid, id, ROUND(_s, 6) AS score, rank FROM r WHERE rank <= 10
+""",
+)
+
+
 @_register("ordinal_renumber")
 def _ordinal_renumber(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5 ordinal projection (ref graph/disk/OrdinalMapper.java:30-114,

@@ -79,8 +79,18 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
     spark = get_spark("jvector_spark_bench")
 
-    # Warm the JVM + Arrow path so query 1 doesn't pay startup.
-    n_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    # Warm the JVM + Arrow + whole-stage-codegen paths (HOF similarity
+    # expression, xxhash materializer) so query 1 measures the engine, not
+    # first-use compilation.
+    from jvector_spark.functions.similarity import similarity as _sim
+
+    warm = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_emb = warm.count()
+    _materialize(
+        warm.limit(64).select(
+            _sim("COSINE", F.col("embedding"), F.col("embedding")).alias("s")
+        )
+    )
 
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
