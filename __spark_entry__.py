@@ -1156,6 +1156,55 @@ def _sample_stratified_oracle() -> str:
 _oracle("sample_stratified", _sample_stratified_oracle())
 
 
+@_register("pipeline_clean_corpus")
+def _pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data shape end to end: quality-score ->
+    filter -> exact-dedup (keep canonicals) -> deterministic per-source
+    mixing sample. One registered row proves the operators COMPOSE under
+    the oracle (joins on doc_id, thresholds on rounded scores) — the
+    pipeline a 100 TB corpus actually runs, where each stage is map-only
+    or one keyed shuffle (quality: map; dedup: one digest groupBy;
+    sampling: map)."""
+    from jvector_spark.pipeline.dedup import exact_dedup
+    from jvector_spark.pipeline.sampling import stratified_sample
+    from jvector_spark.pipeline.text import quality_score
+
+    docs = _docs(spark, sf_dir)
+    q = quality_score(docs).select("doc_id", "quality")
+    d = exact_dedup(docs).select("doc_id", "is_canonical")
+    kept = (
+        docs.select("doc_id", "source")
+        .join(q, "doc_id")
+        .join(d, "doc_id")
+        .filter((F.col("quality") >= 0.55) & F.col("is_canonical"))
+    )
+    return stratified_sample(
+        kept, {"src0": 0.8, "src1": 0.5}, default_fraction=0.25, salt="clean"
+    ).select("doc_id", "source", "quality")
+
+
+def _pipeline_clean_corpus_oracle() -> str:
+    from jvector_spark.pipeline.dedup import exact_dedup_sql, sql_h64
+    from jvector_spark.pipeline.text import quality_score_sql
+
+    salted = "'clean:' || CAST(doc_id AS VARCHAR)"
+    bucket = f"{sql_h64(salted)} % 1000000"
+    return f"""
+WITH q AS (SELECT doc_id, quality FROM ({quality_score_sql()}) _q),
+d AS (SELECT doc_id, is_canonical FROM ({exact_dedup_sql()}) _d),
+kept AS (
+  SELECT doc.doc_id, doc.source, q.quality
+  FROM documents doc JOIN q USING (doc_id) JOIN d USING (doc_id)
+  WHERE q.quality >= 0.55 AND d.is_canonical
+)
+SELECT doc_id, source, quality FROM kept
+WHERE {bucket} < CASE source WHEN 'src0' THEN 800000 WHEN 'src1' THEN 500000 ELSE 250000 END
+"""
+
+
+_oracle("pipeline_clean_corpus", _pipeline_clean_corpus_oracle())
+
+
 @_register("multimodal_features")
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode plumbing: documents' text bytes become opaque

@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "vector_arith",
     "vector_scale_add",
     "sample_stratified",
+    "pipeline_clean_corpus",
     # pipeline operators (registered in later rounds; skipped if absent)
     "dedup_exact",
     "dedup_minhash_lsh",
