@@ -925,6 +925,48 @@ SELECT qid, id, ROUND(_s, 6) AS score, rank FROM r WHERE rank <= 10
 )
 
 
+@_register("fvecs_roundtrip")
+def _fvecs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 under the driver oracle: embeddings -> TexMex fvecs bytes
+    (dim-prefixed little-endian float32 records, the reference's benchmark
+    dataset format, DataSetLoader.java:29-49) -> distributed decode via
+    ``read_fvecs``. The round trip is float32-lossless, so per-row norms
+    and leading element hash-match the embeddings table directly. The
+    WRITE is deliberately driver-side (fvecs is a single-file benchmark
+    artifact, as in the reference's loaders); the READ under test is the
+    distributed binaryFile + mapInPandas decode."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from jvector_spark.functions.similarity import l2_norm
+    from jvector_spark.sources import read_fvecs
+    from jvector_spark.sources.fvecs import write_fvecs
+
+    rows = _emb(spark, sf_dir).orderBy("vec_id").select("embedding").collect()
+    mat = np.stack([np.asarray(r["embedding"], dtype=np.float32) for r in rows])
+    tmp = os.path.join(tempfile.mkdtemp(prefix="jvs_entry_fvecs_"), "corpus.fvecs")
+    write_fvecs(mat, tmp)
+    df = read_fvecs(spark, tmp)
+    return df.select(
+        F.col("id").alias("vec_id"),
+        F.round(l2_norm(F.col("vec")), 6).alias("norm"),
+        F.round(F.col("vec")[0].cast("double"), 6).alias("first_elem"),
+    )
+
+
+_oracle(
+    "fvecs_roundtrip",
+    """
+SELECT vec_id,
+       ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS norm,
+       ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_elem
+FROM embeddings
+""",
+)
+
+
 @_register("ordinal_renumber")
 def _ordinal_renumber(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5 ordinal projection (ref graph/disk/OrdinalMapper.java:30-114,
