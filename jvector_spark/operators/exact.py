@@ -133,6 +133,17 @@ def threshold_search(
 BROADCAST_QUERY_CAP = 8192
 
 
+def query_side_is_big(queries: DataFrame, m_hint: int | None = None) -> bool:
+    """The one routing rule every query-side operator shares (exact knn,
+    IVF search/threshold, LSH, two-phase, the planner): is the query set
+    over ``BROADCAST_QUERY_CAP``? ``m_hint`` answers without a job; else a
+    LIMIT cap+1 probe — O(cap) regardless of query-side size, never a
+    full count."""
+    if m_hint is not None:
+        return m_hint > BROADCAST_QUERY_CAP
+    return queries.limit(BROADCAST_QUERY_CAP + 1).count() > BROADCAST_QUERY_CAP
+
+
 def collect_point_query_batch(
     queries: DataFrame,
     id_col: str,
@@ -196,12 +207,7 @@ def knn_join(
     Returns (qid, id, score, rank).
     """
     if strategy == "auto":
-        if m_hint is not None:
-            big = m_hint > BROADCAST_QUERY_CAP
-        else:
-            # LIMIT cap+1 probe, not a full count — O(cap) regardless of size
-            big = queries.limit(BROADCAST_QUERY_CAP + 1).count() > BROADCAST_QUERY_CAP
-        strategy = "blocked" if big else "numpy"
+        strategy = "blocked" if query_side_is_big(queries, m_hint) else "numpy"
     if strategy == "blocked":
         return _knn_join_blocked(
             corpus, queries, k, metric, id_col, vec_col, query_id_col, query_vec_col,

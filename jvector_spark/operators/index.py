@@ -57,7 +57,12 @@ from pyspark.sql import functions as F
 from pyspark.accumulators import AccumulatorParam
 
 from jvector_spark.functions import kernels
-from jvector_spark.operators.exact import _C_TILE, _Q_TILE, BROADCAST_QUERY_CAP
+from jvector_spark.operators.exact import (
+    _C_TILE,
+    _Q_TILE,
+    BROADCAST_QUERY_CAP,
+    query_side_is_big,
+)
 from jvector_spark.operators.quantize.pq import ProductQuantizer
 from jvector_spark.types import IndexManifest, SegmentInfo
 
@@ -867,14 +872,9 @@ class IVFIndex:
 
         rerank_k = max(k, int(round(overquery * k)))
         if strategy == "auto":
-            if m_hint is not None:
-                big = m_hint > BROADCAST_QUERY_CAP
-            else:
-                big = (
-                    queries_df.limit(BROADCAST_QUERY_CAP + 1).count()
-                    > BROADCAST_QUERY_CAP
-                )
-            strategy = "distributed" if big else "broadcast"
+            strategy = (
+                "distributed" if query_side_is_big(queries_df, m_hint) else "broadcast"
+            )
         if strategy == "distributed":
             return self._search_distributed(
                 queries_df, metric, k, rerank_k, n_probe,
@@ -1414,14 +1414,9 @@ class IVFIndex:
 
         metric = self.manifest.metric
         if strategy == "auto":
-            if m_hint is not None:
-                big = m_hint > BROADCAST_QUERY_CAP
-            else:
-                big = (
-                    queries_df.limit(BROADCAST_QUERY_CAP + 1).count()
-                    > BROADCAST_QUERY_CAP
-                )
-            strategy = "distributed" if big else "broadcast"
+            strategy = (
+                "distributed" if query_side_is_big(queries_df, m_hint) else "broadcast"
+            )
         if strategy == "distributed":
             return self._threshold_distributed(
                 queries_df, metric, threshold, query_id_col, query_vec_col
@@ -1512,15 +1507,18 @@ class IVFIndex:
         import pyarrow.parquet as papq
 
         final = os.path.join(self.path, "tombstones.parquet")
-        merged = {int(i) for i in ids}
+        new_ids = np.asarray(sorted({int(i) for i in ids}), dtype=np.int64)
         if os.path.exists(final):
-            merged |= set(
-                papq.read_table(final, columns=["id"])["id"].to_pylist()
+            # merge in Arrow/numpy (8 bytes/id), never as boxed Python ints:
+            # hundreds of millions of tombstones stay a few GB of flat array
+            existing = (
+                papq.read_table(final, columns=["id"])["id"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
             )
+            new_ids = np.union1d(existing, new_ids)
         tmp = os.path.join(self.path, "tombstones.parquet.tmp")
-        _write_small_parquet(
-            tmp, pa.table({"id": pa.array(sorted(merged), pa.int64())})
-        )
+        _write_small_parquet(tmp, pa.table({"id": pa.array(new_ids, pa.int64())}))
         import shutil
 
         if os.path.exists(final):

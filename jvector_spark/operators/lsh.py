@@ -113,16 +113,10 @@ def rp_lsh_knn_join(
     if n_planes is None:
         n = n_hint if n_hint is not None else corpus.count()
         n_planes = max(3, min(24, int(math.ceil(math.log2(max(n / 64.0, 2.0))))))
-    from jvector_spark.operators.exact import BROADCAST_QUERY_CAP, collect_point_query_batch
+    from jvector_spark.operators.exact import collect_point_query_batch, query_side_is_big
 
     if strategy == "auto":
-        if m_hint is not None:
-            big = m_hint > BROADCAST_QUERY_CAP
-        else:
-            big = (
-                queries.limit(BROADCAST_QUERY_CAP + 1).count() > BROADCAST_QUERY_CAP
-            )
-        strategy = "distributed" if big else "broadcast"
+        strategy = "distributed" if query_side_is_big(queries, m_hint) else "broadcast"
     if strategy == "distributed":
         return _rp_lsh_distributed(
             corpus, queries, k, metric, n_planes, probe_bits, seed,
@@ -220,7 +214,12 @@ def _rp_lsh_distributed(
     from jvector_spark.functions.similarity import similarity as col_similarity
 
     sc = corpus.sparkSession.sparkContext
-    dim = len(queries.select(query_vec_col).first()[0])
+    first = queries.select(query_vec_col).first()
+    if first is None:  # empty query side: empty result, correct schema
+        return corpus.sparkSession.createDataFrame(
+            [], "qid long, id long, score double, rank int"
+        )
+    dim = len(first[0])
     rng = np.random.RandomState(seed)
     planes = rng.normal(size=(n_planes, dim))
     planes /= np.linalg.norm(planes, axis=1, keepdims=True)
@@ -266,8 +265,11 @@ def _rp_lsh_distributed(
     q_side = queries.select(query_id_col, query_vec_col).mapInPandas(
         hash_queries, schema="bkey long, qid long, qvec array<float>"
     )
+    # (query, corpus) argument order matches the broadcast route's
+    # kernel(q_mat, x) call, so X1 registry metrics with ASYMMETRIC score
+    # functions rank identically on both routes
     pairs = c_side.join(q_side, "bkey").select(
-        "qid", "id", col_similarity(metric, F.col("cvec"), F.col("qvec")).alias("score")
+        "qid", "id", col_similarity(metric, F.col("qvec"), F.col("cvec")).alias("score")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
     return (

@@ -171,20 +171,13 @@ def two_phase_knn_join(
     ``m_hint``/``n_hint`` skip the sizing jobs.
     """
     from jvector_spark.operators.exact import (
-        BROADCAST_QUERY_CAP,
         collect_point_query_batch,
+        query_side_is_big,
     )
 
     rerank_k = max(k, int(round(overquery * k)))
     if strategy == "auto":
-        if m_hint is not None:
-            big = m_hint > BROADCAST_QUERY_CAP
-        else:
-            big = (
-                queries_df.limit(BROADCAST_QUERY_CAP + 1).count()
-                > BROADCAST_QUERY_CAP
-            )
-        strategy = "blocked" if big else "broadcast"
+        strategy = "blocked" if query_side_is_big(queries_df, m_hint) else "broadcast"
     if strategy == "blocked":
         return _two_phase_blocked(
             codes_df, vectors_df, pq, queries_df, k, rerank_k, metric,

@@ -78,13 +78,9 @@ def plan_knn(
     # report it and search() doesn't re-probe: broadcast for point-query
     # batches, the uncapped tile join for corpus-sized query sides.
     if index is not None:
-        from jvector_spark.operators import exact as _exact
+        from jvector_spark.operators.exact import query_side_is_big
 
-        big = (
-            queries.limit(_exact.BROADCAST_QUERY_CAP + 1).count()
-            > _exact.BROADCAST_QUERY_CAP
-        )
-        route = "distributed" if big else "broadcast"
+        route = "distributed" if query_side_is_big(queries) else "broadcast"
         df = index.search(
             queries, k, n_probe=n_probe, overquery=overquery,
             predicate=predicate, accept_ids=accept_ids, n_probe_fine=n_probe_fine,
@@ -108,7 +104,7 @@ def plan_knn(
             from pyspark.sql import functions as F
 
             c = c.filter(F.col("id").isin(accept_ids))
-    big = queries.limit(exact.BROADCAST_QUERY_CAP + 1).count() > exact.BROADCAST_QUERY_CAP
+    big = exact.query_side_is_big(queries)
     strategy = "blocked" if big else "numpy"
     df = exact.knn_join(c, queries, k, metric=metric, strategy=strategy)
     return SearchPlan(
