@@ -1134,6 +1134,13 @@ def _register_pipeline() -> None:
             D.simhash_pairs_sql(max_hamming=6),
             ["documents"],
         ),
+        # Winnowing (SIGMOD'03 / MOSS): edit-robust fingerprint sets, pair
+        # generation by fingerprint equi-join — no all-pairs stage
+        "dedup_winnowing": (
+            lambda docs: D.winnowing_pairs(docs, min_shared=2),
+            D.winnowing_pairs_sql(min_shared=2),
+            ["documents"],
+        ),
         "dedup_embedding": (
             lambda emb: D.embedding_neardup(emb, threshold=0.35),
             D.embedding_neardup_sql(threshold=0.35),

@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_winnowing",
     "dedup_embedding",
     "text_quality",
     "text_language_id",

@@ -595,3 +595,91 @@ WITH n AS (
 )
 SELECT id_a, id_b, cos FROM p WHERE cos >= {threshold}
 """
+
+
+# ---------------------------------------------------------------------------
+# D6: Winnowing fingerprints (Schleimer/Wilkerson/Aiken "Winnowing: Local
+# Algorithms for Document Fingerprinting", SIGMOD'03 — the MOSS algorithm)
+# ---------------------------------------------------------------------------
+
+
+def winnowing_fingerprints(
+    docs: DataFrame, k: int = 4, w: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, fp): the document's distinct winnowed fingerprints.
+
+    k-gram hashes -> minimum of every w-hash sliding window -> distinct.
+    Winnowing guarantees any shared substring of length >= k + w - 1
+    produces at least one SHARED fingerprint, while keeping ~2/(w+1) of
+    the hashes — the edit-robust middle ground between exact digests
+    (fragile) and full shingle sets (large). All JVM-side HOFs (sequence /
+    slice / array_min), map-only, no Python."""
+    base = fan_out(docs).select(
+        "doc_id", F.split(norm_text(text_col), " ").alias("_tk")
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("_tk") - F.lit(k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_tk"), i, k)),
+    )
+    hashed = base.select(
+        "doc_id", F.transform(grams, lambda g: h64(g)).alias("_h")
+    )
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("_h") - F.lit(w - 1), F.lit(1))),
+        lambda j: F.array_min(F.slice(F.col("_h"), j, w)),
+    )
+    return hashed.select(
+        "doc_id", F.explode(F.array_distinct(wins)).alias("fp")
+    )
+
+
+def winnowing_pairs(
+    docs: DataFrame,
+    min_shared: int = 2,
+    k: int = 4,
+    w: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs sharing >= ``min_shared`` winnowed fingerprints.
+
+    The bucketed shape again: explode (doc_id, fp), equi-join on the
+    fingerprint, count shared per pair — shuffle carries (fp, doc_id)
+    only, AQE skew-join splits hot fingerprints (boilerplate text). No
+    all-pairs anywhere; pair work is proportional to actual fingerprint
+    collisions, the winnowing paper's contract."""
+    fps = winnowing_fingerprints(docs, k=k, w=w, text_col=text_col).cache()
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, F.col("a.fp") == F.col("b.fp"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )
+
+
+def winnowing_pairs_sql(
+    min_shared: int = 2, k: int = 4, w: int = 5, text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`winnowing_pairs` over ``documents``."""
+    n = sql_norm_text(text_col)
+    return f"""
+WITH t AS (SELECT doc_id, string_split({n}, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         [array_to_string(toks[i:i+{k - 1}], ' ')
+          for i in generate_series(1, greatest(len(toks) - {k - 1}, 1))] AS grams
+  FROM t
+),
+h AS (SELECT doc_id, [{sql_h64("x")} for x in grams] AS hs FROM g),
+wn AS (
+  SELECT doc_id,
+         list_distinct([list_min(hs[j:j+{w - 1}])
+                        for j in generate_series(1, greatest(len(hs) - {w - 1}, 1))]) AS fps
+  FROM h
+),
+f AS (SELECT doc_id, unnest(fps) AS fp FROM wn)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}
+"""

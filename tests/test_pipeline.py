@@ -153,3 +153,27 @@ def test_duplicate_clusters_long_chain_round_budget(spark):
     got = duplicate_clusters(pairs, max_iterations=20).collect()
     assert len(got) == 1000
     assert all(r["cluster_id"] == 0 for r in got)
+
+
+def test_winnowing_guarantee_and_robustness(spark):
+    """Winnowing's contract (Schleimer et al. §2): documents sharing a
+    run of >= k + w - 1 consecutive k-gram hashes share at least one
+    fingerprint — and small edits far from the shared run do not destroy
+    the match (unlike the exact digest)."""
+    from jvector_spark.pipeline.dedup import winnowing_pairs
+
+    shared = "the quick brown fox jumps over the lazy dog near the river bank today"
+    docs = spark.createDataFrame(
+        [
+            (1, "intro one " + shared + " tail alpha"),
+            (2, "different opening words " + shared + " other ending here"),
+            (3, "completely unrelated text about spark catalyst optimizer plans"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in winnowing_pairs(docs, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs  # shared run -> shared fingerprints, guaranteed
+    assert all(3 not in p for p in pairs)  # unrelated doc matches nothing
