@@ -1147,6 +1147,12 @@ def _register_pipeline() -> None:
             ["embeddings"],
         ),
         "text_token_count": (lambda docs: T.token_stats(docs), T.token_stats_sql(), ["documents"]),
+        # Gopher/MassiveText repetition rules (Rae et al. 2021 A1.1)
+        "text_repetition": (
+            lambda docs: T.repetition_stats(docs),
+            T.repetition_stats_sql(),
+            ["documents"],
+        ),
         "text_quality": (lambda docs: T.quality_score(docs), T.quality_score_sql(), ["documents"]),
         "text_language_id": (lambda docs: T.language_id(docs), T.language_id_sql(), ["documents"]),
         "doc_fingerprint": (lambda docs: T.fingerprint(docs), T.fingerprint_sql(), ["documents"]),

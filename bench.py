@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "dedup_winnowing",
     "dedup_embedding",
     "text_quality",
+    "text_repetition",
     "text_language_id",
     "text_token_count",
     "doc_fingerprint",

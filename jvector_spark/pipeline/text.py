@@ -219,3 +219,55 @@ SELECT doc_id,
          (acc, c) -> (acc * 31 + c) % {MOD}) AS fp
 FROM t
 """
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition signals for quality filtering (the Gopher/MassiveText
+    repetition rules, Rae et al. 2021 §A1.1: documents dominated by
+    repeated n-grams are boilerplate/spam): duplicate-token ratio and the
+    mass of the single most frequent bigram. Map-only JVM HOFs — the
+    per-doc distinct×n bigram count is bounded by document length, never
+    corpus size."""
+    toks = tokens(norm_text(text_col))
+    base = docs.select("doc_id", toks.alias("_tk"))
+    nt = F.size("_tk").cast("double")
+    dup_word = (nt - F.size(F.array_distinct("_tk")).cast("double")) / nt
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("_tk") - F.lit(1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_tk"), i, 2)),
+    )
+    b = base.withColumn("_bg", bigrams)
+    nb = F.size("_bg").cast("double")
+    top_mass = (
+        F.array_max(
+            F.transform(
+                F.array_distinct("_bg"),
+                lambda x: F.size(F.filter(F.col("_bg"), lambda y: y == x)),
+            )
+        ).cast("double")
+        / nb
+    )
+    return b.select(
+        "doc_id",
+        F.round(dup_word, 6).alias("dup_word_ratio"),
+        F.round(top_mass, 6).alias("top_bigram_ratio"),
+    )
+
+
+def repetition_stats_sql(text_col: str = "text") -> str:
+    """DuckDB twin of :func:`repetition_stats` over ``documents``."""
+    n = sql_norm_text(text_col)
+    return f"""
+WITH t AS (SELECT doc_id, string_split({n}, ' ') AS tk FROM documents),
+b AS (
+  SELECT doc_id, tk,
+         [array_to_string(tk[i:i+1], ' ')
+          for i in generate_series(1, greatest(len(tk) - 1, 1))] AS bg
+  FROM t
+)
+SELECT doc_id,
+       ROUND((len(tk) - len(list_distinct(tk))) / CAST(len(tk) AS DOUBLE), 6) AS dup_word_ratio,
+       ROUND(list_max([len(list_filter(bg, y -> y = x)) for x in list_distinct(bg)])
+             / CAST(len(bg) AS DOUBLE), 6) AS top_bigram_ratio
+FROM b
+"""

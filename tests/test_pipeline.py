@@ -177,3 +177,18 @@ def test_winnowing_guarantee_and_robustness(spark):
     }
     assert (1, 2) in pairs  # shared run -> shared fingerprints, guaranteed
     assert all(3 not in p for p in pairs)  # unrelated doc matches nothing
+
+
+def test_repetition_stats_flags_repetitive_docs(spark):
+    """Gopher-rule signals: a doc that is one phrase repeated scores far
+    higher on both ratios than natural text."""
+    docs = spark.createDataFrame(
+        [
+            (1, "buy now " * 20),
+            (2, "the quick brown fox jumps over the lazy dog by the river"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in T.repetition_stats(docs).collect()}
+    assert rows[1]["dup_word_ratio"] > 0.9 > rows[2]["dup_word_ratio"]
+    assert rows[1]["top_bigram_ratio"] > 0.4 > rows[2]["top_bigram_ratio"]
