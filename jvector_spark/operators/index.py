@@ -799,9 +799,13 @@ class IVFIndex:
 
         ``m_hint``: approximate query-side row count; skips the sizing
         probe/count jobs (affects only routing + tile granularity, never
-        correctness). On the distributed route ``n_probe_fine`` is ignored
-        (a bulk query side's fine-probe union covers everything anyway —
-        recall can only improve).
+        correctness). ``n_probe_fine`` works on BOTH routes: the
+        distributed route computes the probed fine-sub union with a
+        map-only pass (no query collect) and pushes the same
+        ``sub_id IN (...)`` scan filter the broadcast route uses, so
+        mid-size bulk batches keep sublinear per-probe IO (a
+        corpus-as-queries union approaches everything and degrades
+        gracefully to plain IVF).
 
         On a two-level index (``fine_factor > 0``), ``n_probe_fine`` probes
         only the union of each query's nearest fine sub-clusters: the
@@ -879,6 +883,7 @@ class IVFIndex:
             return self._search_distributed(
                 queries_df, metric, k, rerank_k, n_probe,
                 query_id_col, query_vec_col, predicate, accept_df, rerank, m_hint,
+                n_probe_fine=n_probe_fine,
             )
         if strategy != "broadcast":
             raise ValueError(f"unknown search strategy {strategy!r}")
@@ -1133,6 +1138,52 @@ class IVFIndex:
         )
         return qin.mapInPandas(assign, schema="part_id int, qid long, vec array<float>")
 
+    def _probed_fine_subs(
+        self,
+        queries_df: DataFrame,
+        info: dict,
+        n_probe_fine: int | None,
+        qvec_col: str,
+    ) -> list[int] | None:
+        """Union of every query's ``n_probe_fine`` nearest fine
+        sub-clusters, computed as a map-only pass over the (unbounded)
+        query side + a distinct on <= n_fine ids. The collected list is
+        INDEX-METADATA sized (fine centroid count, <= 65536), never
+        query- or corpus-sized — the same driver-residency class as the
+        centroids themselves. Matches the broadcast route's per-query
+        top-npf selection exactly (same fine centroids, same distances),
+        so pushing ``sub_id IN (union)`` keeps the two routes bit-equal
+        (ref OnDiskGraphIndex.java:119-161 — the RAM-cached upper layers
+        prune the on-disk level's IO the same way)."""
+        fine = info.get("fine")
+        if fine is None or not n_probe_fine:
+            return None
+        npf = int(min(n_probe_fine, len(fine)))
+        b = self.spark.sparkContext.broadcast((fine, npf))
+
+        def subs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            fc, npf_ = b.value
+            fcc = np.einsum("ij,ij->i", fc, fc)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                qmat = kernels.as_matrix(pdf["vec"])
+                d = -2.0 * qmat @ fc.T + fcc[None, :]  # dist^2 - ||q||^2
+                if npf_ < d.shape[1]:
+                    sel = np.argpartition(d, npf_ - 1, axis=1)[:, :npf_]
+                else:
+                    sel = np.tile(np.arange(d.shape[1]), (len(qmat), 1))
+                # map-side dedup: one row per distinct sub in the batch
+                yield pd.DataFrame({"sub_id": np.unique(sel.ravel()).astype(np.int32)})
+
+        rows = (
+            queries_df.select(F.col(qvec_col).alias("vec"))
+            .mapInPandas(subs, schema="sub_id int")
+            .distinct()
+            .collect()
+        )
+        return sorted(int(r["sub_id"]) for r in rows)
+
     def _search_distributed(
         self,
         queries_df: DataFrame,
@@ -1146,6 +1197,7 @@ class IVFIndex:
         accept_df: DataFrame | None,
         rerank: str,
         m_hint: int | None,
+        n_probe_fine: int | None = None,
     ) -> DataFrame:
         """Uncapped k-NN search: neither side is ever driver-collected.
 
@@ -1153,8 +1205,13 @@ class IVFIndex:
         tile join running the same fused two-phase scoring as the broadcast
         scan. Per-tile rerank_k can only ADD candidates relative to a
         global rerank_k, so recall at a given overquery is >= the
-        broadcast path's (same argument as the Arrow-batch-local rerank)."""
-        m = int(m_hint) if m_hint is not None else queries_df.count()
+        broadcast path's (same argument as the Arrow-batch-local rerank).
+
+        Tile sizing never re-runs the query lineage: with ``m_hint`` the
+        assignment count is derived arithmetically (m * n_probe); without
+        it the assignment output is localCheckpoint-ed and counted — the
+        map pass runs exactly ONCE either way (the count materializes the
+        checkpoint the tile join then reads)."""
         use_nvq = rerank == "nvq"
         parts = []
         for seg in self.manifest.segments:
@@ -1163,15 +1220,21 @@ class IVFIndex:
             npb = max(1, min(n_probe, n_live))
             spill = max(1, min(self.manifest.spill, n_live))
             assigned = self._assign_probes(queries_df, info, npb, qid_col, qvec_col)
+            if m_hint is not None:
+                n_assign = int(m_hint) * npb
+            else:
+                assigned = assigned.localCheckpoint(eager=False)
+                n_assign = assigned.count()
+            sub_filter = self._probed_fine_subs(queries_df, info, n_probe_fine, qvec_col)
             # expected per-partition tile loads (skewed partitions get
             # proportionally bigger tiles; the per-512-query chunking inside
             # the tile bounds peak memory regardless)
             c_blocks = max(1, math.ceil(seg.n_rows * spill / n_live / _C_TILE))
-            q_blocks = max(1, math.ceil(m * npb / n_live / _Q_TILE))
+            q_blocks = max(1, math.ceil(n_assign / n_live / _Q_TILE))
             parts.append(
                 self._segment_tile_scan(
                     info, assigned, metric, k, rerank_k, c_blocks, q_blocks,
-                    predicate, accept_df, use_nvq, None,
+                    predicate, accept_df, use_nvq, None, sub_filter=sub_filter,
                 )
             )
         scanned = parts[0]
@@ -1199,6 +1262,7 @@ class IVFIndex:
         accept_df: DataFrame | None,
         use_nvq: bool,
         threshold: float | None,
+        sub_filter: list[int] | None = None,
     ) -> DataFrame:
         """2-D blocked tile join between probe assignments and the probed
         scan — ``exact._knn_join_blocked``'s shape with ``part_id`` as an
@@ -1207,7 +1271,13 @@ class IVFIndex:
         across ``c_blocks``; each (part_id, qb, cb) tile scores its pair
         with the fused ADC->rerank kernel (threshold mode: exact fp32
         scores + filter). Shuffle volume is O(stored·q_blocks +
-        assignments·c_blocks); no task holds more than ~one tile."""
+        assignments·c_blocks); no task holds more than ~one tile.
+
+        ``sub_filter`` (two-level index): the probed fine-sub union as a
+        STATIC pushed ``sub_id IN (...)`` filter — parquet row-group
+        min/max stats skip unprobed sub-clusters (files are sorted by
+        (part_id, sub_id) at write time), and pruned rows never enter the
+        tile shuffle."""
         data = self.spark.read.parquet(os.path.join(info["dir"], "data.parquet"))
         # In-plan scan pruning, no driver collect: semi-join against the
         # probed-partition set (<= MAX_CENTROIDS distinct values, broadcast;
@@ -1216,6 +1286,8 @@ class IVFIndex:
         data = data.join(
             F.broadcast(assigned.select("part_id").distinct()), "part_id", "semi"
         )
+        if sub_filter is not None:
+            data = data.filter(F.col("sub_id").isin(sub_filter))
         data = self._apply_liveness(data)  # F2 tombstones
         if predicate is not None:
             data = data.filter(predicate)
@@ -1360,10 +1432,11 @@ class IVFIndex:
             assigned = self._assign_probes(
                 queries_df, info, 0, qid_col, qvec_col,
                 metric=metric, threshold=threshold,
-            )
-            # ONE map-only pass sizes the tiles from the actual (bound-
-            # dependent, not knowable a priori) assignment count; the main
-            # job re-runs the same cheap lineage.
+            ).localCheckpoint(eager=False)
+            # The assignment count is bound-dependent (not knowable a
+            # priori), so ONE pass materializes the checkpoint and sizes
+            # the tiles; the tile join reads the checkpoint — the query
+            # lineage is never evaluated twice.
             n_assign = assigned.count()
             c_blocks = max(1, math.ceil(seg.n_rows * spill / n_live / _C_TILE))
             q_blocks = max(1, math.ceil(n_assign / n_live / _Q_TILE))

@@ -178,3 +178,54 @@ def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
         r["doc_id"] for r in exact_dedup(batch).filter("is_canonical").collect()
     }
     assert got == want  # 7 canonical digests from batch 1 + the fresh doc
+
+
+def test_streaming_dedup_ttl_state_contract():
+    """TTL bounded-state contract, tested at the state-fn level (a
+    wall-clock ProcessingTimeTimeout run is inherently flaky): a seen
+    digest drops duplicates and refreshes its timeout; the timeout
+    callback removes state; the next arrival after expiry is re-admitted
+    as a fresh first occurrence."""
+    import pandas as pd
+
+    from jvector_spark.streaming.dedup import _make_emit_first_only
+
+    class FakeState:
+        def __init__(self):
+            self._v, self.hasTimedOut, self.timeouts = None, False, []
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v = None
+
+        def setTimeoutDuration(self, ms):
+            self.timeouts.append(ms)
+
+    fn = _make_emit_first_only(60_000)
+    st = FakeState()
+    batch = [pd.DataFrame({"doc_id": [7, 3], "digest": ["d", "d"]})]
+    out = list(fn(("d",), batch, st))
+    assert len(out) == 1 and out[0]["doc_id"].iloc[0] == 3  # first occ, min id
+    assert st.exists and st.timeouts == [60_000]
+
+    out2 = list(fn(("d",), [pd.DataFrame({"doc_id": [9], "digest": ["d"]})], st))
+    assert out2 == [] and st.timeouts == [60_000, 60_000]  # dropped + refreshed
+
+    st.hasTimedOut = True
+    assert list(fn(("d",), [], st)) == [] and not st.exists  # expiry forgets
+
+    st.hasTimedOut = False
+    out3 = list(fn(("d",), [pd.DataFrame({"doc_id": [11], "digest": ["d"]})], st))
+    assert len(out3) == 1 and out3[0]["doc_id"].iloc[0] == 11  # re-admitted
+
+    # no-TTL build never touches timeouts (NoTimeout conf compatibility)
+    fn2 = _make_emit_first_only(None)
+    st2 = FakeState()
+    list(fn2(("e",), [pd.DataFrame({"doc_id": [1], "digest": ["e"]})], st2))
+    assert st2.exists and st2.timeouts == []
