@@ -47,17 +47,63 @@ def _logit(u: np.ndarray, alpha: float, x0: np.ndarray) -> np.ndarray:
     return x0 + np.log(u / (1.0 - u)) / alpha
 
 
+def _auto_subvectors(dim: int) -> int:
+    """Largest split in (4, 2, 1) that divides ``dim`` with >= 16 dims per
+    subvector — matching the reference's default of a few subvectors on
+    realistic dims (NVQuantization.java:48-112 learns (α, x0) per
+    SUBvector, not per whole row) without over-splitting tiny vectors."""
+    for s in (4, 2):
+        if dim % s == 0 and dim // s >= 16:
+            return s
+    return 1
+
+
 @dataclass
 class NVQuantizer(VectorCompressor):
-    """Stateless codec config; all learned parameters are per-row."""
+    """Stateless codec config; all learned parameters are per-row.
+
+    ``subvectors`` (0 = auto): each row is split into that many contiguous
+    subvectors, each learning its own (α, x0, lo, hi) — the reference's
+    layout (NVQuantization.java:48-112 ``subvectorSizesAndOffsets``).
+    Stored params are SELF-DESCRIBING: 4 doubles per subvector
+    concatenated, so any decoder infers the split from the params row
+    length — encode-time and decode-time instances can never disagree."""
 
     dim: int
     alphas: tuple[float, ...] = (1e-6, 0.5, 1.0, 2.0, 4.0, 8.0)
+    subvectors: int = 0
+
+    def _split_bounds(self, dim: int, s: int) -> list[tuple[int, int]]:
+        """Deterministic contiguous chunk boundaries (np.array_split rule:
+        the first dim % s chunks get one extra dim)."""
+        base, extra = divmod(dim, s)
+        bounds, start = [], 0
+        for i in range(s):
+            end = start + base + (1 if i < extra else 0)
+            bounds.append((start, end))
+            start = end
+        return bounds
 
     def _quantize_rows(self, mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """Per-row learned quantization, vectorized over ALL rows per alpha
-        (the per-row Python loop was the one hot-path loop in the codec —
-        SURVEY §7 anti-pattern; one (n, d) array pass per grid point now).
+        """Split rows into subvectors and learn each chunk independently.
+        Returns (codes uint8 (n, d), params float64 (n, 4*S))."""
+        d = mat.shape[1]
+        s = self.subvectors or _auto_subvectors(d)
+        s = max(1, min(int(s), d))
+        if s == 1:
+            return self._quantize_chunk(mat)
+        codes_parts, params_parts = [], []
+        for lo_i, hi_i in self._split_bounds(d, s):
+            c, p = self._quantize_chunk(mat[:, lo_i:hi_i])
+            codes_parts.append(c)
+            params_parts.append(p)
+        return np.concatenate(codes_parts, axis=1), np.concatenate(params_parts, axis=1)
+
+    def _quantize_chunk(self, mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Per-row learned quantization of ONE subvector chunk, vectorized
+        over ALL rows per alpha (the per-row Python loop was the one
+        hot-path loop in the codec — SURVEY §7 anti-pattern; one (n, d)
+        array pass per grid point now).
 
         Returns (codes uint8 (n, d), params float64 (n, 4) = [alpha, x0, lo, hi]).
         Grid-searches alpha per row (ref learns (α, x0) by loss descent —
@@ -100,7 +146,21 @@ class NVQuantizer(VectorCompressor):
 
     def _dequantize_rows(self, codes: np.ndarray, params: np.ndarray) -> np.ndarray:
         """Vectorized inverse map over all rows at once (no per-row loop —
-        this sits on the rerank hot path)."""
+        this sits on the rerank hot path). The subvector split is inferred
+        from the params row length (4 doubles per subvector), so decoding
+        never depends on this instance's configuration."""
+        s = max(1, params.shape[1] // 4)
+        if s > 1:
+            parts = [
+                self._dequantize_chunk(
+                    codes[:, lo_i:hi_i], params[:, 4 * i : 4 * i + 4]
+                )
+                for i, (lo_i, hi_i) in enumerate(self._split_bounds(codes.shape[1], s))
+            ]
+            return np.concatenate(parts, axis=1)
+        return self._dequantize_chunk(codes, params)
+
+    def _dequantize_chunk(self, codes: np.ndarray, params: np.ndarray) -> np.ndarray:
         a = params[:, 0:1]
         x0 = params[:, 1:2]
         lo = params[:, 2:3]
@@ -171,11 +231,13 @@ class NVQuantizer(VectorCompressor):
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "params.json"), "w") as f:
-            json.dump({"type": "nvq", "version": 1, "dim": self.dim,
-                       "alphas": list(self.alphas)}, f)
+            json.dump({"type": "nvq", "version": 2, "dim": self.dim,
+                       "alphas": list(self.alphas),
+                       "subvectors": self.subvectors}, f)
 
     @classmethod
     def load(cls, path: str) -> "NVQuantizer":
         with open(os.path.join(path, "params.json")) as f:
             p = json.load(f)
-        return cls(dim=p["dim"], alphas=tuple(p["alphas"]))
+        return cls(dim=p["dim"], alphas=tuple(p["alphas"]),
+                   subvectors=int(p.get("subvectors", 0)))

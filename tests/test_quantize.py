@@ -260,3 +260,46 @@ def test_nvq_encode_is_fast(corpus):
     t0 = time.perf_counter()
     codec.encode_numpy(corpus)
     assert time.perf_counter() - t0 < 1.0
+
+
+def test_nvq_subvector_split_strictly_improves(rng):
+    """Per-subvector (α, x0, lo, hi) — the reference's layout
+    (NVQuantization.java:48-112) — must strictly beat one whole-row
+    parameter set on vectors whose chunks have different ranges (the
+    64-d fixtures' shape: per-dim scales vary)."""
+    from jvector_spark.operators.quantize.nvq import NVQuantizer, _auto_subvectors
+
+    n, d = 300, 64
+    # chunks with deliberately different scales/offsets
+    mat = np.concatenate(
+        [
+            rng.normal(0.0, 1.0, size=(n, 16)),
+            rng.normal(5.0, 0.2, size=(n, 16)),
+            rng.normal(-2.0, 3.0, size=(n, 16)),
+            rng.uniform(0.0, 0.05, size=(n, 16)),
+        ],
+        axis=1,
+    )
+    assert _auto_subvectors(64) == 4
+    err_split = NVQuantizer(dim=d).reconstruction_error(mat)  # auto -> 4 subs
+    err_whole = NVQuantizer(dim=d, subvectors=1).reconstruction_error(mat)
+    assert err_split < err_whole
+
+
+def test_nvq_subvector_params_self_describing(rng):
+    """A decoder instance configured with a DIFFERENT subvector count must
+    still decode correctly: the split is inferred from the stored params
+    length, never from the decoding instance."""
+    from jvector_spark.operators.quantize.nvq import NVQuantizer
+
+    mat = rng.normal(size=(50, 64))
+    enc = NVQuantizer(dim=64, subvectors=4)
+    codes, params = enc.encode_numpy(mat)
+    assert params.shape == (50, 16)
+    dec = NVQuantizer(dim=64, subvectors=1)  # mismatched config on purpose
+    np.testing.assert_allclose(
+        dec.decode_numpy(codes, params), enc.decode_numpy(codes, params)
+    )
+    # and on the 64-d embedding-like data the decode error stays tight
+    err = np.mean(np.sum((mat - enc.decode_numpy(codes, params)) ** 2, axis=1))
+    assert err < 0.01 * np.mean(np.sum(mat**2, axis=1))
