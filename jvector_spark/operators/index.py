@@ -935,6 +935,24 @@ class IVFIndex:
         full = self.search(queries_df, hi, **kwargs)
         return full.filter(F.col("rank") > lo)
 
+    def search_cursor(
+        self,
+        queries_df: DataFrame,
+        page_size: int,
+        pages: int,
+        **kwargs,
+    ):
+        """Incremental pagination (J5 resume analog, ref
+        ``GraphSearcher.resume`` GraphSearcher.java:509-547): ONE search
+        ranks ``pages * page_size`` survivors per query and retains the
+        pool; every :meth:`SearchCursor.page` after that is a slice of the
+        persisted pool — page n costs O(1) instead of ``search_page``'s
+        O(n) re-search. Accepts every :meth:`search` kwarg."""
+        from jvector_spark.operators.search import SearchCursor
+
+        ranked = self.search(queries_df, int(page_size) * int(pages), **kwargs)
+        return SearchCursor(ranked, page_size, pages)
+
     def _segment_fused_scan(
         self,
         info: dict,

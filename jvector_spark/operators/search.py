@@ -75,6 +75,60 @@ class SearchScoreProvider:
     n_probe_fine: int | None = None  # two-level indexes only (fine_factor > 0)
 
 
+class SearchCursor:
+    """J5 incremental resume (ref ``GraphSearcher.resume``,
+    GraphSearcher.java:509-547, which continues a search from its retained
+    candidate queue instead of restarting the traversal).
+
+    The batch analog: ONE search ranks a pool of ``pages * page_size``
+    survivors per query; the ranked pool is localCheckpoint-ed (executor-
+    local storage, lineage truncated) and every subsequent page is a slice
+    FILTER over that materialized pool — one cheap job, not a re-search.
+    Page n of a fresh ``search_page`` costs O(n) of the base search;
+    through a cursor it costs O(1).
+
+    Pages are deterministic and non-overlapping under the score-desc /
+    id-asc total order (T4), and mutually consistent by construction (all
+    pages come from the same retained pool — exactly the reference's
+    resume contract, where later results come from the same search's
+    candidate state). Pages beyond the retained pool raise: widen
+    ``pages`` up front, as the reference widens its candidate queue.
+
+    Call :meth:`close` (or use as a context manager) to release the
+    checkpointed storage.
+    """
+
+    def __init__(self, ranked: DataFrame, page_size: int, pages: int):
+        from pyspark.storagelevel import StorageLevel
+
+        self.page_size = int(page_size)
+        self.pages = int(pages)
+        # persist (not localCheckpoint): unpersist() reliably frees the
+        # storage, and the retained lineage keeps page slices fault-
+        # tolerant on a real cluster (an evicted block recomputes instead
+        # of failing the page).
+        self._df = ranked.persist(StorageLevel.MEMORY_AND_DISK)
+        self._df.count()  # materialize the pool NOW (the "search" cost)
+
+    def page(self, n: int) -> DataFrame:
+        if not 0 <= n < self.pages:
+            raise ValueError(
+                f"page {n} outside the retained pool (0..{self.pages - 1}); "
+                f"open the cursor with pages > {n} to reach it"
+            )
+        lo, hi = n * self.page_size, (n + 1) * self.page_size
+        return self._df.filter((F.col("rank") > lo) & (F.col("rank") <= hi))
+
+    def close(self) -> None:
+        self._df.unpersist()
+
+    def __enter__(self) -> "SearchCursor":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
 def pq_score_scan(
     codes_df: DataFrame,
     pq: ProductQuantizer,

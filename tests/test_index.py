@@ -413,3 +413,42 @@ def test_build_score_provider_and_features(spark, corpus_df, tmp_path_factory):
     # declared feature columns exist in the data files
     cols = set(idx2._segment_data(idx2.manifest.segments[0].name).columns)
     assert {"vec", "codes", "nvq", "nvq_params"} <= cols
+
+
+def test_search_cursor_incremental_resume(spark, index, queries_df):
+    """J5 incremental resume (ref GraphSearcher.resume,
+    GraphSearcher.java:509-547): a SearchCursor retains ONE search's
+    ranked pool; later pages are slices of the persisted pool. Pages must
+    equal the stateless search_page results bit for bit, and a cursor
+    page must cost far fewer Spark jobs than a fresh re-search of the
+    same page (the whole point of resume)."""
+    kw = dict(n_probe=8, overquery=4.0)
+    cur = index.search_cursor(queries_df, page_size=5, pages=4, **kw)
+    try:
+        for page in (0, 2):
+            got = sorted(
+                (r["qid"], r["rank"], r["id"], round(r["score"], 9))
+                for r in cur.page(page).collect()
+            )
+            want = sorted(
+                (r["qid"], r["rank"], r["id"], round(r["score"], 9))
+                for r in index.search_page(queries_df, 5, page, **kw).collect()
+            )
+            assert got == want and len(got) > 0
+
+        sc = spark.sparkContext
+        tracker = sc.statusTracker()
+        sc.setJobGroup("cursor_page", "slice of retained pool")
+        cur.page(3).collect()
+        jobs_cursor = len(tracker.getJobIdsForGroup("cursor_page"))
+        sc.setJobGroup("fresh_page", "stateless re-search")
+        index.search_page(queries_df, 5, 3, **kw).collect()
+        jobs_fresh = len(tracker.getJobIdsForGroup("fresh_page"))
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        assert jobs_cursor < jobs_fresh, (jobs_cursor, jobs_fresh)
+        assert jobs_cursor <= 2, f"cursor page ran {jobs_cursor} jobs"
+
+        with pytest.raises(ValueError, match="outside the retained pool"):
+            cur.page(4)
+    finally:
+        cur.close()
