@@ -139,6 +139,7 @@ def _fused_block_topk(
     vec_rows=None,
     nvq=None,
     bq=None,
+    mask=None,
 ):
     """Fused two-phase scoring of one (query block × row block).
 
@@ -152,6 +153,12 @@ def _fused_block_topk(
     (``vec_rows``: the batch's vec column) or dequantized NVQ bytes
     (``nvq`` = (codec, nvq_series, params_series)) — then per-query exact
     top-k with the score-desc/id-asc tie-break (T4).
+
+    ``mask`` (mq, n) bool: per-(query, row) candidate restriction (the
+    two-level per-query fine-cell filter). Non-member rows are demoted to
+    -inf in phase 1 — they only re-enter as candidates when a query's own
+    cells hold fewer than ``rerank_k`` rows (graceful refill; the exact
+    phase-2 scores keep any refilled candidate correct).
 
     Shared by the broadcast-query scan and the distributed tile join so
     both routes score identically. Returns (qid, id, score) arrays.
@@ -173,6 +180,8 @@ def _fused_block_topk(
                 approx[row] = (1.0 + partial) / 2.0
             else:
                 approx[row] = (1.0 + partial / (mags * max(q_norms[row], 1e-30))) / 2.0
+    if mask is not None:
+        approx = np.where(mask, approx, -np.inf)
     cand_idx, _ = kernels.topk_per_row(approx, rerank_k, ids=ids)
     uniq = np.unique(cand_idx.ravel())
     if nvq is not None:
@@ -547,6 +556,16 @@ class IVFIndexBuilder:
         # overhead); at 100 TB it is thousands, all clustered by part_id.
         est_bytes = n * spill * (4 * dim + self.pq_m + 24)
         n_write_tasks = int(min(max(1, est_bytes // (128 << 20) + 1), 4096))
+        # A single task writing hundreds of part_id dirs serializes on file
+        # open/commit (measured: ~60 s of a 100k-row build). Once the
+        # payload is non-trivial, give the write one task per core (hash on
+        # part_id -> still exactly ONE file per partition dir); tiny builds
+        # keep 1 task (their cost IS the per-task overhead).
+        if est_bytes > (16 << 20):
+            n_write_tasks = max(
+                n_write_tasks,
+                min(len(centroids), spark.sparkContext.defaultParallelism),
+            )
         # ---- job 2: encode + partitioned write (stats ride the map stage) ----
         shuffled = data.repartition(n_write_tasks, "part_id")
         if fine is not None:
@@ -994,7 +1013,12 @@ class IVFIndex:
         data = data.filter(F.col("part_id").isin(probed_parts))
         data = self._apply_liveness(data)  # F2 tombstones, in-plan anti-join
         # two-level probe: pushed sub_id filter -> parquet row-group skip
-        # (files are sorted by sub_id within each partition at write time)
+        # (files are sorted by sub_id within each partition at write time),
+        # PLUS a per-(query, row) candidate mask so each query only RANKS
+        # rows from its OWN probed fine cells (the union filter prunes IO;
+        # the mask keeps a big batch's union from diluting each query's
+        # rerank budget — per-query recall matches the point-query model).
+        q_fine_mask = None
         if n_probe_fine and info.get("fine") is not None:
             fine_c = info["fine"]
             npf = min(int(n_probe_fine), len(fine_c))
@@ -1006,6 +1030,11 @@ class IVFIndex:
             fsub = np.argsort(fdist, axis=1)[:, :npf]
             probed_subs = sorted({int(s) for s in fsub.ravel()})
             data = data.filter(F.col("sub_id").isin(probed_subs))
+            # (m, n_fine) membership bitmap; guarded so a huge query batch
+            # over a huge fine level degrades to the union filter alone
+            if len(qids) * len(fine_c) <= 1 << 28:
+                q_fine_mask = np.zeros((len(qids), len(fine_c)), dtype=bool)
+                q_fine_mask[np.repeat(np.arange(len(qids)), npf), fsub.ravel()] = True
         # F1 accept filter BEFORE candidate selection: batch-local top-k then
         # only ever ranks accepted rows — exact w.r.t. the filtered corpus
         # (the reference applies acceptOrds the same way, never as traversal
@@ -1036,11 +1065,11 @@ class IVFIndex:
             nvq_codec = NVQuantizer(dim=self.manifest.dim)
         b = self.spark.sparkContext.broadcast(
             (stage1, qids, qmat, qnorms, metric, k, rerank_k, part_to_queries,
-             nvq_codec)
+             nvq_codec, q_fine_mask)
         )
 
         def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            s1, q_ids, q_mat, q_norms, met, kk, keep, p2q, nvq_c = b.value
+            s1, q_ids, q_mat, q_norms, met, kk, keep, p2q, nvq_c, qfm = b.value
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -1050,6 +1079,11 @@ class IVFIndex:
                         continue
                     ids = grp["id"].to_numpy(dtype=np.int64)
                     qsel = np.asarray(q_idx)
+                    mask = (
+                        qfm[qsel][:, grp["sub_id"].to_numpy(dtype=np.int64)]
+                        if qfm is not None
+                        else None
+                    )
                     if s1[0] == "bq":
                         _, q_words, bdim, words = s1
                         code_idx = np.frombuffer(
@@ -1073,6 +1107,7 @@ class IVFIndex:
                         vec_rows=None if nvq_c is not None else grp["vec"],
                         nvq=(nvq_c, grp["nvq"], grp["nvq_params"]) if nvq_c is not None else None,
                         bq=bq_pack,
+                        mask=mask,
                     )
                     yield pd.DataFrame({"qid": oq, "id": oi, "score": osc})
 
@@ -1081,6 +1116,8 @@ class IVFIndex:
             if use_nvq
             else ["part_id", "id", "vec", "codes"]
         )
+        if q_fine_mask is not None:
+            cols.append("sub_id")
         return data.select(*cols).mapInPandas(
             scan, schema="qid long, id long, score double"
         )
@@ -1095,13 +1132,16 @@ class IVFIndex:
         qvec_col: str,
         metric: str | None = None,
         threshold: float | None = None,
+        fine_npf: int | None = None,
     ) -> DataFrame:
         """Distributed probe assignment: a map-only pass over the query
         DataFrame with the segment's centroids+stats broadcast (the
         hierarchical-descent analog run where the queries live, not on the
         driver — removes the reference-has-no-cap gap,
         GraphSearcher.java:222). Emits one (part_id, qid, vec) row per
-        (query, probed partition).
+        (query, probed partition); with ``fine_npf`` each row also carries
+        the query's probed fine-sub set (``subs``) for per-query candidate
+        masking in the tile join.
 
         ``threshold is None``: the ``n_probe`` nearest non-empty centroids
         per query (same selection as the broadcast path). Otherwise: every
@@ -1114,16 +1154,21 @@ class IVFIndex:
                 "centroids", "radius", "ang_radius", "max_norm", "min_norm", "has_rows"
             )
         }
+        fine = info.get("fine") if fine_npf else None
+        npf = int(min(int(fine_npf), len(fine))) if fine is not None else 0
+        schema = "part_id int, qid long, vec array<float>"
+        if fine is not None:
+            schema += ", subs array<int>"
         n_live = int(stats["has_rows"].sum())
         if n_live == 0:
-            return self.spark.createDataFrame(
-                [], "part_id int, qid long, vec array<float>"
-            )
+            return self.spark.createDataFrame([], schema)
         npb = int(max(1, min(n_probe, n_live))) if threshold is None else 0
-        bcast = self.spark.sparkContext.broadcast((stats, npb, metric, threshold))
+        bcast = self.spark.sparkContext.broadcast(
+            (stats, npb, metric, threshold, fine, npf)
+        )
 
         def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            st, npb_, met, thr = bcast.value
+            st, npb_, met, thr, fine_c, npf_ = bcast.value
             cents = st["centroids"]
             live = st["has_rows"]
             cc = np.einsum("ij,ij->i", cents, cents)
@@ -1143,18 +1188,26 @@ class IVFIndex:
                     qi, pi = np.nonzero(bound + 1e-9 >= thr)
                 if len(qi) == 0:
                     continue
-                yield pd.DataFrame(
-                    {
-                        "part_id": pi.astype(np.int32),
-                        "qid": pdf["qid"].to_numpy(dtype=np.int64)[qi],
-                        "vec": pdf["vec"].iloc[qi].reset_index(drop=True),
-                    }
-                )
+                out = {
+                    "part_id": pi.astype(np.int32),
+                    "qid": pdf["qid"].to_numpy(dtype=np.int64)[qi],
+                    "vec": pdf["vec"].iloc[qi].reset_index(drop=True),
+                }
+                if fine_c is not None:
+                    fcc = np.einsum("ij,ij->i", fine_c, fine_c)
+                    fd = -2.0 * qmat @ fine_c.T + fcc[None, :]
+                    if npf_ < fd.shape[1]:
+                        fsub = np.argpartition(fd, npf_ - 1, axis=1)[:, :npf_]
+                    else:
+                        fsub = np.tile(np.arange(fd.shape[1]), (len(qmat), 1))
+                    fsub = fsub.astype(np.int32)
+                    out["subs"] = pd.Series([fsub[i] for i in qi])
+                yield pd.DataFrame(out)
 
         qin = queries_df.select(
             F.col(qid_col).alias("qid"), F.col(qvec_col).alias("vec")
         )
-        return qin.mapInPandas(assign, schema="part_id int, qid long, vec array<float>")
+        return qin.mapInPandas(assign, schema=schema)
 
     def _probed_fine_subs(
         self,
@@ -1237,7 +1290,10 @@ class IVFIndex:
             n_live = max(1, int(info["has_rows"].sum()))
             npb = max(1, min(n_probe, n_live))
             spill = max(1, min(self.manifest.spill, n_live))
-            assigned = self._assign_probes(queries_df, info, npb, qid_col, qvec_col)
+            fine_npf = n_probe_fine if info.get("fine") is not None else None
+            assigned = self._assign_probes(
+                queries_df, info, npb, qid_col, qvec_col, fine_npf=fine_npf
+            )
             if m_hint is not None:
                 n_assign = int(m_hint) * npb
             else:
@@ -1253,6 +1309,7 @@ class IVFIndex:
                 self._segment_tile_scan(
                     info, assigned, metric, k, rerank_k, c_blocks, q_blocks,
                     predicate, accept_df, use_nvq, None, sub_filter=sub_filter,
+                    n_fine=(len(info["fine"]) if fine_npf else None),
                 )
             )
         scanned = parts[0]
@@ -1281,6 +1338,7 @@ class IVFIndex:
         use_nvq: bool,
         threshold: float | None,
         sub_filter: list[int] | None = None,
+        n_fine: int | None = None,
     ) -> DataFrame:
         """2-D blocked tile join between probe assignments and the probed
         scan — ``exact._knn_join_blocked``'s shape with ``part_id`` as an
@@ -1317,13 +1375,20 @@ class IVFIndex:
             extra.append("codes")
             if use_nvq:
                 extra += ["nvq", "nvq_params"]
-        null_of = {"codes": "binary", "nvq": "binary", "nvq_params": "array<double>"}
+        if n_fine:
+            extra.append("sub_id")  # rows' fine cell, for per-query masking
+        null_of = {
+            "codes": "binary", "nvq": "binary", "nvq_params": "array<double>",
+            "sub_id": "int",
+        }
         c_base = data.select(
             "part_id",
             F.col("id").alias("rid"),
             # NVQ rerank never reads the fp32 column (parquet prunes it)
             (F.lit(None).cast("array<float>") if use_nvq and threshold is None else F.col("vec")).alias("vec"),
             *[F.col(c) for c in extra],
+            # query-side-only column: the query's probed fine-sub set
+            *([F.lit(None).cast("array<int>").alias("subs")] if n_fine else []),
         )
         c_side = (
             c_base.withColumn(
@@ -1337,6 +1402,7 @@ class IVFIndex:
             F.col("qid").alias("rid"),
             "vec",
             *[F.lit(None).cast(null_of[c]).alias(c) for c in extra],
+            *(["subs"] if n_fine else []),
         )
         q_side = (
             q_base.withColumn(
@@ -1353,11 +1419,11 @@ class IVFIndex:
 
             nvq_codec = NVQuantizer(dim=self.manifest.dim)
         bt = self.spark.sparkContext.broadcast(
-            (pq_obj, metric, k, rerank_k, threshold, nvq_codec)
+            (pq_obj, metric, k, rerank_k, threshold, nvq_codec, n_fine)
         )
 
         def tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            pq_o, met, kk, keep, thr, nvq_c = bt.value
+            pq_o, met, kk, keep, thr, nvq_c, n_fine_ = bt.value
             empty = pd.DataFrame(
                 {
                     "qid": pd.Series(dtype="int64"),
@@ -1407,6 +1473,16 @@ class IVFIndex:
             nvq_pack = (
                 (nvq_c, cs["nvq"], cs["nvq_params"]) if nvq_c is not None else None
             )
+            tile_mask = None
+            if n_fine_:
+                # per-(query, row) fine-cell membership (same semantics as
+                # the broadcast scan's mask — both routes restrict each
+                # query's candidates to its OWN probed fine cells)
+                subs_rows = cs["sub_id"].to_numpy(dtype=np.int64)
+                q_cells = np.zeros((len(qs), n_fine_), dtype=bool)
+                for i, s in enumerate(qs["subs"]):
+                    q_cells[i, np.asarray(s, dtype=np.int64)] = True
+                tile_mask = q_cells[:, subs_rows]
             # chunk the query axis so LUT stack + score matrix stay bounded
             for lo in range(0, len(q_ids), 512):
                 q_mat = q_mat_all[lo : lo + 512]
@@ -1421,6 +1497,7 @@ class IVFIndex:
                 oq, oi, osc = _fused_block_topk(
                     met, kk, keep, q_ids[lo : lo + 512], q_mat, luts, mag, qn,
                     ids, code_idx, vec_rows=cs_vec, nvq=nvq_pack, bq=bq_pack,
+                    mask=None if tile_mask is None else tile_mask[lo : lo + 512],
                 )
                 frames.append(pd.DataFrame({"qid": oq, "id": oi, "score": osc}))
             return pd.concat(frames, ignore_index=True) if frames else empty
@@ -1707,6 +1784,75 @@ class IVFIndex:
         return IVFIndex.load(self.spark, self.path)
 
     # ----------------------------------------------------------------- stats
+    def probe_io_stats(
+        self,
+        queries_df: DataFrame,
+        n_probe: int,
+        n_probe_fine: int | None = None,
+        query_id_col: str = "qid",
+        query_vec_col: str = "vec",
+    ) -> dict:
+        """A10 diagnostic: the per-query point-search IO model — how many
+        STORED rows a single query's probed partitions contain (∩ its own
+        probed fine cells on a two-level index). This is the batch analog
+        of the reference's visited-node count (SearchResult telemetry,
+        SearchResult.java:25-86; e.g. 515 of 99,685 nodes visited in
+        docs/release notes/4.0.0-RC.9/671.testing.md:41) and the number the
+        recall-per-IO grid reports. Driver-side probe math over collected
+        queries (point-query batch, capped) + one small partition-size agg
+        per segment."""
+        from jvector_spark.operators.exact import collect_point_query_batch
+
+        qrows = collect_point_query_batch(
+            queries_df, query_id_col, query_vec_col, "IVFIndex.probe_io_stats"
+        )
+        qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+        nq = len(qmat)
+        visited = np.zeros(nq, dtype=np.int64)
+        stored = 0
+        for seg in self.manifest.segments:
+            info = self._segments[seg.name]
+            cents = info["centroids"]
+            npb = min(n_probe, len(cents))
+            d2 = (
+                np.einsum("ij,ij->i", qmat, qmat)[:, None]
+                + np.einsum("ij,ij->i", cents, cents)[None, :]
+                - 2.0 * qmat @ cents.T
+            )
+            d2[:, ~info["has_rows"]] = np.inf
+            probe = np.argsort(d2, axis=1)[:, :npb]
+            data = self._segment_data(seg.name)
+            if n_probe_fine and info.get("fine") is not None:
+                fine_c = info["fine"]
+                npf = min(int(n_probe_fine), len(fine_c))
+                hist = data.groupBy("part_id", "sub_id").count().toPandas()
+                cell = np.zeros((len(cents), len(fine_c)), dtype=np.int64)
+                cell[hist["part_id"].to_numpy(), hist["sub_id"].to_numpy()] = (
+                    hist["count"].to_numpy()
+                )
+                fd = (
+                    np.einsum("ij,ij->i", qmat, qmat)[:, None]
+                    + np.einsum("ij,ij->i", fine_c, fine_c)[None, :]
+                    - 2.0 * qmat @ fine_c.T
+                )
+                fsub = np.argsort(fd, axis=1)[:, :npf]
+                stored += int(cell.sum())
+                visited += np.array(
+                    [cell[np.ix_(probe[q], fsub[q])].sum() for q in range(nq)]
+                )
+            else:
+                sizes = data.groupBy("part_id").count().toPandas()
+                rows = np.zeros(len(cents), dtype=np.int64)
+                rows[sizes["part_id"].to_numpy()] = sizes["count"].to_numpy()
+                stored += int(rows.sum())
+                visited += rows[probe].sum(axis=1)
+        return {
+            "n_queries": nq,
+            "stored_rows": stored,
+            "mean_visited_rows": float(visited.mean()),
+            "visited_fraction": float(visited.mean() / max(stored, 1)),
+        }
+
     def stats(self) -> dict:
         """A10 analog: per-segment row/partition counts + avg partition size."""
         out = {
