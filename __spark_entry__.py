@@ -649,6 +649,37 @@ def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _oracle("ann_ivf_topk", _gate_oracle(n_results=10))
 
 
+@_register("ann_ivf_fine")
+def _ann_ivf_fine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level (IMI-style) search with per-query fine-cell masking (the
+    r5 recall-per-IO path; ref OnDiskGraphIndex.java:119-161 upper-layer
+    pruning): fine_factor adds a second centroid level, n_probe_fine
+    restricts each query's RANKED candidates to its own nearest fine
+    cells (pushed sub_id scan filter + per-(query,row) mask in the fused
+    kernel), and deep overquery reranks the surviving members exactly.
+    Gated: per-query recall@10 vs the exact oracle >= 0.5 while visiting
+    a small fraction of stored rows (recall 1.0 at 0.6% visited on the
+    100k bench corpus; see BENCH large_recall grid)."""
+    import tempfile
+
+    from jvector_spark.operators import exact
+    from jvector_spark.operators.index import IVFIndexBuilder
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    tmp = tempfile.mkdtemp(prefix="jvs_entry_ivf_fine_")
+    idx = IVFIndexBuilder(metric="COSINE", pq_m=8, spill=2, fine_factor=8).fit(
+        corpus, tmp
+    )
+    queries = corpus.filter(F.col("id") < 16).selectExpr("id as qid", "vec")
+    res = idx.search(queries, k=10, n_probe=8, overquery=16.0, n_probe_fine=32)
+    gt = exact.knn_join(corpus, queries, k=10, metric="COSINE", strategy="numpy")
+    return _recall_gate(res, gt, min_hits=5)
+
+
+_oracle("ann_ivf_fine", _gate_oracle(n_results=10))
+
+
 @_register("knn_filtered_ivf")
 def _knn_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered ANN through the index (F1 via the fused scan; ref

@@ -505,7 +505,16 @@ class IVFIndexBuilder:
                 rep = np.repeat(np.arange(len(x)), spill)
                 p = pm.ravel()  # partition of each stored copy
                 # stats on the float32 values that will actually be stored,
-                # so the bounds hold exactly for what search later reads
+                # so the bounds hold exactly for what search later reads.
+                # PRIMARY copies only (r5): a spilled second-choice copy can
+                # land far from its partition's centroid and blow the
+                # radius/angle stats up to inter-cluster scale, collapsing
+                # threshold pruning to nothing (measured: the 100k near-dup
+                # search scored ~every (query, partition) pair). Pruning on
+                # primary-member bounds stays EXACT: every row's primary
+                # partition bound covers it, so any row with score >= t is
+                # found there; spilled copies in pruned partitions are the
+                # same rows (search dedups by id).
                 x32 = x.astype(np.float32).astype(np.float64)
                 xx = np.einsum("ij,ij->i", x32, x32)
                 xn = np.sqrt(xx)
@@ -514,9 +523,15 @@ class IVFIndexBuilder:
                 dot_pc = (cc[p] - d32[rep, p]) / 2.0
                 cosang = dot_pc / np.maximum(xn[rep] * cn[p], 1e-30)
                 ang = np.arccos(np.clip(cosang, -1.0, 1.0))
+                if spill == 1:
+                    primary = np.ones(len(rep), dtype=bool)
+                else:
+                    prim_col = np.argmin(d32[rep, p].reshape(len(x), spill), axis=1)
+                    primary = np.zeros(len(rep), dtype=bool)
+                    primary[np.arange(len(x)) * spill + prim_col] = True
                 stats = {}
-                for part in np.unique(p):
-                    mask = p == part
+                for part in np.unique(p[primary]):
+                    mask = primary & (p == part)
                     stats[int(part)] = (
                         float(np.sqrt(r2[mask].max())),
                         float(ang[mask].max()),

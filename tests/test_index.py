@@ -452,3 +452,54 @@ def test_search_cursor_incremental_resume(spark, index, queries_df):
             cur.page(4)
     finally:
         cur.close()
+
+
+def test_threshold_pruning_effective_with_spill(spark, rng, tmp_path_factory):
+    """r5 regression: partition pruning stats are computed over PRIMARY
+    members only. With spill=2 a second-choice copy can land far from a
+    partition's centroid; folding it into the radius/angle stats inflated
+    every bound and threshold pruning collapsed (every (query, partition)
+    pair scored). Pruning stays exact — each row's primary partition
+    always survives — but must also stay EFFECTIVE: on clustered data a
+    high threshold must touch a small fraction of pairs."""
+    n, d = 4000, 16
+    centers = rng.normal(size=(24, d))
+    mat = (
+        centers[rng.integers(0, 24, n)] + 0.15 * rng.normal(size=(n, d))
+    ).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(n)], "id long, vec array<float>"
+    )
+    path = str(tmp_path_factory.mktemp("thr_spill") / "idx")
+    idx = IVFIndexBuilder(metric="COSINE", n_partitions=32, pq_m=4, spill=2).fit(
+        df, path
+    )
+    queries = df.limit(200).selectExpr("id as qid", "vec")
+    info = idx._segments[idx.manifest.segments[0].name]
+    assigned = idx._assign_probes(
+        queries, info, 0, "qid", "vec", metric="COSINE", threshold=0.99
+    )
+    frac = assigned.count() / (200.0 * 32.0)
+    assert frac < 0.35, f"threshold pruning ineffective: {frac:.2f} of pairs probed"
+
+    # exactness spot check on this index: threshold pairs == brute force
+    from pyspark.sql import functions as F
+
+    got = sorted(
+        (r["qid"], r["id"])
+        for r in idx.threshold_search(queries, 0.995, strategy="distributed")
+        .filter(F.col("qid") != F.col("id"))
+        .collect()
+    )
+    qrows = queries.collect()
+    qm = np.asarray([r["vec"] for r in qrows], dtype=np.float64)
+    cm = mat.astype(np.float64)
+    qn = np.linalg.norm(qm, axis=1)
+    cn = np.linalg.norm(cm, axis=1)
+    sc = (1.0 + (qm @ cm.T) / np.maximum(qn[:, None] * cn[None, :], 1e-30)) / 2.0
+    want = sorted(
+        (qrows[i]["qid"], j)
+        for i, j in zip(*np.nonzero(sc >= 0.995))
+        if qrows[i]["qid"] != j
+    )
+    assert got == want
