@@ -141,22 +141,28 @@ def main() -> None:
             timings["ivf_build"] = round(time.perf_counter() - t0, 3)
 
             qdf = emb.limit(64).select(F.col("id").alias("qid"), "vec")
-            t0 = time.perf_counter()
-            res = idx.search(qdf, k=10, n_probe=8, overquery=4.0)
-            _materialize(res)
-            timings["ivf_search_64q"] = round(time.perf_counter() - t0, 3)
+            best = None
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                _materialize(idx.search(qdf, k=10, n_probe=8, overquery=4.0))
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings["ivf_search_64q"] = round(best, 3)
 
             # Bulk query side: the WHOLE corpus as queries through the
             # distributed (uncapped) route — the batch-engine headline
             # (corpus-sized embedding joins / semantic dedup shape).
             qall = emb.select(F.col("id").alias("qid"), "vec")
-            t0 = time.perf_counter()
-            res = idx.search(
-                qall, k=10, n_probe=8, overquery=4.0,
-                strategy="distributed", m_hint=n_emb,
-            )
-            _materialize(res)
-            timings["ivf_search_bulk"] = round(time.perf_counter() - t0, 3)
+            best = None
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                _materialize(idx.search(
+                    qall, k=10, n_probe=8, overquery=4.0,
+                    strategy="distributed", m_hint=n_emb,
+                ))
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings["ivf_search_bulk"] = round(best, 3)
 
             # Recall grid (the batch analog of the reference's QPS-at-recall
             # table, 671.testing.md:37-50): recall@10 vs the exact oracle

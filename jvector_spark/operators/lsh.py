@@ -269,7 +269,22 @@ def _rp_lsh_distributed(
     # kernel(q_mat, x) call, so X1 registry metrics with ASYMMETRIC score
     # functions rank identically on both routes
     pairs = c_side.join(q_side, "bkey").select(
-        "qid", "id", col_similarity(metric, F.col("qvec"), F.col("cvec")).alias("score")
+        "bkey", "qid", "id",
+        col_similarity(metric, F.col("qvec"), F.col("cvec")).alias("score"),
+    )
+    # Explicit per-(bucket, query) partial top-k BEFORE the global merge
+    # (r4 audit: the plan previously leaned on Spark 4's WindowGroupLimit
+    # to trim pre-shuffle — engine-version-fragile). The join output is
+    # already hash-partitioned by bkey, which satisfies the (bkey, qid)
+    # clustering, so this window adds a sort but NO extra shuffle; at most
+    # k rows per (bucket, query) reach the qid shuffle. A (query, row)
+    # pair exists in exactly one bucket, so the merge of per-bucket top-k
+    # is the exact global top-k.
+    wb = Window.partitionBy("bkey", "qid").orderBy(F.desc("score"), F.asc("id"))
+    pairs = (
+        pairs.withColumn("_br", F.row_number().over(wb))
+        .filter(F.col("_br") <= k)
+        .drop("_br", "bkey")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
     return (
