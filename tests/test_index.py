@@ -503,3 +503,23 @@ def test_threshold_pruning_effective_with_spill(spark, rng, tmp_path_factory):
         if qrows[i]["qid"] != j
     )
     assert got == want
+
+
+def test_probe_io_stats_model(spark, corpus_df, tmp_path_factory):
+    """probe_io_stats (visited-node telemetry analog): fractions are in
+    (0, 1], grow with n_probe, and shrink sharply once fine cells
+    restrict the per-query candidate set."""
+    df, _ = corpus_df
+    path = str(tmp_path_factory.mktemp("io_stats") / "idx")
+    idx = IVFIndexBuilder(
+        metric="COSINE", n_partitions=16, pq_m=4, fine_factor=8
+    ).fit(df, path)
+    queries = df.limit(8).selectExpr("id as qid", "vec")
+    io4 = idx.probe_io_stats(queries, 4)
+    io8 = idx.probe_io_stats(queries, 8)
+    io8f = idx.probe_io_stats(queries, 8, n_probe_fine=4)
+    assert 0 < io4["visited_fraction"] <= 1
+    assert io8["visited_fraction"] >= io4["visited_fraction"]
+    assert io8f["visited_fraction"] < io8["visited_fraction"]
+    assert io8["stored_rows"] == io8f["stored_rows"]
+    assert io8["mean_visited_rows"] > io8f["mean_visited_rows"]
