@@ -1263,6 +1263,30 @@ def _register_pipeline() -> None:
 _register_pipeline()
 
 
+@_register("decontaminate")
+def _decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 Appendix C / Gopher n-gram overlap
+    rule): documents sharing any 8-word-gram with the eval set (here:
+    doc_id % 37 == 0) are flagged. Eval grams are DISTINCT + broadcast,
+    corpus side is one map-only gram pass + broadcast join — the corpus
+    text never shuffles. Per-doc distinct-hit counts + 0/1 flag are
+    hash-matched against the DuckDB twin."""
+    from jvector_spark.pipeline.decontaminate import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % 37 == 0)
+    return decontaminate(docs, ev, n=8)
+
+
+def _decontaminate_oracle() -> str:
+    from jvector_spark.pipeline.decontaminate import decontaminate_sql
+
+    return decontaminate_sql(n=8, eval_mod=37)
+
+
+_oracle("decontaminate", _decontaminate_oracle())
+
+
 @_register("dedup_clusters")
 def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster resolution: MinHash near-dup pairs -> connected

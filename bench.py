@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "text_language_id",
     "text_token_count",
     "doc_fingerprint",
+    "decontaminate",
     "events_rollup",
     "events_sessionize",
     "knn_join_wide",

@@ -192,3 +192,33 @@ def test_repetition_stats_flags_repetitive_docs(spark):
     rows = {r["doc_id"]: r for r in T.repetition_stats(docs).collect()}
     assert rows[1]["dup_word_ratio"] > 0.9 > rows[2]["dup_word_ratio"]
     assert rows[1]["top_bigram_ratio"] > 0.4 > rows[2]["top_bigram_ratio"]
+
+
+def test_decontaminate_against_bruteforce(spark):
+    """Benchmark decontamination: per-doc distinct-hit counts must equal a
+    brute-force python n-gram overlap, eval docs flag themselves, and
+    sub-n-token docs can never be contaminated."""
+    from jvector_spark.pipeline.decontaminate import decontaminate
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog today"),   # eval
+        (1, "a quick brown fox jumps over the lazy dog indeed"),    # shares grams
+        (2, "completely different words with no overlap at all ok"),
+        (3, "short doc"),                                           # < n tokens
+        (4, "THE  Quick   brown fox JUMPS over the lazy dog today"),# = doc0 after norm
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_hit_grams"], r["contaminated"])
+        for r in decontaminate(df, df.filter("doc_id = 0"), n=4).collect()
+    }
+
+    def grams(t, n=4):
+        toks = " ".join(t.lower().split()).split(" ")
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)} if len(toks) >= n else set()
+
+    ev = grams(docs[0][1])
+    for doc_id, text in docs:
+        hits = len(grams(text) & ev)
+        assert got[doc_id] == (hits, int(hits > 0)), (doc_id, got[doc_id], hits)
+    assert got[0][1] == 1 and got[4][1] == 1 and got[2] == (0, 0) and got[3] == (0, 0)
