@@ -140,6 +140,7 @@ def _fused_block_topk(
     nvq=None,
     bq=None,
     mask=None,
+    counters=None,
 ):
     """Fused two-phase scoring of one (query block × row block).
 
@@ -184,6 +185,8 @@ def _fused_block_topk(
         approx = np.where(mask, approx, -np.inf)
     cand_idx, _ = kernels.topk_per_row(approx, rerank_k, ids=ids)
     uniq = np.unique(cand_idx.ravel())
+    if counters is not None:
+        counters[1].add(int(len(uniq)))  # stage-2 reranked rows
     if nvq is not None:
         nvq_codec, nvq_series, params_series = nvq
         nvq_rows = np.frombuffer(
@@ -810,6 +813,7 @@ class IVFIndex:
         n_probe_fine: int | None = None,
         strategy: str = "auto",
         m_hint: int | None = None,
+        telemetry=None,
     ) -> DataFrame:
         """Fused two-phase partition-pruned k-NN join over live segments.
 
@@ -849,6 +853,11 @@ class IVFIndex:
         matters when a partition is tens of millions of rows). Tightest
         for small query batches; a large batch's union degrades gracefully
         toward plain IVF.
+
+        ``telemetry`` (a :class:`~jvector_spark.operators.search.SearchTelemetry`)
+        collects visited/reranked row counters from inside the kernels via
+        accumulators (ref SearchResult.java:25-86 telemetry); read them
+        after materializing the result.
 
         ``ssp`` (a :class:`~jvector_spark.operators.search.SearchScoreProvider`,
         X2 SPI) overrides n_probe / overquery and can force the stage-2
@@ -917,7 +926,7 @@ class IVFIndex:
             return self._search_distributed(
                 queries_df, metric, k, rerank_k, n_probe,
                 query_id_col, query_vec_col, predicate, accept_df, rerank, m_hint,
-                n_probe_fine=n_probe_fine,
+                n_probe_fine=n_probe_fine, telemetry=telemetry,
             )
         if strategy != "broadcast":
             raise ValueError(f"unknown search strategy {strategy!r}")
@@ -930,7 +939,7 @@ class IVFIndex:
             self._segment_fused_scan(
                 self._segments[seg.name], qids, qmat, metric, k, rerank_k, n_probe,
                 predicate=predicate, accept_df=accept_df, rerank=rerank,
-                n_probe_fine=n_probe_fine,
+                n_probe_fine=n_probe_fine, telemetry=telemetry,
             )
             for seg in self.manifest.segments
         ]
@@ -1000,6 +1009,7 @@ class IVFIndex:
         accept_df: DataFrame | None = None,
         rerank: str | None = None,
         n_probe_fine: int | None = None,
+        telemetry=None,
     ) -> DataFrame:
         cents: np.ndarray = info["centroids"]
         pq: ProductQuantizer = info["pq"]
@@ -1083,6 +1093,10 @@ class IVFIndex:
              nvq_codec, q_fine_mask)
         )
 
+        tel_acc = (
+            (telemetry._visited, telemetry._reranked) if telemetry is not None else None
+        )
+
         def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             s1, q_ids, q_mat, q_norms, met, kk, keep, p2q, nvq_c, qfm = b.value
             for pdf in batches:
@@ -1092,6 +1106,8 @@ class IVFIndex:
                     q_idx = p2q.get(int(part))
                     if not q_idx:
                         continue
+                    if tel_acc is not None:
+                        tel_acc[0].add(int(len(grp)))  # stage-1 visited rows
                     ids = grp["id"].to_numpy(dtype=np.int64)
                     qsel = np.asarray(q_idx)
                     mask = (
@@ -1123,6 +1139,7 @@ class IVFIndex:
                         nvq=(nvq_c, grp["nvq"], grp["nvq_params"]) if nvq_c is not None else None,
                         bq=bq_pack,
                         mask=mask,
+                        counters=tel_acc,
                     )
                     yield pd.DataFrame({"qid": oq, "id": oi, "score": osc})
 
@@ -1284,6 +1301,7 @@ class IVFIndex:
         rerank: str,
         m_hint: int | None,
         n_probe_fine: int | None = None,
+        telemetry=None,
     ) -> DataFrame:
         """Uncapped k-NN search: neither side is ever driver-collected.
 
@@ -1325,6 +1343,7 @@ class IVFIndex:
                     info, assigned, metric, k, rerank_k, c_blocks, q_blocks,
                     predicate, accept_df, use_nvq, None, sub_filter=sub_filter,
                     n_fine=(len(info["fine"]) if fine_npf else None),
+                    telemetry=telemetry,
                 )
             )
         scanned = parts[0]
@@ -1354,6 +1373,7 @@ class IVFIndex:
         threshold: float | None,
         sub_filter: list[int] | None = None,
         n_fine: int | None = None,
+        telemetry=None,
     ) -> DataFrame:
         """2-D blocked tile join between probe assignments and the probed
         scan — ``exact._knn_join_blocked``'s shape with ``part_id`` as an
@@ -1436,6 +1456,12 @@ class IVFIndex:
         bt = self.spark.sparkContext.broadcast(
             (pq_obj, metric, k, rerank_k, threshold, nvq_codec, n_fine)
         )
+        # On the tile route each corpus row is visited once PER TILE
+        # REPLICA it lands in — the counter measures scan work done, which
+        # includes the q_blocks replication (document over-count semantics)
+        tel_acc = (
+            (telemetry._visited, telemetry._reranked) if telemetry is not None else None
+        )
 
         def tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
             pq_o, met, kk, keep, thr, nvq_c, n_fine_ = bt.value
@@ -1450,6 +1476,8 @@ class IVFIndex:
             cs = pdf[pdf["is_q"] == 0]
             if len(qs) == 0 or len(cs) == 0:
                 return empty
+            if tel_acc is not None:
+                tel_acc[0].add(int(len(cs)))  # stage-1 visited (per replica)
             ids = cs["rid"].to_numpy(dtype=np.int64)
             q_ids = qs["rid"].to_numpy(dtype=np.int64)
             q_mat_all = kernels.as_matrix(qs["vec"])
@@ -1513,6 +1541,7 @@ class IVFIndex:
                     met, kk, keep, q_ids[lo : lo + 512], q_mat, luts, mag, qn,
                     ids, code_idx, vec_rows=cs_vec, nvq=nvq_pack, bq=bq_pack,
                     mask=None if tile_mask is None else tile_mask[lo : lo + 512],
+                    counters=tel_acc,
                 )
                 frames.append(pd.DataFrame({"qid": oq, "id": oi, "score": osc}))
             return pd.concat(frames, ignore_index=True) if frames else empty

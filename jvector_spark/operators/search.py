@@ -75,6 +75,39 @@ class SearchScoreProvider:
     n_probe_fine: int | None = None  # two-level indexes only (fine_factor > 0)
 
 
+class SearchTelemetry:
+    """Search-cost counters (ref ``SearchResult`` telemetry —
+    visited/expanded/reranked node counts, SearchResult.java:25-86),
+    gathered with Spark accumulators from inside the fused scan / tile
+    kernels.
+
+    Usage::
+
+        tel = SearchTelemetry(spark)
+        res = idx.search(queries, k, telemetry=tel)
+        res.count()            # counters are valid AFTER materialization
+        tel.visited_rows, tel.reranked_rows
+
+    ``visited_rows``: stored rows whose stage-1 codes were scored (the
+    scan cost the recall-per-IO grid models). ``reranked_rows``: rows
+    exact-scored in stage 2. Accumulator semantics: counts are exact on a
+    healthy run but can over-count under task retries/speculation — the
+    documented Spark accumulator contract; treat as telemetry, not
+    results."""
+
+    def __init__(self, spark):
+        self._visited = spark.sparkContext.accumulator(0)
+        self._reranked = spark.sparkContext.accumulator(0)
+
+    @property
+    def visited_rows(self) -> int:
+        return int(self._visited.value)
+
+    @property
+    def reranked_rows(self) -> int:
+        return int(self._reranked.value)
+
+
 class SearchCursor:
     """J5 incremental resume (ref ``GraphSearcher.resume``,
     GraphSearcher.java:509-547, which continues a search from its retained

@@ -523,3 +523,30 @@ def test_probe_io_stats_model(spark, corpus_df, tmp_path_factory):
     assert io8f["visited_fraction"] < io8["visited_fraction"]
     assert io8["stored_rows"] == io8f["stored_rows"]
     assert io8["mean_visited_rows"] > io8f["mean_visited_rows"]
+
+
+def test_search_telemetry_counters(spark, index, queries_df):
+    """SearchResult telemetry analog: visited counts stage-1 scanned rows
+    (union of probed partitions on the broadcast route), reranked counts
+    stage-2 exact-scored rows; exhaustive probing visits exactly the
+    stored row count, and both routes populate the counters."""
+    from jvector_spark.operators.search import SearchTelemetry
+
+    tel = SearchTelemetry(spark)
+    index.search(queries_df, 10, n_probe=4, overquery=2.0, telemetry=tel).count()
+    stored = index.probe_io_stats(queries_df, 4)["stored_rows"]
+    assert 0 < tel.reranked_rows
+    assert tel.reranked_rows <= tel.visited_rows <= stored
+
+    tel_all = SearchTelemetry(spark)
+    index.search(
+        queries_df, 10, n_probe=10**9, overquery=2.0, telemetry=tel_all
+    ).count()
+    assert tel_all.visited_rows == stored  # exhaustive probes scan everything
+
+    tel_d = SearchTelemetry(spark)
+    index.search(
+        queries_df, 10, n_probe=4, overquery=2.0, strategy="distributed",
+        telemetry=tel_d,
+    ).count()
+    assert tel_d.visited_rows > 0 and tel_d.reranked_rows > 0
