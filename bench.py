@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "events_sessionize",
     "knn_join_wide",
     "ann_lsh_topk",
+    "ann_ivf_fine",
+    "pq_reconstruction",
     "knn_paginated",
     "ordinal_renumber",
     # corpus-as-queries semantic dedup through the index (distributed

@@ -17,11 +17,15 @@ Watermark/window operators are additive (Spark-native, no reference
 counterpart): ``rollup.windowed_event_rollup`` is the streaming twin of the
 batch ``events_rollup`` driver query; ``rollup.session_rollup`` of the
 batch sessionizer; ``dedup.streaming_exact_dedup`` (custom keyed state via
-``applyInPandasWithState``) of the batch exact dedup.
+``applyInPandasWithState``, optional TTL) of the batch exact dedup; and
+``neardup.streaming_minhash_neardup`` of the batch MinHash/LSH pair
+operator — band-bucket keyed state, exact-Jaccard verification, pairs
+emitted exactly once from their canonical shared band.
 """
 
 from jvector_spark.streaming.dedup import streaming_exact_dedup
 from jvector_spark.streaming.ingest import stream_ingest
+from jvector_spark.streaming.neardup import streaming_minhash_neardup
 from jvector_spark.streaming.rollup import session_rollup, windowed_event_rollup
 
 __all__ = [
@@ -29,4 +33,5 @@ __all__ = [
     "windowed_event_rollup",
     "session_rollup",
     "streaming_exact_dedup",
+    "streaming_minhash_neardup",
 ]

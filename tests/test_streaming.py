@@ -229,3 +229,57 @@ def test_streaming_dedup_ttl_state_contract():
     st2 = FakeState()
     list(fn2(("e",), [pd.DataFrame({"doc_id": [1], "digest": ["e"]})], st2))
     assert st2.exists and st2.timeouts == []
+
+
+def test_streaming_minhash_neardup_matches_batch(spark, tmp_path):
+    """Streaming MinHash/LSH near-dup: the union of pairs emitted across
+    micro-batches equals the batch minhash_lsh_pairs result on the same
+    documents (same shingling/signature/banding/verification), with every
+    pair emitted exactly once — including pairs whose members arrive in
+    DIFFERENT micro-batches."""
+    from jvector_spark.pipeline.dedup import minhash_lsh_pairs
+    from jvector_spark.streaming.neardup import streaming_minhash_neardup
+
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again ok",
+        "pack my box with five dozen liquor jugs before noon arrives today",
+        "sphinx of black quartz judge my vow said the old teacher slowly",
+    ]
+    docs1 = [(i, base[i % 3] + f" tail{i % 2}") for i in range(12)]
+    docs2 = [(100 + i, base[i % 3] + f" tail{i % 2}") for i in range(6)]
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    spark.createDataFrame(docs1, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    spark.createDataFrame(docs2, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    q = (
+        streaming_minhash_neardup(stream, threshold=0.7)
+        .writeStream.format("memory")
+        .queryName("sneardup")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got_rows = spark.sql("SELECT * FROM sneardup").collect()
+    got = sorted((r["doc_a"], r["doc_b"], r["jaccard"]) for r in got_rows)
+    assert len(got) == len(set(got)), "a pair was emitted more than once"
+
+    batch = spark.createDataFrame(docs1 + docs2, "doc_id long, text string")
+    want = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(batch, threshold=0.7).collect()
+    )
+    assert len(want) > 0
+    # cross-batch pairs must exist for the test to mean anything
+    assert any(a < 100 <= b for a, b, _ in want)
+    assert got == want
