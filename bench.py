@@ -236,7 +236,7 @@ def main() -> None:
                 papq.write_table(
                     pa.table({"id": pa.array(range(n_l), pa.int64()),
                               "vec": pa.array(mat.tolist(), pa.list_(pa.float32()))}),
-                    f"{ldir}/corpus.parquet")
+                    f"{ldir}/corpus.parquet", row_group_size=32000)
                 papq.write_table(
                     pa.table({"qid": pa.array(range(nq_l), pa.int64()),
                               "vec": pa.array(qm.tolist(), pa.list_(pa.float32()))}),

@@ -124,6 +124,60 @@ def _min_dist_chunked(
     return np.maximum(out, 0.0)
 
 
+def fine_level(
+    points: np.ndarray,
+    coarse: np.ndarray,
+    n_fine: int,
+    iterations: int = 4,
+    seed: int = 42,
+) -> np.ndarray:
+    """Fine (second-level) centroids seeded HIERARCHICALLY: assign the
+    sample to its coarse cells, apportion ``n_fine`` centroids across
+    cells by population (largest remainder, >= 1 per nonempty cell), and
+    run an independent small k-means inside each cell. This is the
+    standard two-level IVF construction (per-cell refinement) and turns
+    one O(n_fine)-step sequential ++ seeding (96 s at k=8000 over a 128k
+    sample) into ~n_coarse independent tiny problems (~seconds), while
+    producing centroids at least as well-adapted to local structure.
+
+    The returned level is still GLOBAL: build and search both select
+    sub_ids by global nearest-fine-centroid, exactly as with flat
+    training — only the training procedure changes."""
+    rng = np.random.default_rng(seed)
+    n = len(points)
+    n_fine = int(min(n_fine, n))
+    pp = np.einsum("ij,ij->i", points, points)
+    assign = _nearest_chunked(points, coarse, pp)
+    counts = np.bincount(assign, minlength=len(coarse))
+    nonempty = np.flatnonzero(counts)
+    # largest-remainder apportionment, >= 1 per nonempty cell
+    raw = counts[nonempty] * (n_fine / max(counts.sum(), 1))
+    quota = np.maximum(np.floor(raw).astype(int), 1)
+    short = n_fine - int(quota.sum())
+    if short > 0:
+        order = np.argsort(-(raw - np.floor(raw)))
+        quota[order[: short]] += 1
+    elif short < 0:
+        order = np.argsort(raw - np.floor(raw))
+        for i in order:
+            if quota[i] > 1 and short < 0:
+                quota[i] -= 1
+                short += 1
+    out = []
+    for cell, k_c in zip(nonempty, quota):
+        sub = points[assign == cell]
+        k_c = int(min(k_c, len(sub)))
+        if k_c >= len(sub):
+            out.append(sub.astype(np.float64))
+        elif k_c == 1:
+            out.append(sub.mean(axis=0, keepdims=True))
+        else:
+            out.append(
+                kmeans_pp(sub, k_c, iterations, int(rng.integers(2**31)))
+            )
+    return np.concatenate(out, axis=0)
+
+
 # ---------------------------------------------------------------------------
 # Anisotropic k-means (SURVEY §2.5 A3; ScaNN-style anisotropic PQ)
 # ---------------------------------------------------------------------------

@@ -222,6 +222,25 @@ class ProductQuantizer(VectorCompressor):
                 lut[i] = book @ qs
         return lut
 
+    def adc_lut_batch(self, qmat: np.ndarray, metric: str) -> np.ndarray:
+        """Batched :meth:`adc_lut`: (Q, d) -> (Q, m, k) via one
+        vectorized pass per subspace instead of a per-query Python loop —
+        the bulk-query (corpus-as-queries) hot path. Same math and
+        reduction order as the per-query LUT."""
+        q = np.asarray(qmat, dtype=np.float64)
+        if self.global_centroid is not None and metric == "EUCLIDEAN":
+            q = q - self.global_centroid
+        out = np.empty((len(q), self.m, self.clusters), dtype=np.float64)
+        for i in range(self.m):
+            qs = q[:, i * self.dsub : (i + 1) * self.dsub]
+            book = self.codebooks[i]
+            if metric == "EUCLIDEAN":
+                diff = book[None, :, :] - qs[:, None, :]
+                out[:, i, :] = np.einsum("qkd,qkd->qk", diff, diff)
+            else:  # DOT_PRODUCT and COSINE share the dot-partials
+                out[:, i, :] = qs @ book.T
+        return out
+
     def magnitude_lut(self) -> np.ndarray:
         """(m, k) centroid self-dot partials for cosine denominators
         (ref calculatePartialSelfMagnitudes)."""

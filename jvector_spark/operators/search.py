@@ -176,7 +176,7 @@ def pq_score_scan(
     qids = np.array([q[0] for q in queries], dtype=np.int64)
     qmat = np.stack([np.asarray(q[1], dtype=np.float64) for q in queries])
     sc = codes_df.sparkSession.sparkContext
-    luts = np.stack([pq.adc_lut(qmat[i], metric) for i in range(len(qids))])
+    luts = pq.adc_lut_batch(qmat, metric)
     mag = pq.magnitude_lut() if metric == "COSINE" else None
     qnorms = np.linalg.norm(qmat, axis=1)
     b = sc.broadcast((pq.m, qids, luts, mag, qnorms, metric, keep_per_batch))
@@ -430,7 +430,7 @@ def _two_phase_blocked(
         frames = []
         for lo in range(0, len(q_ids), 512):
             q_mat = q_mat_all[lo : lo + 512]
-            luts = np.stack([pq_o.adc_lut(q_mat[i], met) for i in range(len(q_mat))])
+            luts = pq_o.adc_lut_batch(q_mat, met)
             qn = np.linalg.norm(q_mat, axis=1)
             oq, oi, osc = _fused_block_topk(
                 met, kk, keep, q_ids[lo : lo + 512], q_mat, luts, mag, qn,
