@@ -444,6 +444,16 @@ class IVFIndexBuilder:
 
         spark = df.sparkSession
         df = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            # Input layouts with fewer splits than cores (one big parquet
+            # file -> 2 x 128MB splits) serialize the assign/encode pass —
+            # the build's dominant matmuls (measured: a 1M-row build spent
+            # most of its wall time on 2 tasks). One round-robin shuffle of
+            # (id, vec) buys cores-wide parallelism for both the sample
+            # pass and the encode job; at cluster scale inputs have far
+            # more splits than cores and this is a no-op.
+            df = df.repartition(par)
 
         # ---- job 1: count + sample in one pass ----
         n, sample = self._sample_and_count(df)
