@@ -205,19 +205,48 @@ def _fused_block_topk(
         x = nvq_codec.decode_numpy(nvq_rows, nvq_params)
     else:
         x = kernels.as_matrix(vec_rows.iloc[uniq])
-    pos_of = {int(u): j for j, u in enumerate(uniq)}
-    out_q, out_i, out_s = [], [], []
-    for row in range(len(q_ids)):
-        cand = cand_idx[row]
-        xs = x[[pos_of[int(c)] for c in cand]]
-        exact = kernels.similarity(met, q_mat[row][None, :], xs)[0]
-        top = min(k, len(cand))
-        # sort by exact score desc, id asc (T4 tie-break)
-        order = np.lexsort((ids[cand], -exact))[:top]
-        out_q.append(np.full(top, q_ids[row], dtype=np.int64))
-        out_i.append(ids[cand[order]])
-        out_s.append(exact[order])
-    return np.concatenate(out_q), np.concatenate(out_i), np.concatenate(out_s)
+    # Vectorized stage-2 rerank (r5: the per-QUERY loop here was the last
+    # Python hot loop on the corpus-as-queries bulk path). Same math as
+    # kernels.similarity, same (score desc, id asc) T4 ordering — the
+    # id-ascending pre-sort + stable argsort on -score reproduces the
+    # per-row lexsort exactly, ties included.
+    n_q, r_w = cand_idx.shape
+    top = min(k, r_w)
+    pos = np.searchsorted(uniq, cand_idx)  # (Q, R) -> rows of x
+    cand_ids_all = ids[cand_idx]
+    out_q = np.repeat(q_ids, top)
+    out_i = np.empty((n_q, top), dtype=np.int64)
+    out_s = np.empty((n_q, top), dtype=np.float64)
+    d = x.shape[1]
+    # chunk the query axis so the (Qc, R, d) gather stays bounded (~64MB)
+    qc = max(1, int((64 << 20) // max(r_w * d * 8, 1)))
+    for lo in range(0, n_q, qc):
+        hi = min(lo + qc, n_q)
+        qm = q_mat[lo:hi]
+        xs = x[pos[lo:hi]]  # (Qc, R, d)
+        dotp = np.einsum("qd,qrd->qr", qm, xs)
+        if met == "EUCLIDEAN":
+            aa = np.einsum("qd,qd->q", qm, qm)
+            bb = np.einsum("qrd,qrd->qr", xs, xs)
+            dd = aa[:, None] + bb - 2.0 * dotp
+            np.maximum(dd, 0.0, out=dd)
+            exact = 1.0 / (1.0 + dd)
+        elif met == "DOT_PRODUCT":
+            exact = (1.0 + dotp) / 2.0
+        else:  # COSINE
+            na = np.sqrt(np.einsum("qd,qd->q", qm, qm))[:, None]
+            nb = np.sqrt(np.einsum("qrd,qrd->qr", xs, xs))
+            denom = na * nb
+            denom[denom == 0.0] = 1.0
+            exact = (1.0 + dotp / denom) / 2.0
+        cids = cand_ids_all[lo:hi]
+        perm = np.argsort(cids, axis=1, kind="stable")
+        cids = np.take_along_axis(cids, perm, axis=1)
+        exact = np.take_along_axis(exact, perm, axis=1)
+        order = np.argsort(-exact, axis=1, kind="stable")[:, :top]
+        out_i[lo:hi] = np.take_along_axis(cids, order, axis=1)
+        out_s[lo:hi] = np.take_along_axis(exact, order, axis=1)
+    return out_q, out_i.ravel(), out_s.ravel()
 
 
 class _PartStatsParam(AccumulatorParam):
