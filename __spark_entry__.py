@@ -869,6 +869,98 @@ SELECT qid, id, ROUND(_s, 6) AS score, rank FROM r WHERE rank <= 10
 )
 
 
+@_register("stream_ingest_search_exact")
+def _stream_ingest_search_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest end-to-end under the full hash oracle (ST1-ST3;
+    ref SiftSmall.java:216-275 incremental build + docs/compaction.md
+    segment accumulation): seed an index on the first third of the corpus
+    (M2), stage the remaining rows as two parquet files, stream them in
+    with Structured Streaming (file source, maxFilesPerTrigger=1,
+    availableNow) through ``stream_ingest`` — each micro-batch becomes one
+    immutable segment, exactly-once by segment name (ST1) — then search
+    across ALL THREE segments (J6 multi-index merge), compact to one
+    (ST3/U1), and search again. Both searches probe every partition with
+    rerank_k = |corpus| (provably exact), and the result must be
+    IDENTICAL pre- and post-compaction AND hash-match DuckDB's exact
+    top-10 — so segmentation and compaction are both proven
+    result-invariant under the oracle at any scale factor."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from jvector_spark.operators.index import IVFIndexBuilder
+    from jvector_spark.streaming.ingest import stream_ingest
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    n = corpus.count()
+    third = max(1, n // 3)
+    tmp = tempfile.mkdtemp(prefix="jvs_entry_stream_")
+    idx = IVFIndexBuilder(metric="COSINE", pq_m=8).fit(
+        corpus.filter(F.col("id") < third), os.path.join(tmp, "idx")
+    )
+    # stage the two remaining slices as one parquet file each (distributed
+    # writes; the file MOVE is metadata-only) -> two deterministic
+    # micro-batches under maxFilesPerTrigger=1
+    stage = os.path.join(tmp, "incoming")
+    os.makedirs(stage)
+    for bi, (lo, hi) in enumerate([(third, 2 * third), (2 * third, n)]):
+        part_dir = os.path.join(tmp, f"slice{bi}")
+        corpus.filter((F.col("id") >= lo) & (F.col("id") < hi)).coalesce(
+            1
+        ).write.parquet(part_dir)
+        src = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+        shutil.move(src, os.path.join(stage, f"batch{bi}.parquet"))
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = stream_ingest(
+        stream, idx, checkpoint_dir=os.path.join(tmp, "ckpt"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination()
+    assert len(idx.manifest.segments) == 3, idx.manifest.segments
+    queries = corpus.filter(F.col("id") < 16).selectExpr("id as qid", "vec")
+    exhaustive = dict(n_probe=4096, overquery=float(n) / 10.0)
+    pre = idx.search(queries, k=10, **exhaustive)
+    pre_rows = [
+        (r["qid"], r["id"], round(r["score"], 6), r["rank"]) for r in pre.collect()
+    ]
+    idx = idx.compact()
+    assert len(idx.manifest.segments) == 1
+    post = idx.search(queries, k=10, **exhaustive)
+    post_rows = [
+        (r["qid"], r["id"], round(r["score"], 6), r["rank"]) for r in post.collect()
+    ]
+    assert pre_rows == post_rows, "compaction changed exhaustive results"
+    return post.select(
+        "qid", "id", F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_oracle(
+    "stream_ingest_search_exact",
+    f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 16),
+s AS (
+  SELECT q.qid, e.vec_id AS id,
+         {sql_similarity("COSINE", "e.embedding", "q.qvec")} AS _s
+  FROM embeddings e, q
+),
+r AS (
+  SELECT qid, id, _s,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY _s DESC, id ASC) AS BIGINT) AS rank
+  FROM s
+)
+SELECT qid, id, ROUND(_s, 6) AS score, rank FROM r WHERE rank <= 10
+""",
+)
+
+
 @_register("ann_ivf_nvq")
 def _ann_ivf_nvq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search with NVQ stage-2 rerank — the reference's DEFAULT index

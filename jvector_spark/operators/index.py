@@ -249,11 +249,64 @@ def _fused_block_topk(
     return out_q, out_i.ravel(), out_s.ravel()
 
 
+def _assign_fine_hierarchical(
+    x: np.ndarray,
+    pm: np.ndarray,
+    fine_cents: np.ndarray,
+    fine_of: list[np.ndarray],
+) -> np.ndarray:
+    """Hierarchical fine-cell assignment: each row scores only the fine
+    centroids OWNED by its assigned coarse cells (``pm``: the row's
+    ``spill`` nearest coarse cells) and takes the nearest — work is
+    n_rows x spill x fine-per-cell instead of n_rows x n_fine (the global
+    matmul that dominated the 1M two-level build, r6 verdict item 2).
+
+    Because the fine level is trained per coarse cell (``fine_level``), a
+    row's globally-nearest fine centroid lies inside one of its nearest
+    coarse cells with overwhelming probability, so this matches the
+    global argmin almost everywhere; the quality gate is quantization MSE
+    (test_quantize) and the bench recall grid. Rows whose candidate set
+    is empty (coarse cell unseen in the training sample) fall back to the
+    global argmin. Query-side fine probing is unchanged (global top-npf):
+    at search time the fine table is one flat level either way."""
+    n = len(x)
+    best_d = np.full(n, np.inf)
+    best_s = np.full(n, -1, dtype=np.int64)
+    for c in np.unique(pm):
+        fidx = fine_of[int(c)]
+        if len(fidx) == 0:
+            continue
+        rows = np.flatnonzero((pm == c).any(axis=1))
+        fc = fine_cents[fidx]
+        fcc = np.einsum("ij,ij->i", fc, fc)
+        d = -2.0 * x[rows] @ fc.T + fcc[None, :]  # dist^2 - ||x||^2
+        j = np.argmin(d, axis=1)
+        dv = d[np.arange(len(rows)), j]
+        upd = dv < best_d[rows]
+        ridx = rows[upd]
+        best_d[ridx] = dv[upd]
+        best_s[ridx] = fidx[j[upd]]
+    miss = best_s < 0
+    if miss.any():
+        fcc = np.einsum("ij,ij->i", fine_cents, fine_cents)
+        fd = -2.0 * x[miss] @ fine_cents.T + fcc[None, :]
+        best_s[miss] = np.argmin(fd, axis=1)
+    return best_s
+
+
 class _PartStatsParam(AccumulatorParam):
-    """Merge per-partition pruning stats {part: (max_r, max_ang, max_n, min_n)}.
+    """Merge per-partition pruning stats
+    {part: (max_r, max_ang, max_n, min_n, has_primary)}.
 
     All merges are max/min, so task retries and speculative duplicates are
-    idempotent — safe to collect from inside the write job's map stage."""
+    idempotent — safe to collect from inside the write job's map stage.
+    ``has_primary`` (0/1, max-merged) records whether ANY stored copy in the
+    partition is a primary (first-choice) assignment: the radius/angle/norm
+    stats cover primaries only (r5 — spilled second-choice copies inflate
+    them to inter-cluster scale), so a partition holding only spilled copies
+    has vacuous stats and must be excluded from threshold BOUNDS — but it
+    still holds real rows and stays probe-able for top-k (r6 ADVICE: marking
+    it dead made its stored copies dead weight)."""
 
     def zero(self, value):
         return {}
@@ -262,7 +315,8 @@ class _PartStatsParam(AccumulatorParam):
         for k, v in b.items():
             o = a.get(k)
             a[k] = v if o is None else (
-                max(o[0], v[0]), max(o[1], v[1]), max(o[2], v[2]), min(o[3], v[3])
+                max(o[0], v[0]), max(o[1], v[1]), max(o[2], v[2]),
+                min(o[3], v[3]), max(o[4], v[4]),
             )
         return a
 
@@ -366,87 +420,16 @@ class IVFIndexBuilder:
         manifest.save(path)
         return IVFIndex.load(spark, path)
 
-    def _run_sample_pass(self, df: DataFrame, base_quota: int, quotas: dict | None):
-        """One distributed bottom-k pass: each partition forwards its
-        smallest min(quota, rows) keys plus its row count, keyed by pid."""
-        seed = self.seed
-        quotas = quotas or {}
-
-        def sample_count(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            from pyspark import TaskContext
-
-            ctx = TaskContext.get()
-            pid = ctx.partitionId() if ctx else 0
-            quota = int(quotas.get(pid, base_quota))
-            rng = np.random.default_rng((seed + 1) * 1_000_003 + pid)
-            total = 0
-            keys = np.empty(0, dtype=np.float64)
-            vecs: list = []
-            for pdf in batches:
-                m = len(pdf)
-                if m == 0:
-                    continue
-                total += m
-                bk = rng.random(m)
-                take = min(quota, m)
-                idx = np.argpartition(bk, take - 1)[:take] if take < m else np.arange(m)
-                keys = np.concatenate([keys, bk[idx]])
-                vecs.extend(pdf["vec"].iloc[i] for i in idx)
-                if len(keys) > quota:
-                    cut = np.argpartition(keys, quota - 1)[:quota]
-                    keys = keys[cut]
-                    vecs = [vecs[i] for i in cut]
-            yield pd.DataFrame(
-                {
-                    "pid": np.full(len(keys) + 1, pid, dtype=np.int32),
-                    "cnt": np.concatenate([[total], np.zeros(len(keys), dtype=np.int64)]).astype(np.int64),
-                    "key": np.concatenate([[2.0], keys]),  # count row sorts last
-                    "vec": [None] + vecs,
-                }
-            )
-
-        return (
-            df.select("vec")
-            .mapInPandas(sample_count, schema="pid int, cnt long, key double, vec array<float>")
-            .collect()
-        )
-
     def _sample_and_count(self, df: DataFrame) -> tuple[int, np.ndarray]:
-        """Row count + uniform training sample, normally in ONE job.
+        """Row count + uniform training sample in ONE job (two on provably
+        skewed layouts) — the shared fused bottom-k pass; see
+        :func:`jvector_spark.operators.sample.sample_and_count`."""
+        from jvector_spark.operators.sample import sample_and_count
 
-        Every row draws an independent uniform key; the global sample_cap
-        smallest keys form an exact uniform sample (distributed bottom-k).
-        Each partition forwards only its local smallest ``base_quota``
-        keys (4x safety over an even split), and its row count rides in
-        the same pass (the ref's Floyd sampling + size(),
-        ProductQuantization.java:64,141-179, fused). The per-partition
-        counts expose skew: if a partition's fair share of the bottom-cap
-        provably exceeds what it was allowed to forward, ONE corrective
-        pass reruns with per-partition quotas sized from the now-known
-        shares — so heavily skewed inputs still yield an unbiased sample
-        (2 jobs there instead of 1)."""
-        base_quota = min(
-            self.sample_cap,
-            max(64, int(math.ceil(self.sample_cap * 4.0 / max(df.rdd.getNumPartitions(), 1)))),
-        )
-        rows = self._run_sample_pass(df, base_quota, None)
-        n = int(sum(r["cnt"] for r in rows if r["vec"] is None))
-        if n == 0:
+        try:
+            return sample_and_count(df, self.sample_cap, self.seed)
+        except ValueError:
             raise ValueError("cannot build an index over an empty DataFrame")
-        counts = {r["pid"]: int(r["cnt"]) for r in rows if r["vec"] is None}
-        needed = {
-            pid: min(cnt, self.sample_cap, int(math.ceil(4.0 * self.sample_cap * cnt / n)))
-            for pid, cnt in counts.items()
-        }
-        if any(v > base_quota * 1.5 for v in needed.values()):
-            quotas = {
-                pid: min(counts[pid], self.sample_cap, v + 64) for pid, v in needed.items()
-            }
-            rows = self._run_sample_pass(df, base_quota, quotas)
-        picked = sorted((r for r in rows if r["vec"] is not None), key=lambda r: r["key"])
-        picked = picked[: self.sample_cap]
-        sample = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in picked])
-        return n, sample
 
     def _build_segment(
         self,
@@ -524,18 +507,25 @@ class IVFIndexBuilder:
 
             nvq = NVQuantizer(dim=dim)
         fine = None
+        fine_of = None
         if self.fine_factor > 0:
             from jvector_spark.operators.quantize.kmeans import fine_level
 
             n_fine = int(
                 min(self.fine_factor * n_parts, 65536, max(16, len(sample) // 4))
             )
-            # hierarchical per-cell training (see fine_level): same global
-            # sub_id selection semantics, ~10x cheaper at large n_fine
-            fine = fine_level(
+            # hierarchical per-cell training (see fine_level); the owner map
+            # makes row assignment hierarchical too (below)
+            fine, fine_owner = fine_level(
                 sample, centroids, n_fine, self.kmeans_iterations, self.seed + 1
             )
-        b = spark.sparkContext.broadcast((centroids, pq, nvq, fine))
+            # per-coarse-cell fine-centroid index lists for hierarchical
+            # assignment (ragged; cells unseen in the sample get an empty
+            # list and their rows fall back to the global argmin)
+            fine_of = [
+                np.flatnonzero(fine_owner == c) for c in range(len(centroids))
+            ]
+        b = spark.sparkContext.broadcast((centroids, pq, nvq, fine, fine_of))
         # per-partition pruning stats (X4/ScoreTracker analog): Euclidean
         # radius, angular radius, max/min norm — rigorous score bounds let
         # threshold_search skip partitions that provably contain no match.
@@ -544,7 +534,7 @@ class IVFIndexBuilder:
         spill = max(1, min(self.spill, len(centroids)))
 
         def assign_encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            cents, codec, nvq_codec, fine_cents = b.value
+            cents, codec, nvq_codec, fine_cents, fine_of_ = b.value
             cc = np.einsum("ij,ij->i", cents, cents)
             cn = np.sqrt(cc)
             for pdf in batches:
@@ -585,14 +575,20 @@ class IVFIndexBuilder:
                     primary = np.zeros(len(rep), dtype=bool)
                     primary[np.arange(len(x)) * spill + prim_col] = True
                 stats = {}
-                for part in np.unique(p[primary]):
+                for part in np.unique(p):
                     mask = primary & (p == part)
-                    stats[int(part)] = (
-                        float(np.sqrt(r2[mask].max())),
-                        float(ang[mask].max()),
-                        float(xn[rep][mask].max()),
-                        float(xn[rep][mask].min()),
-                    )
+                    if mask.any():
+                        stats[int(part)] = (
+                            float(np.sqrt(r2[mask].max())),
+                            float(ang[mask].max()),
+                            float(xn[rep][mask].max()),
+                            float(xn[rep][mask].min()),
+                            1.0,
+                        )
+                    else:
+                        # spilled-copies-only in this task: vacuous stats
+                        # (identity under max/max/max/min merge), no primary
+                        stats[int(part)] = (0.0, 0.0, 0.0, np.inf, 0.0)
                 acc.add(stats)
                 code_bytes = [c.tobytes() for c in codes]
                 out = {
@@ -607,9 +603,8 @@ class IVFIndexBuilder:
                     out["nvq"] = [nvq_bytes[i] for i in rep]
                     out["nvq_params"] = [nvq_params[i] for i in rep]
                 if fine_cents is not None:
-                    fc = np.einsum("ij,ij->i", fine_cents, fine_cents)
-                    fd = -2.0 * x @ fine_cents.T + fc[None, :]
-                    out["sub_id"] = np.argmin(fd, axis=1).astype(np.int32)[rep]
+                    sub = _assign_fine_hierarchical(x, pm, fine_cents, fine_of_)
+                    out["sub_id"] = sub.astype(np.int32)[rep]
                 yield pd.DataFrame(out)
 
         schema = _DATA_SCHEMA
@@ -654,7 +649,7 @@ class IVFIndexBuilder:
         import pyarrow as pa
 
         k_c = len(centroids)
-        stats4 = [stat_rows.get(i, (0.0, 0.0, 0.0, 0.0)) for i in range(k_c)]
+        stats4 = [stat_rows.get(i, (0.0, 0.0, 0.0, 0.0, 0.0)) for i in range(k_c)]
         _write_small_parquet(
             os.path.join(seg_dir, "centroids.parquet"),
             pa.table(
@@ -668,7 +663,13 @@ class IVFIndexBuilder:
                     "ang_radius": pa.array([s[1] for s in stats4], pa.float64()),
                     "max_norm": pa.array([s[2] for s in stats4], pa.float64()),
                     "min_norm": pa.array([s[3] for s in stats4], pa.float64()),
+                    # has_rows = ANY stored copy (top-k probe-ability);
+                    # has_primary gates the threshold score BOUNDS, whose
+                    # stats cover primary copies only (see _PartStatsParam)
                     "has_rows": pa.array([i in stat_rows for i in range(k_c)]),
+                    "has_primary": pa.array(
+                        [stat_rows.get(i, (0,) * 5)[4] > 0 for i in range(k_c)]
+                    ),
                 }
             ),
         )
@@ -706,7 +707,10 @@ def _partition_score_bounds(
     similarity score, from the centroid plus stored radius / angular-radius
     / norm stats (X4/ScoreTracker analog — but a hard bound, not the
     reference's probabilistic stop). Returns (bounds, centroid_dist2);
-    partitions with no rows are -inf. Used both to rank probes (best-first,
+    partitions without PRIMARY members are -inf (their stats are vacuous —
+    see _PartStatsParam — and every row they hold is covered by its primary
+    partition's bound, so pruning them keeps threshold search exact while
+    skipping pure-duplicate IO). Used both to rank probes (best-first,
     branch-and-bound style) and to prune threshold queries exactly.
 
     EUCLIDEAN:   d(q,x) >= max(0, ||q-c|| - r)          -> 1/(1+d^2)
@@ -742,7 +746,7 @@ def _partition_score_bounds(
                 cmax >= 0.0, info["max_norm"][None, :], info["min_norm"][None, :]
             )
             bound = (1.0 + qn[:, None] * norm_for_bound * cmax) / 2.0
-    bound[:, ~info["has_rows"]] = -np.inf
+    bound[:, ~info.get("has_primary", info["has_rows"])] = -np.inf
     return bound, d2
 
 
@@ -772,7 +776,9 @@ class IVFIndex:
         # DOT_PRODUCT bound is never taken on stat-less legacy segments.
         minnorm = np.zeros(len(cents))
         has_rows_col = "has_rows" in cdf.columns
+        has_prim_col = "has_primary" in cdf.columns
         has_rows = np.ones(len(cents), dtype=bool)
+        has_primary = np.ones(len(cents), dtype=bool)
         for r in cents:
             arr[r["part_id"]] = np.asarray(r["centroid"])
             if has_stats:
@@ -783,6 +789,12 @@ class IVFIndex:
                 minnorm[r["part_id"]] = r["min_norm"]
             if has_rows_col:
                 has_rows[r["part_id"]] = r["has_rows"]
+            # legacy segments (pre-r6) have no has_primary column: their
+            # has_rows was primary-only, so it is the correct fallback
+            has_primary[r["part_id"]] = (
+                r["has_primary"] if has_prim_col
+                else (r["has_rows"] if has_rows_col else True)
+            )
         fine = None
         fine_path = os.path.join(seg_dir, "fine_centroids.parquet")
         if os.path.exists(fine_path):
@@ -798,6 +810,7 @@ class IVFIndex:
             "max_norm": mnorm,
             "min_norm": minnorm,
             "has_rows": has_rows,
+            "has_primary": has_primary,
             "fine": fine,
             "pq": _load_codec(os.path.join(seg_dir, "pq")),
         }
@@ -1039,10 +1052,11 @@ class IVFIndex:
     ):
         """Incremental pagination (J5 resume analog, ref
         ``GraphSearcher.resume`` GraphSearcher.java:509-547): ONE search
-        ranks ``pages * page_size`` survivors per query and retains the
-        pool; every :meth:`SearchCursor.page` after that is a slice of the
-        persisted pool — page n costs O(1) instead of ``search_page``'s
-        O(n) re-search. Accepts every :meth:`search` kwarg."""
+        ranks ``pages * page_size`` survivors per query and persists the
+        pool (MEMORY_AND_DISK, lineage retained); every
+        :meth:`SearchCursor.page` after that is a slice of the persisted
+        pool — page n costs O(1) instead of ``search_page``'s O(n)
+        re-search. Accepts every :meth:`search` kwarg."""
         from jvector_spark.operators.search import SearchCursor
 
         ranked = self.search(queries_df, int(page_size) * int(pages), **kwargs)
@@ -1235,7 +1249,8 @@ class IVFIndex:
         stats = {
             key: info[key]
             for key in (
-                "centroids", "radius", "ang_radius", "max_norm", "min_norm", "has_rows"
+                "centroids", "radius", "ang_radius", "max_norm", "min_norm",
+                "has_rows", "has_primary",
             )
         }
         fine = info.get("fine") if fine_npf else None
@@ -1293,52 +1308,6 @@ class IVFIndex:
         )
         return qin.mapInPandas(assign, schema=schema)
 
-    def _probed_fine_subs(
-        self,
-        queries_df: DataFrame,
-        info: dict,
-        n_probe_fine: int | None,
-        qvec_col: str,
-    ) -> list[int] | None:
-        """Union of every query's ``n_probe_fine`` nearest fine
-        sub-clusters, computed as a map-only pass over the (unbounded)
-        query side + a distinct on <= n_fine ids. The collected list is
-        INDEX-METADATA sized (fine centroid count, <= 65536), never
-        query- or corpus-sized — the same driver-residency class as the
-        centroids themselves. Matches the broadcast route's per-query
-        top-npf selection exactly (same fine centroids, same distances),
-        so pushing ``sub_id IN (union)`` keeps the two routes bit-equal
-        (ref OnDiskGraphIndex.java:119-161 — the RAM-cached upper layers
-        prune the on-disk level's IO the same way)."""
-        fine = info.get("fine")
-        if fine is None or not n_probe_fine:
-            return None
-        npf = int(min(n_probe_fine, len(fine)))
-        b = self.spark.sparkContext.broadcast((fine, npf))
-
-        def subs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            fc, npf_ = b.value
-            fcc = np.einsum("ij,ij->i", fc, fc)
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                qmat = kernels.as_matrix(pdf["vec"])
-                d = -2.0 * qmat @ fc.T + fcc[None, :]  # dist^2 - ||q||^2
-                if npf_ < d.shape[1]:
-                    sel = np.argpartition(d, npf_ - 1, axis=1)[:, :npf_]
-                else:
-                    sel = np.tile(np.arange(d.shape[1]), (len(qmat), 1))
-                # map-side dedup: one row per distinct sub in the batch
-                yield pd.DataFrame({"sub_id": np.unique(sel.ravel()).astype(np.int32)})
-
-        rows = (
-            queries_df.select(F.col(qvec_col).alias("vec"))
-            .mapInPandas(subs, schema="sub_id int")
-            .distinct()
-            .collect()
-        )
-        return sorted(int(r["sub_id"]) for r in rows)
-
     def _search_distributed(
         self,
         queries_df: DataFrame,
@@ -1363,11 +1332,19 @@ class IVFIndex:
         global rerank_k, so recall at a given overquery is >= the
         broadcast path's (same argument as the Arrow-batch-local rerank).
 
-        Tile sizing never re-runs the query lineage: with ``m_hint`` the
-        assignment count is derived arithmetically (m * n_probe); without
-        it the assignment output is localCheckpoint-ed and counted — the
-        map pass runs exactly ONCE either way (the count materializes the
-        checkpoint the tile join then reads)."""
+        Tile sizing never re-runs the query lineage: the assignment output
+        is localCheckpoint-ed whenever anything downstream would evaluate
+        it more than once (no ``m_hint`` -> the sizing count; fine pruning
+        -> the sub-union distinct) — the map pass runs exactly ONCE either
+        way. With ``m_hint`` and no fine pruning, nothing re-reads the
+        assignment before the tile join, so no checkpoint is needed.
+
+        On a two-level index the probed fine-sub union (the pushed
+        ``sub_id IN (...)`` scan filter) is derived from the ``subs``
+        column the assignment pass already computed — explode + distinct
+        over the checkpoint, never a second pass over the query side (r6
+        ADVICE). The collected union is INDEX-METADATA sized (<= n_fine
+        ids, <= 65536), the same driver-residency class as the centroids."""
         use_nvq = rerank == "nvq"
         parts = []
         for seg in self.manifest.segments:
@@ -1379,12 +1356,20 @@ class IVFIndex:
             assigned = self._assign_probes(
                 queries_df, info, npb, qid_col, qvec_col, fine_npf=fine_npf
             )
+            if m_hint is None or fine_npf:
+                assigned = assigned.localCheckpoint(eager=False)
             if m_hint is not None:
                 n_assign = int(m_hint) * npb
             else:
-                assigned = assigned.localCheckpoint(eager=False)
                 n_assign = assigned.count()
-            sub_filter = self._probed_fine_subs(queries_df, info, n_probe_fine, qvec_col)
+            sub_filter = None
+            if fine_npf:
+                sub_filter = sorted(
+                    int(r["sub_id"])
+                    for r in assigned.select(
+                        F.explode("subs").alias("sub_id")
+                    ).distinct().collect()
+                )
             # expected per-partition tile loads (skewed partitions get
             # proportionally bigger tiles; the per-512-query chunking inside
             # the tile bounds peak memory regardless)

@@ -130,7 +130,7 @@ def fine_level(
     n_fine: int,
     iterations: int = 4,
     seed: int = 42,
-) -> np.ndarray:
+) -> tuple[np.ndarray, np.ndarray]:
     """Fine (second-level) centroids seeded HIERARCHICALLY: assign the
     sample to its coarse cells, apportion ``n_fine`` centroids across
     cells by population (largest remainder, >= 1 per nonempty cell), and
@@ -140,9 +140,14 @@ def fine_level(
     sample) into ~n_coarse independent tiny problems (~seconds), while
     producing centroids at least as well-adapted to local structure.
 
-    The returned level is still GLOBAL: build and search both select
-    sub_ids by global nearest-fine-centroid, exactly as with flat
-    training — only the training procedure changes."""
+    Returns ``(centroids, owners)``: ``owners[j]`` is the coarse cell
+    whose sample trained fine centroid ``j``. The level itself is GLOBAL
+    (sub_ids index one flat fine table; search probes it globally), but
+    the owner map lets the BUILDER assign rows hierarchically — score
+    only the fine centroids owned by a row's assigned coarse cells
+    instead of all ``n_fine`` (r6: the global assignment matmul dominated
+    the 1M build at n_rows x n_fine; hierarchical is n_rows x
+    fine-per-cell x spill, ~1000x less at fine_factor=8, k=8000)."""
     rng = np.random.default_rng(seed)
     n = len(points)
     n_fine = int(min(n_fine, n))
@@ -164,6 +169,7 @@ def fine_level(
                 quota[i] -= 1
                 short += 1
     out = []
+    owners = []
     for cell, k_c in zip(nonempty, quota):
         sub = points[assign == cell]
         k_c = int(min(k_c, len(sub)))
@@ -175,7 +181,8 @@ def fine_level(
             out.append(
                 kmeans_pp(sub, k_c, iterations, int(rng.integers(2**31)))
             )
-    return np.concatenate(out, axis=0)
+        owners.append(np.full(len(out[-1]), cell, dtype=np.int64))
+    return np.concatenate(out, axis=0), np.concatenate(owners)
 
 
 # ---------------------------------------------------------------------------

@@ -71,13 +71,13 @@ class ProductQuantizer(VectorCompressor):
         ``center=True`` subtracts the global centroid before quantization —
         the reference does this for EUCLIDEAN-flavored PQ
         (ProductQuantization.java:101-104 globalCentroid).
-        """
-        total = df.count()
-        fraction = min(1.0, (sample_cap * 1.2) / max(total, 1))
-        sample = (
-            df.select(vec_col).sample(fraction=fraction, seed=seed).limit(sample_cap).collect()
-        )
-        mat = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample])
+
+        Sampling is the shared fused bottom-k pass (ONE job: exact uniform
+        sample + count together; r6 — the previous count + sample +
+        limit-collect chain cost two extra jobs per fit)."""
+        from jvector_spark.operators.sample import sample_and_count
+
+        _, mat = sample_and_count(df, sample_cap, seed, vec_col=vec_col)
         return cls.fit_numpy(mat, m=m, clusters=clusters, center=center,
                              iterations=iterations, seed=seed)
 

@@ -93,7 +93,16 @@ class SearchTelemetry:
     exact-scored in stage 2. Accumulator semantics: counts are exact on a
     healthy run but can over-count under task retries/speculation — the
     documented Spark accumulator contract; treat as telemetry, not
-    results."""
+    results.
+
+    Route-dependent ``visited_rows`` semantics: the broadcast scan counts
+    each stored row once per scanned partition group, while the
+    distributed TILE route counts each row once per tile replica — i.e.
+    inflated by that segment's ``q_blocks`` replication factor, because
+    the counter measures scan work actually done and the tile join really
+    does re-read each corpus block per query block. Do not compare the
+    raw counter across routes; for the point-query IO model use
+    ``IVFIndex.probe_io_stats`` instead."""
 
     def __init__(self, spark):
         self._visited = spark.sparkContext.accumulator(0)
@@ -114,9 +123,10 @@ class SearchCursor:
     candidate queue instead of restarting the traversal).
 
     The batch analog: ONE search ranks a pool of ``pages * page_size``
-    survivors per query; the ranked pool is localCheckpoint-ed (executor-
-    local storage, lineage truncated) and every subsequent page is a slice
-    FILTER over that materialized pool — one cheap job, not a re-search.
+    survivors per query; the ranked pool is persisted (MEMORY_AND_DISK,
+    lineage retained — see ``__init__`` for why persist beats
+    localCheckpoint here) and every subsequent page is a slice FILTER
+    over that materialized pool — one cheap job, not a re-search.
     Page n of a fresh ``search_page`` costs O(n) of the base search;
     through a cursor it costs O(1).
 

@@ -550,3 +550,31 @@ def test_search_telemetry_counters(spark, index, queries_df):
         telemetry=tel_d,
     ).count()
     assert tel_d.visited_rows > 0 and tel_d.reranked_rows > 0
+
+
+def test_recall_floor_low_overquery(spark, rng, tmp_path_factory):
+    """Low-overquery recall floor (r6 verdict item 3): the r5 fast-trainer
+    speedup silently cost ~8% recall at fixed low-oq configs because no
+    gate covered that operating point. This pins recall@10 at
+    (n_probe=16/64, overquery=4) on a clustered corpus — any future
+    trainer or assignment change that degrades centroid quality below
+    this floor fails here, not in a later round's bench diff."""
+    centers = rng.normal(size=(60, 32))
+    asg = rng.integers(0, 60, size=8000)
+    mat = (centers[asg] + 0.25 * rng.normal(size=(8000, 32))).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(len(mat))], "id long, vec array<float>"
+    )
+    qsel = rng.choice(len(mat), 32, replace=False)
+    qdf = spark.createDataFrame(
+        [(int(i), (mat[i] + 0.05 * rng.normal(size=32)).astype(np.float32).tolist())
+         for i in qsel],
+        "qid long, vec array<float>",
+    ).cache()
+    path = str(tmp_path_factory.mktemp("floor") / "index")
+    idx = IVFIndexBuilder(
+        metric="COSINE", n_partitions=64, pq_m=8, spill=1, seed=42
+    ).fit(df, path)
+    gt = exact.knn_join(df, qdf, 10, metric="COSINE", strategy="numpy")
+    r = recall_at_k(idx.search(qdf, 10, n_probe=16, overquery=4.0), gt, 10)
+    assert r >= 0.75, f"low-oq recall floor broken: recall@10={r}"

@@ -303,3 +303,96 @@ def test_nvq_subvector_params_self_describing(rng):
     # and on the 64-d embedding-like data the decode error stays tight
     err = np.mean(np.sum((mat - enc.decode_numpy(codes, params)) ** 2, axis=1))
     assert err < 0.01 * np.mean(np.sum(mat**2, axis=1))
+
+
+# ---------------------------------------------------------------------------
+# Clustering-quality gates (r6 verdict item 3): the fast trainer and the
+# hierarchical fine assignment may trade numerics for speed, but never
+# silently erode quantization quality.
+# ---------------------------------------------------------------------------
+
+
+def _lloyds_reference(points, k, iterations, seed):
+    """Naive full-Lloyd's k-means++ (the pre-r5 trainer's algorithm, written
+    independently here as the quality yardstick): ++ seeding over ALL
+    points, exact argmin assignment, mean updates."""
+    rng = np.random.default_rng(seed)
+    n, d = points.shape
+    cent = np.empty((k, d))
+    cent[0] = points[rng.integers(n)]
+    d2 = np.full(n, np.inf)
+    for j in range(1, k):
+        diff = points - cent[j - 1]
+        d2 = np.minimum(d2, np.einsum("ij,ij->i", diff, diff))
+        probs = d2 / d2.sum()
+        cent[j] = points[rng.choice(n, p=probs)]
+    for _ in range(iterations):
+        dist = (
+            np.einsum("ij,ij->i", points, points)[:, None]
+            - 2.0 * points @ cent.T
+            + np.einsum("ij,ij->i", cent, cent)[None, :]
+        )
+        assign = np.argmin(dist, axis=1)
+        for j in range(k):
+            mask = assign == j
+            if mask.any():
+                cent[j] = points[mask].mean(axis=0)
+    return cent
+
+
+def _quantization_mse(points, cent):
+    dist = (
+        np.einsum("ij,ij->i", points, points)[:, None]
+        - 2.0 * points @ cent.T
+        + np.einsum("ij,ij->i", cent, cent)[None, :]
+    )
+    return float(np.maximum(dist.min(axis=1), 0.0).mean())
+
+
+def test_kmeans_fast_mse_within_tolerance_of_full_lloyds(rng):
+    """The r5 fast trainer (subsampled ++ seeding, gemv distances) must
+    stay within 15% of full Lloyd's quantization MSE on a clustered
+    fixture — the gate that keeps future trainer speedups from silently
+    costing recall (r5 regression: recall at fixed low-oq configs dropped
+    ~8% without any gate firing)."""
+    from jvector_spark.operators.quantize.kmeans import kmeans_pp
+
+    centers = rng.normal(size=(40, 24))
+    asg = rng.integers(0, 40, size=6000)
+    pts = centers[asg] + 0.3 * rng.normal(size=(6000, 24))
+    fast = kmeans_pp(pts, 40, iterations=6, seed=7)
+    ref = _lloyds_reference(pts, 40, iterations=6, seed=7)
+    mse_fast = _quantization_mse(pts, fast)
+    mse_ref = _quantization_mse(pts, ref)
+    assert mse_fast <= 1.15 * mse_ref, (mse_fast, mse_ref)
+
+
+def test_fine_hierarchical_assignment_near_global(rng):
+    """Hierarchical fine assignment (score only the fine centroids of the
+    row's spill coarse cells) must match the global argmin almost
+    everywhere and must not measurably raise fine-level quantization MSE."""
+    from jvector_spark.operators.index import _assign_fine_hierarchical
+    from jvector_spark.operators.quantize.kmeans import fine_level, kmeans_pp
+
+    centers = rng.normal(size=(30, 16))
+    asg = rng.integers(0, 30, size=8000)
+    pts = centers[asg] + 0.25 * rng.normal(size=(8000, 16))
+    coarse = kmeans_pp(pts[:4000], 30, iterations=4, seed=3)
+    fine, owners = fine_level(pts[:4000], coarse, 240, iterations=3, seed=4)
+    assert len(owners) == len(fine)
+    fine_of = [np.flatnonzero(owners == c) for c in range(len(coarse))]
+    # rows' spill=2 nearest coarse cells
+    cc = np.einsum("ij,ij->i", coarse, coarse)
+    d = -2.0 * pts @ coarse.T + cc[None, :]
+    pm = np.argpartition(d, 1, axis=1)[:, :2]
+    sub_h = _assign_fine_hierarchical(pts, pm, fine, fine_of)
+    fcc = np.einsum("ij,ij->i", fine, fine)
+    fd = -2.0 * pts @ fine.T + fcc[None, :]
+    sub_g = np.argmin(fd, axis=1)
+    agree = float((sub_h == sub_g).mean())
+    assert agree >= 0.95, agree
+    # MSE of the hierarchical assignment vs the global-optimal assignment
+    pp = np.einsum("ij,ij->i", pts, pts)
+    mse_h = float(np.maximum(fd[np.arange(len(pts)), sub_h] + pp, 0).mean())
+    mse_g = float(np.maximum(fd[np.arange(len(pts)), sub_g] + pp, 0).mean())
+    assert mse_h <= 1.02 * mse_g, (mse_h, mse_g)

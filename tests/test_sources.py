@@ -1,5 +1,7 @@
 """fvecs/ivecs source round-trip (SURVEY §2.1 S2, SiftLoader.java analog)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -92,3 +94,78 @@ def test_hdf5_gated_without_h5py(spark, tmp_path):
         pass
     with _pytest.raises(NotImplementedError, match="h5py"):
         read_hdf5(spark, str(tmp_path / "x.hdf5"))
+
+
+# ---------------------------------------------------------------------------
+# SIFT-small golden-dataset harness (r6 verdict item 7; ref siftsmall/,
+# SiftSmall.java:134-145, SiftLoader.java). The reference repo ships only
+# the query fvecs + ground-truth ivecs — the base-vector file
+# (siftsmall_base.fvecs) is NOT in the repo, so published recall@k cannot
+# be recomputed here (the GT ids index the absent base set). What CAN be
+# proven against the reference's own binary files: our TexMex decoders
+# parse them byte-exactly (vs an independent numpy parse), and the real
+# 128-d SIFT vectors flow through the full build/search pipeline with
+# exact results.
+# ---------------------------------------------------------------------------
+
+SIFT_DIR = "/root/reference/siftsmall"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(f"{SIFT_DIR}/siftsmall_query.fvecs"),
+    reason="reference siftsmall dataset not present",
+)
+def test_sift_query_fvecs_golden(spark):
+    """read_fvecs on the reference's real query file: 100 x 128 float32,
+    byte-identical to an independent flat numpy parse."""
+    df = read_fvecs(spark, f"{SIFT_DIR}/siftsmall_query.fvecs")
+    rows = {r["id"]: np.asarray(r["vec"], dtype=np.float32) for r in df.collect()}
+    assert len(rows) == 100
+    raw = np.fromfile(f"{SIFT_DIR}/siftsmall_query.fvecs", dtype=np.int32)
+    dim = int(raw[0])
+    assert dim == 128
+    mat = raw.reshape(100, dim + 1)[:, 1:].view(np.float32)
+    for i in (0, 1, 50, 99):
+        np.testing.assert_array_equal(rows[i], mat[i])
+
+
+@pytest.mark.skipif(
+    not os.path.exists(f"{SIFT_DIR}/siftsmall_groundtruth.ivecs"),
+    reason="reference siftsmall dataset not present",
+)
+def test_sift_groundtruth_ivecs_golden(spark):
+    """read_ivecs on the reference's real ground-truth file: 100 queries x
+    100 neighbor ids, every id inside the 10k base set, byte-identical to
+    an independent parse."""
+    df = read_ivecs(spark, f"{SIFT_DIR}/siftsmall_groundtruth.ivecs")
+    rows = {r["id"]: np.asarray(r["neighbors"], dtype=np.int32) for r in df.collect()}
+    assert len(rows) == 100
+    raw = np.fromfile(f"{SIFT_DIR}/siftsmall_groundtruth.ivecs", dtype=np.int32)
+    k = int(raw[0])
+    assert k == 100
+    mat = raw.reshape(100, k + 1)[:, 1:]
+    assert mat.min() >= 0 and mat.max() < 10_000  # ids index the 10k base set
+    for i in (0, 13, 99):
+        np.testing.assert_array_equal(rows[i], mat[i])
+
+
+@pytest.mark.skipif(
+    not os.path.exists(f"{SIFT_DIR}/siftsmall_query.fvecs"),
+    reason="reference siftsmall dataset not present",
+)
+def test_sift_vectors_through_index_pipeline(spark, tmp_path):
+    """Real SIFT vectors end-to-end: build an IVF index over the 100 query
+    vectors (EUCLIDEAN, the SIFT metric), search exhaustively, and match
+    the exact brute-force join row-for-row — golden DATA, exact contract."""
+    from jvector_spark.metrics import recall_at_k
+    from jvector_spark.operators import exact
+    from jvector_spark.operators.index import IVFIndexBuilder
+
+    corpus = read_fvecs(spark, f"{SIFT_DIR}/siftsmall_query.fvecs")
+    queries = corpus.limit(16).selectExpr("id as qid", "vec")
+    idx = IVFIndexBuilder(metric="EUCLIDEAN", pq_m=8, n_partitions=8).fit(
+        corpus, str(tmp_path / "sift_idx")
+    )
+    got = idx.search(queries, k=5, n_probe=8, overquery=20.0)
+    gt = exact.knn_join(corpus, queries, k=5, metric="EUCLIDEAN", strategy="numpy")
+    assert recall_at_k(got, gt, 5) == 1.0

@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""1M-row (configurable) scale probe: build + search + bulk top-k timing.
+
+The round-5/6 measurement harness behind ROUND{5,6}.md's scale sections —
+a zipf-skewed clustered corpus (the hard layout for tile sizing: hot
+coarse cells), two-level IVF build, the recall-per-IO search grid, and
+the corpus-as-queries BULK top-k (the flagship 100 TB dedup shape,
+ref GraphSearcher.java:222 J2/J3 at corpus scale).
+
+Usage::
+
+    python tools/scale_probe.py [--n 1000000] [--d 64] [--bulk] \
+        [--bulk-only] [--keep DIR]
+
+Writes nothing outside a temp dir (or --keep DIR for reuse across runs);
+prints one JSON line per measurement so runs are grep-able.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(**kw) -> None:
+    print(json.dumps(kw), flush=True)
+
+
+def gen_corpus(dirpath: str, n: int, d: int, n_clusters: int, seed: int) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, d))
+    # zipf-skewed cluster populations (hot cells stress tile sizing)
+    w = 1.0 / np.arange(1, n_clusters + 1) ** 1.1
+    w /= w.sum()
+    os.makedirs(dirpath, exist_ok=True)
+    chunk = 250_000
+    writer = None
+    t0 = time.perf_counter()
+    for lo in range(0, n, chunk):
+        m = min(chunk, n - lo)
+        asg = rng.choice(n_clusters, size=m, p=w)
+        mat = (centers[asg] + 0.25 * rng.normal(size=(m, d))).astype(np.float32)
+        tbl = pa.table(
+            {
+                "id": pa.array(range(lo, lo + m), pa.int64()),
+                "vec": pa.array(mat.tolist(), pa.list_(pa.float32())),
+            }
+        )
+        if writer is None:
+            writer = papq.ParquetWriter(f"{dirpath}/corpus.parquet", tbl.schema)
+        writer.write_table(tbl, row_group_size=62_500)
+    writer.close()
+    # held-out noisy queries near random corpus clusters
+    qn = 64
+    asg = rng.choice(n_clusters, size=qn, p=w)
+    qm = (centers[asg] + 0.25 * rng.normal(size=(qn, d))).astype(np.float32)
+    qm += 0.05 * rng.normal(size=(qn, d)).astype(np.float32)
+    import pyarrow as pa2
+
+    papq.write_table(
+        pa2.table(
+            {
+                "qid": pa2.array(range(qn), pa2.int64()),
+                "vec": pa2.array(qm.tolist(), pa2.list_(pa2.float32())),
+            }
+        ),
+        f"{dirpath}/queries.parquet",
+    )
+    log(step="gen", n=n, d=d, sec=round(time.perf_counter() - t0, 1))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--d", type=int, default=64)
+    ap.add_argument("--clusters", type=int, default=1000)
+    ap.add_argument("--parts", type=int, default=1000)
+    ap.add_argument("--fine-factor", type=int, default=8)
+    ap.add_argument("--bulk", action="store_true", help="run corpus-as-queries bulk top-k")
+    ap.add_argument("--bulk-only", action="store_true")
+    ap.add_argument("--skip-grid", action="store_true")
+    ap.add_argument("--keep", default=None, help="persistent dir (reuse corpus+index)")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from jvector_spark.metrics import recall_at_k
+    from jvector_spark.operators import exact
+    from jvector_spark.operators.index import IVFIndex, IVFIndexBuilder
+    from jvector_spark.session import get_spark
+
+    spark = get_spark("jvs_scale_probe")
+    base = args.keep or tempfile.mkdtemp(prefix="jvs_scale_")
+    try:
+        if not os.path.exists(f"{base}/corpus.parquet"):
+            gen_corpus(base, args.n, args.d, args.clusters, seed=11)
+        corpus = spark.read.parquet(f"{base}/corpus.parquet")
+        queries = spark.read.parquet(f"{base}/queries.parquet")
+
+        idx_dir = f"{base}/idx"
+        if os.path.exists(f"{idx_dir}/manifest.json"):
+            idx = IVFIndex.load(spark, idx_dir)
+            log(step="build", sec=0.0, cached=True)
+        else:
+            t0 = time.perf_counter()
+            idx = IVFIndexBuilder(
+                metric="COSINE", pq_m=8, spill=2,
+                fine_factor=args.fine_factor, n_partitions=args.parts,
+            ).fit(corpus, idx_dir)
+            log(step="build", sec=round(time.perf_counter() - t0, 1))
+
+        if not args.bulk_only and not args.skip_grid:
+            t0 = time.perf_counter()
+            gt = exact.knn_join(
+                corpus, queries, 10, metric="COSINE", strategy="numpy"
+            ).cache()
+            gt.count()
+            log(step="gt_exact_64q", sec=round(time.perf_counter() - t0, 1))
+            for np_, npf, oq in [
+                (8, None, 4.0), (8, None, 64.0), (8, 16, 64.0),
+                (8, 16, 512.0), (16, 32, 512.0),
+            ]:
+                t0 = time.perf_counter()
+                r = idx.search(
+                    queries, 10, n_probe=np_, overquery=oq, n_probe_fine=npf
+                )
+                rec = recall_at_k(r, gt, 10)
+                dt = time.perf_counter() - t0
+                io = idx.probe_io_stats(queries, np_, npf)
+                log(
+                    step="search", n_probe=np_, npf=npf or 0, oq=int(oq),
+                    recall10=round(rec, 4), sec=round(dt, 2),
+                    visited_frac=round(io["visited_fraction"], 5),
+                )
+            gt.unpersist()
+
+        if args.bulk or args.bulk_only:
+            # the flagship bulk shape: every corpus row as a query through
+            # the distributed tile route (semantic-dedup / bulk-join shape)
+            qall = corpus.selectExpr("id as qid", "vec")
+            t0 = time.perf_counter()
+            res = idx.search(
+                qall, 10, n_probe=4, overquery=8.0, n_probe_fine=16,
+                strategy="distributed", m_hint=args.n,
+            )
+            n_out = res.count()
+            dt = time.perf_counter() - t0
+            log(step="bulk_topk", rows=n_out, sec=round(dt, 1))
+            # pin bulk recall on 64 sampled corpus rows vs exact GT
+            rng = np.random.default_rng(3)
+            sample_ids = [int(i) for i in rng.choice(args.n, 64, replace=False)]
+            sub = res.filter(F.col("qid").isin(sample_ids))
+            qsub = corpus.filter(F.col("id").isin(sample_ids)).selectExpr(
+                "id as qid", "vec"
+            )
+            gt2 = exact.knn_join(corpus, qsub, 10, metric="COSINE", strategy="numpy")
+            log(step="bulk_recall", recall10=round(recall_at_k(sub, gt2, 10), 4))
+    finally:
+        if args.keep is None:
+            shutil.rmtree(base, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
