@@ -308,6 +308,77 @@ def main() -> None:
             timings["large_error"] = -1.0
             print(f"large-corpus bench failed: {e}", file=sys.stderr)
 
+    # ---- XL: 1M-row build + bulk corpus-as-queries top-k (round 6) ----
+    # The flagship 100 TB dedup shape re-measured per round: zipf-skewed
+    # 1M x 64-d corpus (hot coarse cells — the hard tile-sizing layout),
+    # two-level hierarchical build, then EVERY corpus row as a query
+    # through the distributed tile route, recall pinned on 64 sampled
+    # rows vs exact GT. r5 recorded this shape as a >30-min timeout; the
+    # vectorized rerank + per-partition tiles are what it measures now.
+    # Skip with SPARK_GRAFT_XL=0; shrink with SPARK_GRAFT_XL_N.
+    if os.environ.get("SPARK_GRAFT_XL", "1") != "0":
+        try:
+            import importlib.util as _ilu
+
+            import numpy as np
+
+            from jvector_spark.metrics import recall_at_k
+            from jvector_spark.operators import exact as _exact
+            from jvector_spark.operators.index import IVFIndexBuilder
+
+            _spec = _ilu.spec_from_file_location(
+                "jvs_scale_probe_mod",
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "tools", "scale_probe.py"),
+            )
+            _probe = _ilu.module_from_spec(_spec)
+            _spec.loader.exec_module(_probe)
+
+            xl_n = int(os.environ.get("SPARK_GRAFT_XL_N", "1000000"))
+            xdir = tempfile.mkdtemp(prefix="jvs_bench_xl_")
+            try:
+                _probe.gen_corpus(xdir, xl_n, 64, 1000, seed=11)
+                xcorpus = spark.read.parquet(f"{xdir}/corpus.parquet")
+                t0 = time.perf_counter()
+                xidx = IVFIndexBuilder(
+                    metric="COSINE", pq_m=8, spill=2, fine_factor=8,
+                    n_partitions=1000,
+                ).fit(xcorpus, f"{xdir}/idx")
+                timings["large_ivf_build_1m"] = round(time.perf_counter() - t0, 3)
+
+                qall = xcorpus.selectExpr("id as qid", "vec")
+                t0 = time.perf_counter()
+                # np=4/npf=16/oq=64: the measured sweet spot — oq=64 costs
+                # +12% wall over oq=8 and doubles bulk recall (r6 curve:
+                # 0.275 @ oq=8 / 571 s -> 0.539 @ oq=64 / 638 s)
+                xres = xidx.search(
+                    qall, 10, n_probe=4, overquery=64.0, n_probe_fine=16,
+                    strategy="distributed", m_hint=xl_n,
+                ).persist()
+                n_out = xres.count()
+                timings["large_bulk_topk_1m"] = round(time.perf_counter() - t0, 3)
+                recalls["large_bulk_rows_1m"] = float(n_out)
+                rng_x = np.random.default_rng(3)
+                sample_ids = [int(i) for i in rng_x.choice(xl_n, 64, replace=False)]
+                qsub = xcorpus.filter(F.col("id").isin(sample_ids)).selectExpr(
+                    "id as qid", "vec"
+                )
+                gt_x = _exact.knn_join(
+                    xcorpus, qsub, 10, metric="COSINE", strategy="numpy"
+                )
+                recalls["large_bulk_recall@10_1m"] = round(
+                    recall_at_k(
+                        xres.filter(F.col("qid").isin(sample_ids)), gt_x, 10
+                    ),
+                    4,
+                )
+                xres.unpersist()
+            finally:
+                shutil.rmtree(xdir, ignore_errors=True)
+        except Exception as e:  # pragma: no cover - bench must always emit JSON
+            timings["large_xl_error"] = -1.0
+            print(f"xl bench failed: {e}", file=sys.stderr)
+
     # ---- streaming near-dup micro-bench (round 6, verdict item 6) ----
     # The keyed-state streaming MinHash operator had parity tests but no
     # number. Drive the documents table through 4 file-source micro-batches

@@ -68,8 +68,15 @@ def topk(
         .orderBy(F.desc("score"), F.asc("id"))
         .limit(k)
     )
+    # Ranking runs AFTER .limit(k): only k rows ever reach the window, so
+    # the literal partition key is purely to keep Spark's "No Partition
+    # Defined for Window" warning out of the logs (where it would mask a
+    # real unpartitioned-window mistake on a corpus-sized path).
     return out.withColumn(
-        "rank", F.row_number().over(Window.orderBy(F.desc("score"), F.asc("id")))
+        "rank",
+        F.row_number().over(
+            Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc("id"))
+        ),
     )
 
 

@@ -339,6 +339,7 @@ class IVFIndexBuilder:
         first_pass: str = "pq",
         anisotropic_threshold: float | None = None,
         bsp=None,
+        fine_assign_cells: int = 4,
     ):
         # X3 SPI: a BuildScoreProvider bundles the construction-scoring
         # choice; explicit kwargs win (ref BuildScoreProvider.java:32-258)
@@ -391,6 +392,12 @@ class IVFIndexBuilder:
         if anisotropic_threshold is not None and first_pass == "bq":
             raise ValueError("anisotropic_threshold applies to the PQ first pass only")
         self.anisotropic_threshold = anisotropic_threshold
+        # fine_assign_cells: how many nearest coarse cells contribute fine-
+        # centroid CANDIDATES when assigning a row's sub_id hierarchically
+        # (work ~ n_rows x cells x fine-per-cell instead of n_rows x
+        # n_fine). 0 = global argmin over every fine centroid (the exact
+        # pre-r6 semantics — the matmul that dominated 1M builds).
+        self.fine_assign_cells = int(fine_assign_cells)
         # fine_factor > 0 adds a second centroid level (IMI-style two-level
         # IVF): every row gets a global ``sub_id`` (nearest of
         # fine_factor * n_partitions fine centroids), data files are sorted
@@ -521,10 +528,12 @@ class IVFIndexBuilder:
             )
             # per-coarse-cell fine-centroid index lists for hierarchical
             # assignment (ragged; cells unseen in the sample get an empty
-            # list and their rows fall back to the global argmin)
-            fine_of = [
-                np.flatnonzero(fine_owner == c) for c in range(len(centroids))
-            ]
+            # list and their rows fall back to the global argmin).
+            # fine_assign_cells=0 keeps the global argmin for every row.
+            if self.fine_assign_cells > 0:
+                fine_of = [
+                    np.flatnonzero(fine_owner == c) for c in range(len(centroids))
+                ]
         b = spark.sparkContext.broadcast((centroids, pq, nvq, fine, fine_of))
         # per-partition pruning stats (X4/ScoreTracker analog): Euclidean
         # radius, angular radius, max/min norm — rigorous score bounds let
@@ -532,6 +541,7 @@ class IVFIndexBuilder:
         acc = spark.sparkContext.accumulator({}, _PartStatsParam())
 
         spill = max(1, min(self.spill, len(centroids)))
+        fa_cells = max(spill, self.fine_assign_cells)
 
         def assign_encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             cents, codec, nvq_codec, fine_cents, fine_of_ = b.value
@@ -603,7 +613,26 @@ class IVFIndexBuilder:
                     out["nvq"] = [nvq_bytes[i] for i in rep]
                     out["nvq_params"] = [nvq_params[i] for i in rep]
                 if fine_cents is not None:
-                    sub = _assign_fine_hierarchical(x, pm, fine_cents, fine_of_)
+                    if fine_of_ is not None:
+                        # candidate fine cells come from the row's
+                        # fa_cells nearest coarse cells (>= its spill
+                        # set), not just the stored copies' cells — wider
+                        # candidates close the gap to the global argmin
+                        # at ~cells/n_parts of the global cost
+                        cc_n = cents.shape[0]
+                        if fa_cells >= cc_n:
+                            cand = np.tile(np.arange(cc_n), (len(x), 1))
+                        else:
+                            cand = np.argpartition(d, fa_cells - 1, axis=1)[
+                                :, :fa_cells
+                            ]
+                        sub = _assign_fine_hierarchical(
+                            x, cand, fine_cents, fine_of_
+                        )
+                    else:  # fine_assign_cells=0: global argmin
+                        fc = np.einsum("ij,ij->i", fine_cents, fine_cents)
+                        fd = -2.0 * x @ fine_cents.T + fc[None, :]
+                        sub = np.argmin(fd, axis=1)
                     out["sub_id"] = sub.astype(np.int32)[rep]
                 yield pd.DataFrame(out)
 
@@ -825,6 +854,22 @@ class IVFIndex:
         return self.spark.read.parquet(
             os.path.join(self._segments[seg_name]["dir"], "data.parquet")
         )
+
+    def _part_counts(self, seg_name: str) -> np.ndarray:
+        """Per-partition STORED row counts (spilled copies included),
+        computed once per loaded index with a small partition-key agg and
+        cached — the observed-distribution input for per-partition tile
+        sizing (and reusable by any stats consumer). At 100 TB this is a
+        count over the partition column only (column-pruned scan)."""
+        info = self._segments[seg_name]
+        if "part_counts" not in info:
+            arr = np.zeros(len(info["centroids"]), dtype=np.int64)
+            for r in (
+                self._segment_data(seg_name).groupBy("part_id").count().collect()
+            ):
+                arr[int(r["part_id"])] = int(r["count"])
+            info["part_counts"] = arr
+        return info["part_counts"]
 
     def vectors(self, segment: str | None = None) -> DataFrame:
         segs = [segment] if segment else [s.name for s in self.manifest.segments]
@@ -1351,17 +1396,33 @@ class IVFIndex:
             info = self._segments[seg.name]
             n_live = max(1, int(info["has_rows"].sum()))
             npb = max(1, min(n_probe, n_live))
-            spill = max(1, min(self.manifest.spill, n_live))
             fine_npf = n_probe_fine if info.get("fine") is not None else None
             assigned = self._assign_probes(
                 queries_df, info, npb, qid_col, qvec_col, fine_npf=fine_npf
             )
             if m_hint is None or fine_npf:
                 assigned = assigned.localCheckpoint(eager=False)
+            rows_p = self._part_counts(seg.name)
             if m_hint is not None:
+                # no sizing job: per-partition query load approximated as
+                # proportional to stored rows (bulk corpus-as-queries
+                # sides mirror the corpus distribution; held-out batches
+                # are small enough that misestimation only shifts tile
+                # granularity, never correctness)
                 n_assign = int(m_hint) * npb
+                tot = max(int(rows_p.sum()), 1)
+                assign_p = {
+                    int(p): max(1, int(n_assign * rows_p[p] / tot))
+                    for p in np.flatnonzero(rows_p)
+                }
             else:
-                n_assign = assigned.count()
+                # ONE job sizes the tiles AND materializes the checkpoint:
+                # per-partition assignment counts (replaces the plain
+                # count; the total is their sum)
+                assign_p = {
+                    int(r["part_id"]): int(r["count"])
+                    for r in assigned.groupBy("part_id").count().collect()
+                }
             sub_filter = None
             if fine_npf:
                 sub_filter = sorted(
@@ -1370,14 +1431,21 @@ class IVFIndex:
                         F.explode("subs").alias("sub_id")
                     ).distinct().collect()
                 )
-            # expected per-partition tile loads (skewed partitions get
-            # proportionally bigger tiles; the per-512-query chunking inside
-            # the tile bounds peak memory regardless)
-            c_blocks = max(1, math.ceil(seg.n_rows * spill / n_live / _C_TILE))
-            q_blocks = max(1, math.ceil(n_assign / n_live / _Q_TILE))
+            # PER-PARTITION tile sizing from the observed distributions
+            # (r6: uniform-average sizing gave zipf-hot partitions one
+            # oversized tile per block pair — straggler tasks; now every
+            # tile holds <= ~_C_TILE rows x _Q_TILE assignments no matter
+            # how skewed the partition)
+            cb_of = {
+                int(p): max(1, math.ceil(rows_p[p] / _C_TILE))
+                for p in np.flatnonzero(rows_p)
+            }
+            qb_of = {
+                p: max(1, math.ceil(c / _Q_TILE)) for p, c in assign_p.items()
+            }
             parts.append(
                 self._segment_tile_scan(
-                    info, assigned, metric, k, rerank_k, c_blocks, q_blocks,
+                    info, assigned, metric, k, rerank_k, cb_of, qb_of,
                     predicate, accept_df, use_nvq, None, sub_filter=sub_filter,
                     n_fine=(len(info["fine"]) if fine_npf else None),
                     telemetry=telemetry,
@@ -1402,8 +1470,8 @@ class IVFIndex:
         metric: str,
         k: int,
         rerank_k: int,
-        c_blocks: int,
-        q_blocks: int,
+        cb_of: dict,
+        qb_of: dict,
         predicate,
         accept_df: DataFrame | None,
         use_nvq: bool,
@@ -1414,12 +1482,18 @@ class IVFIndex:
     ) -> DataFrame:
         """2-D blocked tile join between probe assignments and the probed
         scan — ``exact._knn_join_blocked``'s shape with ``part_id`` as an
-        extra key. Corpus rows hash into ``c_blocks`` and replicate across
-        ``q_blocks``; assignments hash into ``q_blocks`` and replicate
-        across ``c_blocks``; each (part_id, qb, cb) tile scores its pair
-        with the fused ADC->rerank kernel (threshold mode: exact fp32
-        scores + filter). Shuffle volume is O(stored·q_blocks +
-        assignments·c_blocks); no task holds more than ~one tile.
+        extra key. Block counts are PER PARTITION (``cb_of``/``qb_of``:
+        part_id -> corpus/query block count, sized from the observed
+        per-partition row and assignment counts): corpus rows hash into
+        their partition's ``cbn`` blocks and replicate across its ``qbn``;
+        assignments do the transpose; each (part_id, qb, cb) tile scores
+        its pair with the fused ADC->rerank kernel (threshold mode: exact
+        fp32 scores + filter). Shuffle volume is O(stored·qbn +
+        assignments·cbn) per partition; no task holds more than ~one
+        bounded tile — including on zipf-skewed corpora, where
+        uniform-average sizing handed the hot partition tiles proportional
+        to its skew (r6 straggler fix). The per-partition counts ride a
+        broadcast join of a <= n_partitions-row driver table.
 
         ``sub_filter`` (two-level index): the probed fine-sub union as a
         STATIC pushed ``sub_id IN (...)`` filter — parquet row-group
@@ -1462,11 +1536,16 @@ class IVFIndex:
             # query-side-only column: the query's probed fine-sub set
             *([F.lit(None).cast("array<int>").alias("subs")] if n_fine else []),
         )
+        all_parts = sorted(set(cb_of) | set(qb_of))
+        blocks_df = self.spark.createDataFrame(
+            [(int(p), int(qb_of.get(p, 1)), int(cb_of.get(p, 1))) for p in all_parts],
+            "part_id int, qbn int, cbn int",
+        )
         c_side = (
-            c_base.withColumn(
-                "cb", F.pmod(F.xxhash64("rid"), F.lit(c_blocks)).cast("int")
-            )
-            .withColumn("qb", F.explode(F.array(*[F.lit(i) for i in range(q_blocks)])))
+            c_base.join(F.broadcast(blocks_df), "part_id")
+            .withColumn("cb", F.pmod(F.xxhash64("rid"), F.col("cbn")).cast("int"))
+            .withColumn("qb", F.explode(F.sequence(F.lit(0), F.col("qbn") - 1)))
+            .drop("qbn", "cbn")
             .withColumn("is_q", F.lit(0))
         )
         q_base = assigned.select(
@@ -1477,10 +1556,10 @@ class IVFIndex:
             *(["subs"] if n_fine else []),
         )
         q_side = (
-            q_base.withColumn(
-                "qb", F.pmod(F.xxhash64("rid"), F.lit(q_blocks)).cast("int")
-            )
-            .withColumn("cb", F.explode(F.array(*[F.lit(i) for i in range(c_blocks)])))
+            q_base.join(F.broadcast(blocks_df), "part_id")
+            .withColumn("qb", F.pmod(F.xxhash64("rid"), F.col("qbn")).cast("int"))
+            .withColumn("cb", F.explode(F.sequence(F.lit(0), F.col("cbn") - 1)))
+            .drop("qbn", "cbn")
             .withColumn("is_q", F.lit(1))
         )
 
@@ -1601,22 +1680,29 @@ class IVFIndex:
         parts = []
         for seg in self.manifest.segments:
             info = self._segments[seg.name]
-            n_live = max(1, int(info["has_rows"].sum()))
-            spill = max(1, min(self.manifest.spill, n_live))
             assigned = self._assign_probes(
                 queries_df, info, 0, qid_col, qvec_col,
                 metric=metric, threshold=threshold,
             ).localCheckpoint(eager=False)
-            # The assignment count is bound-dependent (not knowable a
-            # priori), so ONE pass materializes the checkpoint and sizes
-            # the tiles; the tile join reads the checkpoint — the query
-            # lineage is never evaluated twice.
-            n_assign = assigned.count()
-            c_blocks = max(1, math.ceil(seg.n_rows * spill / n_live / _C_TILE))
-            q_blocks = max(1, math.ceil(n_assign / n_live / _Q_TILE))
+            # The assignment distribution is bound-dependent (not knowable
+            # a priori), so ONE pass materializes the checkpoint and sizes
+            # the tiles per partition; the tile join reads the checkpoint —
+            # the query lineage is never evaluated twice.
+            assign_p = {
+                int(r["part_id"]): int(r["count"])
+                for r in assigned.groupBy("part_id").count().collect()
+            }
+            rows_p = self._part_counts(seg.name)
+            cb_of = {
+                int(p): max(1, math.ceil(rows_p[p] / _C_TILE))
+                for p in np.flatnonzero(rows_p)
+            }
+            qb_of = {
+                p: max(1, math.ceil(c / _Q_TILE)) for p, c in assign_p.items()
+            }
             parts.append(
                 self._segment_tile_scan(
-                    info, assigned, metric, 0, 0, c_blocks, q_blocks,
+                    info, assigned, metric, 0, 0, cb_of, qb_of,
                     None, None, False, threshold,
                 )
             )

@@ -88,7 +88,14 @@ def main() -> None:
     ap.add_argument("--clusters", type=int, default=1000)
     ap.add_argument("--parts", type=int, default=1000)
     ap.add_argument("--fine-factor", type=int, default=8)
+    ap.add_argument(
+        "--fine-assign-cells", type=int, default=4,
+        help="coarse cells contributing fine candidates (0 = global argmin)",
+    )
     ap.add_argument("--bulk", action="store_true", help="run corpus-as-queries bulk top-k")
+    ap.add_argument("--bulk-np", type=int, default=4)
+    ap.add_argument("--bulk-npf", type=int, default=16)
+    ap.add_argument("--bulk-oq", type=float, default=8.0)
     ap.add_argument("--bulk-only", action="store_true")
     ap.add_argument("--skip-grid", action="store_true")
     ap.add_argument("--keep", default=None, help="persistent dir (reuse corpus+index)")
@@ -110,7 +117,7 @@ def main() -> None:
         queries = spark.read.parquet(f"{base}/queries.parquet")
 
         idx_dir = f"{base}/idx"
-        if os.path.exists(f"{idx_dir}/manifest.json"):
+        if os.path.exists(f"{idx_dir}/meta.json"):
             idx = IVFIndex.load(spark, idx_dir)
             log(step="build", sec=0.0, cached=True)
         else:
@@ -118,8 +125,12 @@ def main() -> None:
             idx = IVFIndexBuilder(
                 metric="COSINE", pq_m=8, spill=2,
                 fine_factor=args.fine_factor, n_partitions=args.parts,
+                fine_assign_cells=args.fine_assign_cells,
             ).fit(corpus, idx_dir)
-            log(step="build", sec=round(time.perf_counter() - t0, 1))
+            log(
+                step="build", sec=round(time.perf_counter() - t0, 1),
+                fine_assign_cells=args.fine_assign_cells,
+            )
 
         if not args.bulk_only and not args.skip_grid:
             t0 = time.perf_counter()
@@ -152,12 +163,16 @@ def main() -> None:
             qall = corpus.selectExpr("id as qid", "vec")
             t0 = time.perf_counter()
             res = idx.search(
-                qall, 10, n_probe=4, overquery=8.0, n_probe_fine=16,
+                qall, 10, n_probe=args.bulk_np, overquery=args.bulk_oq,
+                n_probe_fine=args.bulk_npf,
                 strategy="distributed", m_hint=args.n,
-            )
+            ).persist()  # the recall slice below must not re-run the search
             n_out = res.count()
             dt = time.perf_counter() - t0
-            log(step="bulk_topk", rows=n_out, sec=round(dt, 1))
+            log(
+                step="bulk_topk", rows=n_out, sec=round(dt, 1),
+                n_probe=args.bulk_np, npf=args.bulk_npf, oq=args.bulk_oq,
+            )
             # pin bulk recall on 64 sampled corpus rows vs exact GT
             rng = np.random.default_rng(3)
             sample_ids = [int(i) for i in rng.choice(args.n, 64, replace=False)]
