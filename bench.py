@@ -337,7 +337,12 @@ def main() -> None:
             xl_n = int(os.environ.get("SPARK_GRAFT_XL_N", "1000000"))
             xdir = tempfile.mkdtemp(prefix="jvs_bench_xl_")
             try:
-                _probe.gen_corpus(xdir, xl_n, 64, 1000, seed=11)
+                import contextlib
+
+                # gen_corpus prints its own JSON progress line — keep the
+                # bench's stdout to exactly ONE JSON line (driver contract)
+                with contextlib.redirect_stdout(sys.stderr):
+                    _probe.gen_corpus(xdir, xl_n, 64, 1000, seed=11)
                 xcorpus = spark.read.parquet(f"{xdir}/corpus.parquet")
                 t0 = time.perf_counter()
                 xidx = IVFIndexBuilder(

@@ -321,6 +321,21 @@ class _PartStatsParam(AccumulatorParam):
         return a
 
 
+class _TaskPartCountParam(AccumulatorParam):
+    """Per-map-task stored-copy counts {task_pid: {part: n}}. Each task
+    adds its ENTIRE contribution exactly once (after its batch loop), so
+    the pid-keyed overwrite merge makes retries and speculative
+    duplicates idempotent — the same trick as the max/min stats merge,
+    for a quantity that needs a cross-task SUM."""
+
+    def zero(self, value):
+        return {}
+
+    def addInPlace(self, a, b):
+        a.update(b)
+        return a
+
+
 class IVFIndexBuilder:
     """Batch index build job (ref GraphIndexBuilder; M2 bulk build)."""
 
@@ -539,14 +554,18 @@ class IVFIndexBuilder:
         # radius, angular radius, max/min norm — rigorous score bounds let
         # threshold_search skip partitions that provably contain no match.
         acc = spark.sparkContext.accumulator({}, _PartStatsParam())
+        cnt_acc = spark.sparkContext.accumulator({}, _TaskPartCountParam())
 
         spill = max(1, min(self.spill, len(centroids)))
         fa_cells = max(spill, self.fine_assign_cells)
 
         def assign_encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from pyspark import TaskContext
+
             cents, codec, nvq_codec, fine_cents, fine_of_ = b.value
             cc = np.einsum("ij,ij->i", cents, cents)
             cn = np.sqrt(cc)
+            task_counts: dict[int, int] = {}
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -600,6 +619,8 @@ class IVFIndexBuilder:
                         # (identity under max/max/max/min merge), no primary
                         stats[int(part)] = (0.0, 0.0, 0.0, np.inf, 0.0)
                 acc.add(stats)
+                for part, cnt in zip(*np.unique(p, return_counts=True)):
+                    task_counts[int(part)] = task_counts.get(int(part), 0) + int(cnt)
                 code_bytes = [c.tobytes() for c in codes]
                 out = {
                     "id": pdf["id"].to_numpy(dtype=np.int64)[rep],
@@ -635,6 +656,10 @@ class IVFIndexBuilder:
                         sub = np.argmin(fd, axis=1)
                     out["sub_id"] = sub.astype(np.int32)[rep]
                 yield pd.DataFrame(out)
+            # ONE add per task, after the batch loop (pid-keyed overwrite
+            # merge -> retry-idempotent; see _TaskPartCountParam)
+            ctx = TaskContext.get()
+            cnt_acc.add({(ctx.partitionId() if ctx else 0): task_counts})
 
         schema = _DATA_SCHEMA
         if nvq is not None:
@@ -673,6 +698,10 @@ class IVFIndexBuilder:
         )
 
         stat_rows = acc.value
+        part_counts = np.zeros(len(centroids), dtype=np.int64)
+        for task_map in cnt_acc.value.values():
+            for part, cnt in task_map.items():
+                part_counts[part] += cnt
         # ---- tiny centroids+stats write: driver-resident, pyarrow-direct
         # (no Spark job; see _write_small_parquet) ----
         import pyarrow as pa
@@ -699,6 +728,10 @@ class IVFIndexBuilder:
                     "has_primary": pa.array(
                         [stat_rows.get(i, (0,) * 5)[4] > 0 for i in range(k_c)]
                     ),
+                    # stored copies per partition (spill included), summed
+                    # from the write job's map stage — per-partition tile
+                    # sizing reads these instead of re-scanning the index
+                    "n_stored": pa.array(part_counts, pa.int64()),
                 }
             ),
         )
@@ -806,8 +839,10 @@ class IVFIndex:
         minnorm = np.zeros(len(cents))
         has_rows_col = "has_rows" in cdf.columns
         has_prim_col = "has_primary" in cdf.columns
+        stored_col = "n_stored" in cdf.columns
         has_rows = np.ones(len(cents), dtype=bool)
         has_primary = np.ones(len(cents), dtype=bool)
+        n_stored = np.zeros(len(cents), dtype=np.int64) if stored_col else None
         for r in cents:
             arr[r["part_id"]] = np.asarray(r["centroid"])
             if has_stats:
@@ -824,6 +859,8 @@ class IVFIndex:
                 r["has_primary"] if has_prim_col
                 else (r["has_rows"] if has_rows_col else True)
             )
+            if stored_col:
+                n_stored[r["part_id"]] = r["n_stored"]
         fine = None
         fine_path = os.path.join(seg_dir, "fine_centroids.parquet")
         if os.path.exists(fine_path):
@@ -841,6 +878,7 @@ class IVFIndex:
             "has_rows": has_rows,
             "has_primary": has_primary,
             "fine": fine,
+            **({"part_counts": n_stored} if n_stored is not None else {}),
             "pq": _load_codec(os.path.join(seg_dir, "pq")),
         }
 
@@ -856,11 +894,12 @@ class IVFIndex:
         )
 
     def _part_counts(self, seg_name: str) -> np.ndarray:
-        """Per-partition STORED row counts (spilled copies included),
-        computed once per loaded index with a small partition-key agg and
-        cached — the observed-distribution input for per-partition tile
-        sizing (and reusable by any stats consumer). At 100 TB this is a
-        count over the partition column only (column-pruned scan)."""
+        """Per-partition STORED row counts (spilled copies included) — the
+        observed-distribution input for per-partition tile sizing. Free
+        for r6+ segments (persisted as the centroid table's ``n_stored``
+        column, summed from the write job's own map stage); legacy
+        segments fall back to ONE cached partition-key agg (column-pruned
+        scan, once per loaded index)."""
         info = self._segments[seg_name]
         if "part_counts" not in info:
             arr = np.zeros(len(info["centroids"]), dtype=np.int64)
@@ -1636,11 +1675,22 @@ class IVFIndex:
             if n_fine_:
                 # per-(query, row) fine-cell membership (same semantics as
                 # the broadcast scan's mask — both routes restrict each
-                # query's candidates to its OWN probed fine cells)
+                # query's candidates to its OWN probed fine cells).
+                # Vectorized scatter: one concatenate + one fancy-index
+                # instead of a per-query Python loop (this runs once per
+                # TILE on the bulk path — thousands of times per search)
                 subs_rows = cs["sub_id"].to_numpy(dtype=np.int64)
+                subs_list = [np.asarray(s, dtype=np.int64) for s in qs["subs"]]
+                lens = np.fromiter(
+                    (len(s) for s in subs_list), dtype=np.int64,
+                    count=len(subs_list),
+                )
                 q_cells = np.zeros((len(qs), n_fine_), dtype=bool)
-                for i, s in enumerate(qs["subs"]):
-                    q_cells[i, np.asarray(s, dtype=np.int64)] = True
+                if lens.sum():
+                    q_cells[
+                        np.repeat(np.arange(len(qs)), lens),
+                        np.concatenate(subs_list),
+                    ] = True
                 tile_mask = q_cells[:, subs_rows]
             # chunk the query axis so LUT stack + score matrix stay bounded
             for lo in range(0, len(q_ids), 512):
