@@ -88,6 +88,7 @@ def main() -> None:
     ap.add_argument("--clusters", type=int, default=1000)
     ap.add_argument("--parts", type=int, default=1000)
     ap.add_argument("--fine-factor", type=int, default=8)
+    ap.add_argument("--pq-m", type=int, default=8)
     ap.add_argument(
         "--fine-assign-cells", type=int, default=4,
         help="coarse cells contributing fine candidates (0 = global argmin)",
@@ -116,14 +117,14 @@ def main() -> None:
         corpus = spark.read.parquet(f"{base}/corpus.parquet")
         queries = spark.read.parquet(f"{base}/queries.parquet")
 
-        idx_dir = f"{base}/idx"
+        idx_dir = f"{base}/idx" if args.pq_m == 8 else f"{base}/idx_m{args.pq_m}"
         if os.path.exists(f"{idx_dir}/meta.json"):
             idx = IVFIndex.load(spark, idx_dir)
             log(step="build", sec=0.0, cached=True)
         else:
             t0 = time.perf_counter()
             idx = IVFIndexBuilder(
-                metric="COSINE", pq_m=8, spill=2,
+                metric="COSINE", pq_m=args.pq_m, spill=2,
                 fine_factor=args.fine_factor, n_partitions=args.parts,
                 fine_assign_cells=args.fine_assign_cells,
             ).fit(corpus, idx_dir)
