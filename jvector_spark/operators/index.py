@@ -59,7 +59,6 @@ from pyspark.accumulators import AccumulatorParam
 from jvector_spark.functions import kernels
 from jvector_spark.operators.exact import (
     _C_TILE,
-    _Q_TILE,
     BROADCAST_QUERY_CAP,
     query_side_is_big,
 )
@@ -67,6 +66,14 @@ from jvector_spark.operators.quantize.pq import ProductQuantizer
 from jvector_spark.types import IndexManifest, SegmentInfo
 
 MAX_CENTROIDS = 4096  # keep the broadcast "upper layer" small
+
+# Query-tile height for the IVF tile join. Corpus rows replicate ONCE PER
+# QUERY BLOCK, so this directly divides the dominant shuffle term
+# (stored_rows x qbn x ~4 bytes/dim); 4x exact.py's _Q_TILE because the
+# in-tile kernel chunks the query axis at 512 anyway (LUTs, score matrix
+# AND the fine-cell mask are all per-chunk), leaving per-task memory
+# bounded while the shuffle shrinks.
+_Q_TILE_IVF = 8192
 
 _DATA_SCHEMA = "id long, vec array<float>, codes binary, part_id int"
 
@@ -1473,14 +1480,14 @@ class IVFIndex:
             # PER-PARTITION tile sizing from the observed distributions
             # (r6: uniform-average sizing gave zipf-hot partitions one
             # oversized tile per block pair — straggler tasks; now every
-            # tile holds <= ~_C_TILE rows x _Q_TILE assignments no matter
+            # tile holds <= ~_C_TILE rows x _Q_TILE_IVF assignments no matter
             # how skewed the partition)
             cb_of = {
                 int(p): max(1, math.ceil(rows_p[p] / _C_TILE))
                 for p in np.flatnonzero(rows_p)
             }
             qb_of = {
-                p: max(1, math.ceil(c / _Q_TILE)) for p, c in assign_p.items()
+                p: max(1, math.ceil(c / _Q_TILE_IVF)) for p, c in assign_p.items()
             }
             parts.append(
                 self._segment_tile_scan(
@@ -1671,28 +1678,13 @@ class IVFIndex:
             nvq_pack = (
                 (nvq_c, cs["nvq"], cs["nvq_params"]) if nvq_c is not None else None
             )
-            tile_mask = None
-            if n_fine_:
-                # per-(query, row) fine-cell membership (same semantics as
-                # the broadcast scan's mask — both routes restrict each
-                # query's candidates to its OWN probed fine cells).
-                # Vectorized scatter: one concatenate + one fancy-index
-                # instead of a per-query Python loop (this runs once per
-                # TILE on the bulk path — thousands of times per search)
-                subs_rows = cs["sub_id"].to_numpy(dtype=np.int64)
-                subs_list = [np.asarray(s, dtype=np.int64) for s in qs["subs"]]
-                lens = np.fromiter(
-                    (len(s) for s in subs_list), dtype=np.int64,
-                    count=len(subs_list),
-                )
-                q_cells = np.zeros((len(qs), n_fine_), dtype=bool)
-                if lens.sum():
-                    q_cells[
-                        np.repeat(np.arange(len(qs)), lens),
-                        np.concatenate(subs_list),
-                    ] = True
-                tile_mask = q_cells[:, subs_rows]
-            # chunk the query axis so LUT stack + score matrix stay bounded
+            subs_rows = (
+                cs["sub_id"].to_numpy(dtype=np.int64) if n_fine_ else None
+            )
+            # chunk the query axis so LUT stack, score matrix AND the
+            # per-(query, row) fine-cell mask stay bounded per chunk —
+            # masks are built per 512-query slice (a full-tile mask at the
+            # r6 q-tile of 8,192 queries x 16,384 rows would be 134 MB)
             for lo in range(0, len(q_ids), 512):
                 q_mat = q_mat_all[lo : lo + 512]
                 if is_bq:
@@ -1701,10 +1693,30 @@ class IVFIndex:
                     luts = pq_o.adc_lut_batch(q_mat, met)
                     bq_pack = None
                 qn = np.linalg.norm(q_mat, axis=1)
+                chunk_mask = None
+                if n_fine_:
+                    # same semantics as the broadcast scan's mask — each
+                    # query ranks only rows from its OWN probed fine
+                    # cells. Vectorized scatter, no per-query Python loop.
+                    subs_list = [
+                        np.asarray(s, dtype=np.int64)
+                        for s in qs["subs"].iloc[lo : lo + 512]
+                    ]
+                    lens = np.fromiter(
+                        (len(s) for s in subs_list), dtype=np.int64,
+                        count=len(subs_list),
+                    )
+                    q_cells = np.zeros((len(subs_list), n_fine_), dtype=bool)
+                    if lens.sum():
+                        q_cells[
+                            np.repeat(np.arange(len(subs_list)), lens),
+                            np.concatenate(subs_list),
+                        ] = True
+                    chunk_mask = q_cells[:, subs_rows]
                 oq, oi, osc = _fused_block_topk(
                     met, kk, keep, q_ids[lo : lo + 512], q_mat, luts, mag, qn,
                     ids, code_idx, vec_rows=cs_vec, nvq=nvq_pack, bq=bq_pack,
-                    mask=None if tile_mask is None else tile_mask[lo : lo + 512],
+                    mask=chunk_mask,
                     counters=tel_acc,
                 )
                 frames.append(pd.DataFrame({"qid": oq, "id": oi, "score": osc}))
@@ -1748,7 +1760,7 @@ class IVFIndex:
                 for p in np.flatnonzero(rows_p)
             }
             qb_of = {
-                p: max(1, math.ceil(c / _Q_TILE)) for p, c in assign_p.items()
+                p: max(1, math.ceil(c / _Q_TILE_IVF)) for p, c in assign_p.items()
             }
             parts.append(
                 self._segment_tile_scan(
