@@ -354,8 +354,8 @@ def main() -> None:
                 qall = xcorpus.selectExpr("id as qid", "vec")
                 t0 = time.perf_counter()
                 # np=4/npf=16/oq=64: the measured sweet spot — oq=64 costs
-                # +12% wall over oq=8 and doubles bulk recall (r6 curve:
-                # 0.275 @ oq=8 / 571 s -> 0.539 @ oq=64 / 638 s)
+                # ~50% wall over oq=8 and doubles bulk recall (r6 curve at
+                # q-tile 8192: 0.275 @ oq=8 / 412 s -> 0.539 @ oq=64 / 624 s)
                 xres = xidx.search(
                     qall, 10, n_probe=4, overquery=64.0, n_probe_fine=16,
                     strategy="distributed", m_hint=xl_n,

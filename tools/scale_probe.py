@@ -93,6 +93,10 @@ def main() -> None:
         "--fine-assign-cells", type=int, default=4,
         help="coarse cells contributing fine candidates (0 = global argmin)",
     )
+    ap.add_argument(
+        "--rerank", choices=("fp32", "nvq"), default="fp32",
+        help="stage-2 payload: fp32 vecs or NVQ bytes (1/4 shuffle at d=64)",
+    )
     ap.add_argument("--bulk", action="store_true", help="run corpus-as-queries bulk top-k")
     ap.add_argument("--bulk-np", type=int, default=4)
     ap.add_argument("--bulk-npf", type=int, default=16)
@@ -117,7 +121,10 @@ def main() -> None:
         corpus = spark.read.parquet(f"{base}/corpus.parquet")
         queries = spark.read.parquet(f"{base}/queries.parquet")
 
-        idx_dir = f"{base}/idx" if args.pq_m == 8 else f"{base}/idx_m{args.pq_m}"
+        suffix = ("" if args.pq_m == 8 else f"_m{args.pq_m}") + (
+            "" if args.rerank == "fp32" else f"_{args.rerank}"
+        )
+        idx_dir = f"{base}/idx{suffix}"
         if os.path.exists(f"{idx_dir}/meta.json"):
             idx = IVFIndex.load(spark, idx_dir)
             log(step="build", sec=0.0, cached=True)
@@ -126,11 +133,11 @@ def main() -> None:
             idx = IVFIndexBuilder(
                 metric="COSINE", pq_m=args.pq_m, spill=2,
                 fine_factor=args.fine_factor, n_partitions=args.parts,
-                fine_assign_cells=args.fine_assign_cells,
+                fine_assign_cells=args.fine_assign_cells, rerank=args.rerank,
             ).fit(corpus, idx_dir)
             log(
                 step="build", sec=round(time.perf_counter() - t0, 1),
-                fine_assign_cells=args.fine_assign_cells,
+                fine_assign_cells=args.fine_assign_cells, rerank=args.rerank,
             )
 
         if not args.bulk_only and not args.skip_grid:
