@@ -106,6 +106,32 @@ def topk_per_row(
     """
     m, n = scores.shape
     k = min(k, n)
+    if scores.dtype == np.float32:
+        # Tie-free composite-key selection for the f32 stage-1 path: the
+        # per-row slow-path below is driven by SCORE TIES AT THE BOUNDARY,
+        # and under the fine-cell mask most entries are -inf so nearly
+        # every row used to take it (a full per-row lexsort — the masked
+        # bulk path's hot spot once ADC was fixed). Pack (score desc,
+        # tie-key asc) into one uint64 — high word: IEEE-monotone f32 bits
+        # inverted so ascending uint order == score DESCENDING; low word:
+        # the column's rank in tie-key order — and argpartition THAT: the
+        # key is unique per column, so selection and ordering are exact
+        # and deterministic in one pass, bit-equal to the lexsort
+        # semantics below (same floats -> same order, ties by id asc).
+        u = np.ascontiguousarray(scores).view(np.uint32)
+        mono = np.where(u & np.uint32(0x80000000), ~u, u | np.uint32(0x80000000))
+        inv = np.uint32(0xFFFFFFFF) - mono
+        if ids is None:
+            rank = np.arange(n, dtype=np.uint64)
+        else:
+            rank = np.empty(n, dtype=np.uint64)
+            rank[np.argsort(ids, kind="stable")] = np.arange(n, dtype=np.uint64)
+        key = (inv.astype(np.uint64) << np.uint64(32)) | rank[None, :]
+        part = np.argpartition(key, k - 1, axis=1)[:, :k]
+        order = np.argsort(np.take_along_axis(key, part, axis=1), axis=1)
+        idx = np.take_along_axis(part, order, axis=1)
+        vals = np.take_along_axis(scores, idx, axis=1)
+        return idx, vals
     part = np.argpartition(-scores, k - 1, axis=1)[:, :k]
     part_scores = np.take_along_axis(scores, part, axis=1)
     # argpartition breaks ties AT THE SELECTION BOUNDARY arbitrarily: a
