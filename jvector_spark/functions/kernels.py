@@ -106,45 +106,49 @@ def topk_per_row(
     """
     m, n = scores.shape
     k = min(k, n)
-    if scores.dtype == np.float32:
-        # Tie-free composite-key selection for the f32 stage-1 path: the
-        # per-row slow-path below is driven by SCORE TIES AT THE BOUNDARY,
-        # and under the fine-cell mask most entries are -inf so nearly
-        # every row used to take it (a full per-row lexsort — the masked
-        # bulk path's hot spot once ADC was fixed). Pack (score desc,
-        # tie-key asc) into one uint64 — high word: IEEE-monotone f32 bits
-        # inverted so ascending uint order == score DESCENDING; low word:
-        # the column's rank in tie-key order — and argpartition THAT: the
-        # key is unique per column, so selection and ordering are exact
-        # and deterministic in one pass, bit-equal to the lexsort
-        # semantics below (same floats -> same order, ties by id asc).
-        u = np.ascontiguousarray(scores).view(np.uint32)
-        mono = np.where(u & np.uint32(0x80000000), ~u, u | np.uint32(0x80000000))
-        inv = np.uint32(0xFFFFFFFF) - mono
-        if ids is None:
-            rank = np.arange(n, dtype=np.uint64)
-        else:
-            rank = np.empty(n, dtype=np.uint64)
-            rank[np.argsort(ids, kind="stable")] = np.arange(n, dtype=np.uint64)
-        key = (inv.astype(np.uint64) << np.uint64(32)) | rank[None, :]
-        part = np.argpartition(key, k - 1, axis=1)[:, :k]
-        order = np.argsort(np.take_along_axis(key, part, axis=1), axis=1)
-        idx = np.take_along_axis(part, order, axis=1)
-        vals = np.take_along_axis(scores, idx, axis=1)
-        return idx, vals
     part = np.argpartition(-scores, k - 1, axis=1)[:, :k]
     part_scores = np.take_along_axis(scores, part, axis=1)
     # argpartition breaks ties AT THE SELECTION BOUNDARY arbitrarily: a
     # candidate tied with the k-th score can be dropped even though its id
     # is smaller. Detect affected rows (more than k scores >= the row's
-    # k-th best — e.g. duplicate vectors) and redo just those with a full
-    # deterministic sort; the fast path is untouched for the common case.
+    # k-th best — duplicate vectors, or mask-starved rows whose k-th best
+    # is the -inf fill) and redo JUST those rows with a vectorized
+    # composite-key selection; the fast path is untouched for the common
+    # case. (A full composite-key pass over every row was tried and is
+    # 2x+ slower end-to-end: it touches 3x the bytes of a plain f32
+    # argpartition, a bad trade when boundary ties are the exception.)
     tie_key = np.arange(n, dtype=np.int64) if ids is None else ids
     kth = part_scores.min(axis=1)
-    for r in np.flatnonzero((scores >= kth[:, None]).sum(axis=1) > k):
-        full = np.lexsort((tie_key, -scores[r]))[:k]
-        part[r] = full
-        part_scores[r] = scores[r][full]
+    bad = np.flatnonzero((scores >= kth[:, None]).sum(axis=1) > k)
+    if bad.size and scores.dtype == np.float32:
+        # Pack (score desc, tie-key asc) into one uint64 per cell — high
+        # word: IEEE-monotone f32 bits inverted so ascending uint order ==
+        # score DESCENDING; low word: the column's rank in tie-key order —
+        # and argpartition THAT. The key is unique per column, so the
+        # selection is exact and deterministic in one vectorized pass,
+        # bit-equal to a (-score, tie_key) lexsort; the old per-row lexsort
+        # fallback took ~1.3 s/tile under the fine-cell mask (most entries
+        # -inf => kth == -inf => every masked row lands here).
+        sub = np.ascontiguousarray(scores[bad])
+        u = sub.view(np.uint32)
+        sign = u & np.uint32(0x80000000)
+        # inv = 0xFFFFFFFF - monotone(u) simplifies per sign branch:
+        #   negative floats (mono = ~u):          inv = u
+        #   non-negative  (mono = u | 0x8000..):  inv = 0x7FFFFFFF - u
+        inv = np.where(sign, u, np.uint32(0x7FFFFFFF) - u)
+        rank = np.empty(n, dtype=np.uint64)
+        rank[np.argsort(tie_key, kind="stable")] = np.arange(n, dtype=np.uint64)
+        key = inv.astype(np.uint64)
+        key <<= np.uint64(32)
+        key |= rank[None, :]
+        sel = np.argpartition(key, k - 1, axis=1)[:, :k]
+        part[bad] = sel
+        part_scores[bad] = np.take_along_axis(sub, sel, axis=1)
+    elif bad.size:
+        for r in bad:
+            full = np.lexsort((tie_key, -scores[r]))[:k]
+            part[r] = full
+            part_scores[r] = scores[r][full]
     # sort on (-score, id): lexsort with the tie key as secondary key
     tie = tie_key[part]
     order = np.lexsort((tie, -part_scores), axis=1)
