@@ -354,8 +354,9 @@ def main() -> None:
                 qall = xcorpus.selectExpr("id as qid", "vec")
                 t0 = time.perf_counter()
                 # np=4/npf=16/oq=64: the measured sweet spot — oq=64 costs
-                # ~50% wall over oq=8 and doubles bulk recall (r6 curve at
-                # q-tile 8192: 0.275 @ oq=8 / 412 s -> 0.539 @ oq=64 / 624 s)
+                # ~60% wall over oq=8 and doubles bulk recall (r6 final
+                # kernels: 0.275 @ oq=8 / 206 s -> 0.539 @ oq=64 / 333 s;
+                # deeper np=4/npf=32/oq=256 reaches 0.792 @ 485 s)
                 xres = xidx.search(
                     qall, 10, n_probe=4, overquery=64.0, n_probe_fine=16,
                     strategy="distributed", m_hint=xl_n,
