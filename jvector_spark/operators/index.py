@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import math
 import os
+import time
 from typing import Iterator
 
 import numpy as np
@@ -170,7 +171,14 @@ def _fused_block_topk(
 
     Shared by the broadcast-query scan and the distributed tile join so
     both routes score identically. Returns (qid, id, score) arrays.
+
+    ``counters``: (visited_acc, reranked_acc) or (visited_acc,
+    reranked_acc, stage_accs) — stage_accs is SearchTelemetry's
+    per-stage-microseconds accumulator dict; when present the adc/topk/
+    rerank stages are timed from inside the kernel.
     """
+    stages = counters[2] if counters is not None and len(counters) > 2 else None
+    t_mark = time.perf_counter() if stages is not None else 0.0
     if bq is not None:
         q_words, bq_dim = bq
         approx = _bq_hamming_block(q_words, code_idx, bq_dim)
@@ -211,10 +219,18 @@ def _fused_block_topk(
                     * np.maximum(q_norms[:, None], 1e-30).astype(np.float32)
                 )
             ) / 2.0
+    if stages is not None:
+        now = time.perf_counter()
+        stages["adc"].add(int((now - t_mark) * 1e6))
+        t_mark = now
     if mask is not None:
         approx = np.where(mask, approx, approx.dtype.type(-np.inf))
     cand_idx, _ = kernels.topk_per_row(approx, rerank_k, ids=ids)
     uniq = np.unique(cand_idx.ravel())
+    if stages is not None:
+        now = time.perf_counter()
+        stages["topk"].add(int((now - t_mark) * 1e6))
+        t_mark = now
     if counters is not None:
         counters[1].add(int(len(uniq)))  # stage-2 reranked rows
     if nvq is not None:
@@ -269,6 +285,8 @@ def _fused_block_topk(
         order = np.argsort(-exact, axis=1, kind="stable")[:, :top]
         out_i[lo:hi] = np.take_along_axis(cids, order, axis=1)
         out_s[lo:hi] = np.take_along_axis(exact, order, axis=1)
+    if stages is not None:
+        stages["rerank"].add(int((time.perf_counter() - t_mark) * 1e6))
     return out_q, out_i.ravel(), out_s.ravel()
 
 
@@ -1267,7 +1285,9 @@ class IVFIndex:
         )
 
         tel_acc = (
-            (telemetry._visited, telemetry._reranked) if telemetry is not None else None
+            (telemetry._visited, telemetry._reranked, telemetry._stages)
+            if telemetry is not None
+            else None
         )
 
         def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1638,11 +1658,15 @@ class IVFIndex:
         # REPLICA it lands in — the counter measures scan work done, which
         # includes the q_blocks replication (document over-count semantics)
         tel_acc = (
-            (telemetry._visited, telemetry._reranked) if telemetry is not None else None
+            (telemetry._visited, telemetry._reranked, telemetry._stages)
+            if telemetry is not None
+            else None
         )
 
         def tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
             pq_o, met, kk, keep, thr, nvq_c, n_fine_ = bt.value
+            stages = tel_acc[2] if tel_acc is not None else None
+            t_mark = time.perf_counter() if stages is not None else 0.0
             empty = pd.DataFrame(
                 {
                     "qid": pd.Series(dtype="int64"),
@@ -1697,11 +1721,16 @@ class IVFIndex:
             subs_rows = (
                 cs["sub_id"].to_numpy(dtype=np.int64) if n_fine_ else None
             )
+            if stages is not None:
+                now = time.perf_counter()
+                stages["setup"].add(int((now - t_mark) * 1e6))
             # chunk the query axis so LUT stack, score matrix AND the
             # per-(query, row) fine-cell mask stay bounded per chunk —
             # masks are built per 512-query slice (a full-tile mask at the
             # r6 q-tile of 8,192 queries x 16,384 rows would be 134 MB)
             for lo in range(0, len(q_ids), 512):
+                if stages is not None:
+                    t_mark = time.perf_counter()
                 q_mat = q_mat_all[lo : lo + 512]
                 if is_bq:
                     luts, bq_pack = None, (pq_o.encode_numpy(q_mat), pq_o.dim)
@@ -1709,6 +1738,10 @@ class IVFIndex:
                     luts = pq_o.adc_lut_batch(q_mat, met)
                     bq_pack = None
                 qn = np.linalg.norm(q_mat, axis=1)
+                if stages is not None:
+                    now = time.perf_counter()
+                    stages["lut"].add(int((now - t_mark) * 1e6))
+                    t_mark = now
                 chunk_mask = None
                 if n_fine_:
                     # same semantics as the broadcast scan's mask — each
@@ -1729,6 +1762,8 @@ class IVFIndex:
                             np.concatenate(subs_list),
                         ] = True
                     chunk_mask = q_cells[:, subs_rows]
+                if stages is not None:
+                    stages["mask"].add(int((time.perf_counter() - t_mark) * 1e6))
                 oq, oi, osc = _fused_block_topk(
                     met, kk, keep, q_ids[lo : lo + 512], q_mat, luts, mag, qn,
                     ids, code_idx, vec_rows=cs_vec, nvq=nvq_pack, bq=bq_pack,
@@ -1738,8 +1773,21 @@ class IVFIndex:
                 frames.append(pd.DataFrame({"qid": oq, "id": oi, "score": osc}))
             return pd.concat(frames, ignore_index=True) if frames else empty
 
+        # One tile ≈ one task: the session default (shuffle.partitions =
+        # n_cores) hashes ~10^3 tiles into ~32 shuffle partitions, and the
+        # unlucky partition that draws several hot-cluster tiles becomes a
+        # straggler AQE cannot split (skew handling only covers joins, not
+        # applyInPandas exchanges). The tile count is known on the driver
+        # (per-partition block tables), so repartition by the group key to
+        # ~that many partitions; groupBy reuses the hash partitioning —
+        # one exchange either way, same shuffle volume, shorter tail.
+        n_tiles = sum(
+            qb_of.get(p, 1) * cb_of.get(p, 1) for p in all_parts
+        )
+        n_shuffle = int(min(4096, max(self.spark.sparkContext.defaultParallelism, n_tiles)))
         return (
             c_side.unionByName(q_side)
+            .repartition(n_shuffle, "part_id", "qb", "cb")
             .groupBy("part_id", "qb", "cb")
             .applyInPandas(tile, schema="qid long, id long, score double")
         )

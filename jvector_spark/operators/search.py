@@ -104,9 +104,20 @@ class SearchTelemetry:
     raw counter across routes; for the point-query IO model use
     ``IVFIndex.probe_io_stats`` instead."""
 
+    STAGES = ("setup", "lut", "mask", "adc", "topk", "rerank")
+
     def __init__(self, spark):
         self._visited = spark.sparkContext.accumulator(0)
         self._reranked = spark.sparkContext.accumulator(0)
+        # per-stage kernel wall (microseconds, summed across all tasks —
+        # i.e. CORE-seconds, not wall-clock): setup = Arrow->numpy
+        # conversion of a tile's pandas frames; lut = per-chunk ADC LUT
+        # construction; mask = per-chunk fine-cell mask scatter; adc =
+        # stage-1 code scoring; topk = candidate selection (incl. mask
+        # apply); rerank = stage-2 exact re-scoring. Populated by the
+        # fused kernels when telemetry is passed; ~zero overhead (six
+        # perf_counter calls per 512-query chunk).
+        self._stages = {s: spark.sparkContext.accumulator(0) for s in self.STAGES}
 
     @property
     def visited_rows(self) -> int:
@@ -115,6 +126,12 @@ class SearchTelemetry:
     @property
     def reranked_rows(self) -> int:
         return int(self._reranked.value)
+
+    @property
+    def stage_seconds(self) -> dict:
+        """Per-stage kernel CORE-seconds (summed over tasks), for finding
+        the dominant cost of a search without external profilers."""
+        return {s: round(a.value / 1e6, 3) for s, a in self._stages.items()}
 
 
 class SearchCursor:

@@ -102,6 +102,10 @@ def main() -> None:
     ap.add_argument("--bulk-npf", type=int, default=16)
     ap.add_argument("--bulk-oq", type=float, default=8.0)
     ap.add_argument("--bulk-only", action="store_true")
+    ap.add_argument(
+        "--prof", action="store_true",
+        help="collect per-stage kernel core-seconds (SearchTelemetry) on the bulk run",
+    )
     ap.add_argument("--skip-grid", action="store_true")
     ap.add_argument("--keep", default=None, help="persistent dir (reuse corpus+index)")
     args = ap.parse_args()
@@ -169,11 +173,16 @@ def main() -> None:
             # the flagship bulk shape: every corpus row as a query through
             # the distributed tile route (semantic-dedup / bulk-join shape)
             qall = corpus.selectExpr("id as qid", "vec")
+            tel = None
+            if args.prof:
+                from jvector_spark.operators.search import SearchTelemetry
+
+                tel = SearchTelemetry(spark)
             t0 = time.perf_counter()
             res = idx.search(
                 qall, 10, n_probe=args.bulk_np, overquery=args.bulk_oq,
                 n_probe_fine=args.bulk_npf,
-                strategy="distributed", m_hint=args.n,
+                strategy="distributed", m_hint=args.n, telemetry=tel,
             ).persist()  # the recall slice below must not re-run the search
             n_out = res.count()
             dt = time.perf_counter() - t0
@@ -181,6 +190,9 @@ def main() -> None:
                 step="bulk_topk", rows=n_out, sec=round(dt, 1),
                 n_probe=args.bulk_np, npf=args.bulk_npf, oq=args.bulk_oq,
             )
+            if tel is not None:
+                log(step="bulk_prof", core_sec=tel.stage_seconds,
+                    visited=tel.visited_rows, reranked=tel.reranked_rows)
             # pin bulk recall on 64 sampled corpus rows vs exact GT
             rng = np.random.default_rng(3)
             sample_ids = [int(i) for i in rng.choice(args.n, 64, replace=False)]
