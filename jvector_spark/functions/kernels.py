@@ -106,20 +106,33 @@ def topk_per_row(
     """
     m, n = scores.shape
     k = min(k, n)
-    part = np.argpartition(-scores, k - 1, axis=1)[:, :k]
-    part_scores = np.take_along_axis(scores, part, axis=1)
-    # argpartition breaks ties AT THE SELECTION BOUNDARY arbitrarily: a
-    # candidate tied with the k-th score can be dropped even though its id
-    # is smaller. Detect affected rows (more than k scores >= the row's
-    # k-th best — duplicate vectors, or mask-starved rows whose k-th best
-    # is the -inf fill) and redo JUST those rows with a vectorized
-    # composite-key selection; the fast path is untouched for the common
-    # case. (A full composite-key pass over every row was tried and is
-    # 2x+ slower end-to-end: it touches 3x the bytes of a plain f32
-    # argpartition, a bad trade when boundary ties are the exception.)
+    # Value-only partition for the k-th score, then extract the selected
+    # columns with one >= compare pass. np.argpartition materializes the
+    # FULL m x n int64 permutation (12 moved bytes/element); np.partition
+    # moves 4, and the compare pass doubles as the boundary-tie detector
+    # that used to be a separate full-matrix pass — ~4x less memory
+    # traffic at high mask density, never slower (measured 533 -> 128 ms
+    # per 512 x 16k chunk dense, equal at 2% density).
     tie_key = np.arange(n, dtype=np.int64) if ids is None else ids
-    kth = part_scores.min(axis=1)
-    bad = np.flatnonzero((scores >= kth[:, None]).sum(axis=1) > k)
+    kth = np.partition(scores, n - k, axis=1)[:, n - k]
+    sel = scores >= kth[:, None]
+    cnt = sel.sum(axis=1, dtype=np.int64)
+    bad = np.flatnonzero(cnt > k)
+    if bad.size == 0:
+        # common case: no boundary ties anywhere — one reshape
+        part = np.nonzero(sel)[1].reshape(m, k)
+    else:
+        # rows where >k scores tie at the k-th value (duplicate vectors,
+        # or mask-starved rows whose k-th best is the -inf fill: sel is
+        # ALL-TRUE there, so they must be cleared BEFORE the nonzero or
+        # the extraction materializes the full m x n index stream) get a
+        # deterministic tie-break below; the exact-k rows reshape as usual.
+        part = np.zeros((m, k), dtype=np.int64)  # bad rows: redo overwrites
+        good = np.flatnonzero(cnt == k)
+        if good.size:
+            sel[bad] = False
+            part[good] = np.nonzero(sel)[1].reshape(good.size, k)
+    part_scores = np.take_along_axis(scores, part, axis=1)
     if bad.size and scores.dtype == np.float32:
         # Pack (score desc, tie-key asc) into one uint64 per cell — high
         # word: IEEE-monotone f32 bits inverted so ascending uint order ==
