@@ -18,29 +18,48 @@ bucket (the lowest-index shared band), a decision every shared bucket can
 make locally from the two band-key lists, so no cross-bucket
 deduplication state is needed.
 
+Grouping key (r6, second micro-bench round): the state GROUP is a hash
+SHARD of the band-bucket key, not the bucket itself. The first bench
+showed the per-GROUP applyInPandasWithState round trip (~3 ms Python
+state (de)serialization per group per micro-batch) dominating end-to-end
+cost at ~5k distinct buckets/batch — ~15 s of pure group overhead for
+~1 s of Jaccard work. Sharding bounds the group count at ``state_shards``
+(default 128) while each shard's state keeps members bucket-attributed
+(``bkey`` rides in the member meta), so candidate generation, the
+verification set, and the canonical-bucket emission rule are bit-identical
+to per-bucket grouping — only the state partitioning is coarser. The
+shuffle volume is unchanged (same exploded (row, bucket) pairs; the
+shard is a function of the bucket key, so a bucket's rows still meet in
+one task).
+
 State representation (r6 — the first micro-bench showed JSON-ed shingle
 STRINGS dominating both state bytes and CPU): members are two parallel
-state arrays — a small JSON meta string (id + band keys) and a
-binary-packed sorted int64 array of the member's distinct per-shingle
-base hashes (the SAME ``base_hashes`` values the signature family
-consumes). Jaccard over the hash sets equals Jaccard over the string
-sets absent 61-bit collisions, and ``np.intersect1d`` on packed sorted
-arrays replaces Python string-set intersection.
+state arrays — a small JSON meta string (id + band keys + bucket + seen
+timestamp) and a binary-packed sorted int64 array of the member's
+distinct per-shingle base hashes (the SAME ``base_hashes`` values the
+signature family consumes). Jaccard over the hash sets equals Jaccard
+over the string sets absent 61-bit collisions, and ``np.intersect1d`` on
+packed sorted arrays replaces Python string-set intersection.
 
-Scale shape: state is partitioned by band key (the exact shuffle key of
-the batch self-join); a bucket's state is its collision group — the same
-O(bucket size) working set the batch join materializes per key, held
-across batches instead of per job. ``state_ttl_ms`` bounds it for
-unbounded streams (expired buckets forget their members; only pairs
-whose members arrive within the TTL window of each other are then
-reported — the standard windowed contract).
+Scale shape: state is partitioned by shard-of-band-key (a coarsening of
+the exact shuffle key of the batch self-join); a bucket's members are the
+same O(bucket size) working set the batch join materializes per key, held
+across batches instead of per job. ``state_ttl_ms`` bounds state for
+unbounded streams PER MEMBER: each member records its arrival processing
+time and is pruned once older than the TTL on any later shard visit, so
+only pairs whose members arrive within the TTL window of each other are
+reported (the standard windowed contract) — an expired-then-reappearing
+document is re-admitted as new. The shard-level timeout is only the
+garbage collector for wholly idle shards (every member there is at least
+TTL old by construction, so dropping the shard prunes exactly the
+already-expired).
 
-Cost model (measured r6): the dominant cost is the per-GROUP
-applyInPandasWithState round trip (~3 ms per distinct band-bucket per
-micro-batch), not Jaccard compute or state bytes — so throughput is
-~cores x ~300 bucket-updates/s. Right for continuous moderate-rate
-streams; for BULK backfills use the batch ``minhash_lsh_pairs`` (same
-candidates, same verification, ~100x faster on a resident corpus).
+Cost model (measured r6): per-group overhead is ~3 ms x ``state_shards``
+per micro-batch (bounded, amortized across all buckets in the shard)
+plus the vectorized Jaccard work, so throughput scales with cores until
+verification compute binds. For BULK backfills the batch
+``minhash_lsh_pairs`` is still the right tool (same candidates, same
+verification, no state round-trip at all on a resident corpus).
 """
 
 from __future__ import annotations
@@ -62,36 +81,59 @@ from jvector_spark.pipeline.dedup import (
 )
 
 
-def _make_bucket_fn(threshold: float, state_ttl_ms: int | None):
-    def bucket_fn(
+def _make_shard_fn(threshold: float, state_ttl_ms: int | None):
+    def shard_fn(
         key: Tuple[Any, ...],
         pdfs: Iterable[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
+            # every member is >= TTL old (the timer is re-armed on each
+            # arrival, and members time-stamp their arrival), so the whole
+            # shard is exactly the expired set
             state.remove()
             return iter(())
+        now = (
+            state.getCurrentProcessingTimeMs()
+            if state_ttl_ms is not None
+            else 0
+        )
+        # bucket -> list[(meta, shingle-hash array)]; members carry their
+        # bucket in the meta so one shard can host many buckets without
+        # ever comparing across buckets
+        members: dict[Any, list] = {}
+        seen: dict[Any, set] = {}
         if state.exists:
             metas, shs = state.get
-            members = [
-                (json.loads(m), np.frombuffer(s, dtype=np.int64))
-                for m, s in zip(metas, shs)
-            ]
-        else:
-            members = []
-        bkey = key[0]
+            for m, s in zip(metas, shs):
+                meta = json.loads(m)
+                if (
+                    state_ttl_ms is not None
+                    and now - meta.get("ts", now) > state_ttl_ms
+                ):
+                    continue  # member-level TTL prune (windowed contract)
+                bk = meta["bkey"]
+                members.setdefault(bk, []).append(
+                    (meta, np.frombuffer(s, dtype=np.int64))
+                )
+                seen.setdefault(bk, set()).add(meta["id"])
         rows = [pdf for pdf in pdfs if len(pdf)]
         out_a, out_b, out_j = [], [], []
         if rows:
+            # doc_id order makes emission deterministic: a pair is emitted
+            # while processing its LATER member, against the earlier one
+            # already in the bucket's member list
             batch = pd.concat(rows, ignore_index=True).sort_values("doc_id")
-            seen_ids = {m[0]["id"] for m in members}
             for row in batch.itertuples(index=False):
                 doc_id = int(row.doc_id)
-                if doc_id in seen_ids:
-                    continue  # replayed row: already a member
+                bkey = row.bkey
+                mlist = members.setdefault(bkey, [])
+                sset = seen.setdefault(bkey, set())
+                if doc_id in sset:
+                    continue  # replayed (row, bucket): already a member
                 sh = np.asarray(row.shh, dtype=np.int64)  # sorted, distinct
                 bands = list(row.bands)
-                for meta, m_sh in members:
+                for meta, m_sh in mlist:
                     inter = len(np.intersect1d(sh, m_sh, assume_unique=True))
                     union = len(sh) + len(m_sh) - inter
                     if union == 0:
@@ -110,12 +152,15 @@ def _make_bucket_fn(threshold: float, state_ttl_ms: int | None):
                         out_a.append(a)
                         out_b.append(b)
                         out_j.append(j)
-                members.append(({"id": doc_id, "bands": bands}, sh))
-                seen_ids.add(doc_id)
+                mlist.append(
+                    ({"id": doc_id, "bands": bands, "bkey": bkey, "ts": now}, sh)
+                )
+                sset.add(doc_id)
+        flat = [mv for ml in members.values() for mv in ml]
         state.update(
             (
-                [json.dumps(m) for m, _ in members],
-                [s.tobytes() for _, s in members],
+                [json.dumps(m) for m, _ in flat],
+                [s.tobytes() for _, s in flat],
             )
         )
         if state_ttl_ms is not None:
@@ -126,7 +171,7 @@ def _make_bucket_fn(threshold: float, state_ttl_ms: int | None):
             (pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "jaccard": out_j}),)
         )
 
-    return bucket_fn
+    return shard_fn
 
 
 def streaming_minhash_neardup(
@@ -138,11 +183,17 @@ def streaming_minhash_neardup(
     text_col: str = "text",
     id_col: str = "doc_id",
     state_ttl_ms: int | None = None,
+    state_shards: int = 128,
 ) -> DataFrame:
     """Emit every verified near-dup pair (doc_a, doc_b, jaccard) exactly
     once over the life of the stream. The union of emitted pairs equals
     the batch ``minhash_lsh_pairs`` result on the same documents (same
-    parameters), which is how the test pins it."""
+    parameters), which is how the test pins it.
+
+    ``state_shards`` bounds the number of state groups per micro-batch
+    (the dominant streaming cost is per-group overhead, not compute);
+    raise it on large clusters for more state parallelism — results are
+    identical for any value >= 1."""
     rows_per_band = n_hashes // bands
     toks = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
@@ -158,22 +209,37 @@ def streaming_minhash_neardup(
     sig = sh.withColumn("_base", base_hashes(F.col("sh"))).withColumn(
         "_sig", minhash_signature(F.col("_base"), n_hashes)
     )
-    keyed = sig.select(
-        "doc_id",
-        # verification set = sorted distinct per-shingle base hashes
-        # (identical Jaccard to the string sets absent 61-bit collisions;
-        # packed int64s keep the keyed state small and the intersection
-        # vectorized)
-        F.array_sort(F.array_distinct(F.col("_base"))).alias("shh"),
-        _band_keys(F.col("_sig"), bands, rows_per_band).alias("bands"),
-    ).select("doc_id", "shh", "bands", F.explode("bands").alias("bkey"))
+    # The explode's generator input is the band-key CreateArray EXPRESSION,
+    # not the `bands` attribute, even though the same expression is also
+    # carried as a column: exploding an attribute makes Catalyst's
+    # InferFiltersFromGenerate add `size(bands) > 0` and push it below the
+    # shuffle with the WHOLE shingle/minhash tree inlined — a measured 20x
+    # slowdown (52 s -> 4 s per 1250-doc micro-batch at sf0.1). With a
+    # CreateArray input the array size is foldable and no filter is
+    # inferred; `_sig` stays referenced >1 time so its projection is kept
+    # and the band keys are the only (trivial) double-computation.
+    keyed = (
+        sig.select(
+            "doc_id",
+            # verification set = sorted distinct per-shingle base hashes
+            # (identical Jaccard to the string sets absent 61-bit collisions;
+            # packed int64s keep the keyed state small and the intersection
+            # vectorized)
+            F.array_sort(F.array_distinct(F.col("_base"))).alias("shh"),
+            _band_keys(F.col("_sig"), bands, rows_per_band).alias("bands"),
+            F.explode(
+                _band_keys(F.col("_sig"), bands, rows_per_band)
+            ).alias("bkey"),
+        )
+        .withColumn("shard", F.pmod(F.hash("bkey"), F.lit(state_shards)))
+    )
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
         if state_ttl_ms is not None
         else GroupStateTimeout.NoTimeout
     )
-    return keyed.groupBy("bkey").applyInPandasWithState(
-        _make_bucket_fn(threshold, state_ttl_ms),
+    return keyed.groupBy("shard").applyInPandasWithState(
+        _make_shard_fn(threshold, state_ttl_ms),
         outputStructType="doc_a long, doc_b long, jaccard double",
         stateStructType="metas array<string>, shs array<binary>",
         outputMode="update",
