@@ -182,10 +182,11 @@ def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
 
 def test_streaming_dedup_ttl_state_contract():
     """TTL bounded-state contract, tested at the state-fn level (a
-    wall-clock ProcessingTimeTimeout run is inherently flaky): a seen
-    digest drops duplicates and refreshes its timeout; the timeout
-    callback removes state; the next arrival after expiry is re-admitted
-    as a fresh first occurrence."""
+    wall-clock ProcessingTimeTimeout run is inherently flaky): a shard's
+    state maps each digest to its last sighting; duplicates are dropped
+    and refresh their digest's timestamp; a digest silent past the TTL is
+    pruned on the shard's next visit and re-admitted as fresh; the shard
+    timeout callback removes the (wholly stale) shard."""
     import pandas as pd
 
     from jvector_spark.streaming.dedup import _make_emit_first_only
@@ -193,10 +194,18 @@ def test_streaming_dedup_ttl_state_contract():
     class FakeState:
         def __init__(self):
             self._v, self.hasTimedOut, self.timeouts = None, False, []
+            self.now = 1_000
 
         @property
         def exists(self):
             return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def getCurrentProcessingTimeMs(self):
+            return self.now
 
         def update(self, v):
             self._v = v
@@ -209,25 +218,42 @@ def test_streaming_dedup_ttl_state_contract():
 
     fn = _make_emit_first_only(60_000)
     st = FakeState()
-    batch = [pd.DataFrame({"doc_id": [7, 3], "digest": ["d", "d"]})]
-    out = list(fn(("d",), batch, st))
-    assert len(out) == 1 and out[0]["doc_id"].iloc[0] == 3  # first occ, min id
+    # two digests land in the same shard; each emits its min doc_id
+    batch = [pd.DataFrame({"doc_id": [7, 3, 5], "digest": ["d", "d", "e"]})]
+    out = list(fn((0,), batch, st))
+    assert len(out) == 1
+    got = sorted(map(tuple, out[0][["doc_id", "digest"]].values.tolist()))
+    assert got == [(3, "d"), (5, "e")]  # first occ per digest, min id
     assert st.exists and st.timeouts == [60_000]
 
-    out2 = list(fn(("d",), [pd.DataFrame({"doc_id": [9], "digest": ["d"]})], st))
-    assert out2 == [] and st.timeouts == [60_000, 60_000]  # dropped + refreshed
+    # duplicate of d: dropped, and d's timestamp refreshes
+    st.now = 30_000
+    out2 = list(fn((0,), [pd.DataFrame({"doc_id": [9], "digest": ["d"]})], st))
+    assert out2 == [] and st.timeouts == [60_000, 60_000]
+    ds, ts = st._v
+    assert dict(zip(ds, ts))["d"] == 30_000 and dict(zip(ds, ts))["e"] == 1_000
 
+    # e (last seen t=1k) passes the TTL horizon at t=70k: pruned and
+    # re-admitted as a first occurrence; d (refreshed at 30k) still drops
+    st.now = 70_000
+    out3 = list(
+        fn((0,), [pd.DataFrame({"doc_id": [11, 12], "digest": ["e", "d"]})], st)
+    )
+    assert len(out3) == 1
+    assert out3[0][["doc_id", "digest"]].values.tolist() == [[11, "e"]]
+
+    # shard timeout: everything in it is >= TTL stale -> forgotten
     st.hasTimedOut = True
-    assert list(fn(("d",), [], st)) == [] and not st.exists  # expiry forgets
+    assert list(fn((0,), [], st)) == [] and not st.exists
 
     st.hasTimedOut = False
-    out3 = list(fn(("d",), [pd.DataFrame({"doc_id": [11], "digest": ["d"]})], st))
-    assert len(out3) == 1 and out3[0]["doc_id"].iloc[0] == 11  # re-admitted
+    out4 = list(fn((0,), [pd.DataFrame({"doc_id": [13], "digest": ["d"]})], st))
+    assert len(out4) == 1 and out4[0]["doc_id"].iloc[0] == 13  # re-admitted
 
     # no-TTL build never touches timeouts (NoTimeout conf compatibility)
     fn2 = _make_emit_first_only(None)
     st2 = FakeState()
-    list(fn2(("e",), [pd.DataFrame({"doc_id": [1], "digest": ["e"]})], st2))
+    list(fn2((1,), [pd.DataFrame({"doc_id": [1], "digest": ["e"]})], st2))
     assert st2.exists and st2.timeouts == []
 
 
