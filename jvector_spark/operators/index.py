@@ -308,8 +308,9 @@ def _assign_fine_hierarchical(
     global argmin almost everywhere; the quality gate is quantization MSE
     (test_quantize) and the bench recall grid. Rows whose candidate set
     is empty (coarse cell unseen in the training sample) fall back to the
-    global argmin. Query-side fine probing is unchanged (global top-npf):
-    at search time the fine table is one flat level either way."""
+    global argmin. Query-side fine probing is hierarchical too as of
+    late-r6 (``_hier_fine_subs``): selection restricted to the probed
+    coarse cells' fine cells, mirroring this assignment rule."""
     n = len(x)
     best_d = np.full(n, np.inf)
     best_s = np.full(n, -1, dtype=np.int64)
@@ -333,6 +334,71 @@ def _assign_fine_hierarchical(
         fd = -2.0 * x[miss] @ fine_cents.T + fcc[None, :]
         best_s[miss] = np.argmin(fd, axis=1)
     return best_s
+
+
+def _fine_owner_pad(fine_cents: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """(n_coarse, Lmax) int32 owner table for hierarchical fine PROBING:
+    row c lists the fine cells owned by coarse cell c (nearest-coarse
+    assignment of each fine centroid — the same rule ``fine_level``
+    trains by), -1 padded. Derived, not persisted, so it exists for every
+    segment regardless of build version (one (n_fine x n_coarse) matmul
+    per segment load)."""
+    cc = np.einsum("ij,ij->i", cents, cents)
+    d = -2.0 * fine_cents @ cents.T + cc[None, :]
+    owner = np.argmin(d, axis=1)
+    lists = [np.flatnonzero(owner == c) for c in range(len(cents))]
+    lmax = max(1, max((len(fl) for fl in lists), default=1))
+    pad = np.full((len(cents), lmax), -1, dtype=np.int32)
+    for c, fl in enumerate(lists):
+        pad[c, : len(fl)] = fl
+    return pad
+
+
+def _hier_fine_subs(
+    qmat: np.ndarray,
+    probe_cells: np.ndarray,
+    fine_c: np.ndarray,
+    own_pad: np.ndarray,
+    npf: int,
+) -> list[np.ndarray]:
+    """Per-query top-``npf`` fine cells among those OWNED by the query's
+    probed coarse cells (``probe_cells``: (nq, n_probe) coarse ids) —
+    the query-side twin of ``_assign_fine_hierarchical``. Work per query
+    is n_probe x fine-per-cell (~32 cells) instead of n_fine (~10^3-10^4):
+    the global fine matmul + argpartition was >half of the 1M
+    corpus-as-queries assignment phase. It is also the better SPEND of
+    npf: globally-selected cells can fall in unprobed partitions, where
+    they mask nothing — every hierarchically-selected cell lies in a
+    partition the search actually scans.
+
+    Returns one int32 array per query (<= npf ids; fewer when the probed
+    cells own fewer than npf fine cells). Shared by the broadcast scan,
+    the distributed assignment, and probe_io_stats so every route selects
+    identically (bit-parity across routes)."""
+    nq = len(qmat)
+    cand = own_pad[probe_cells].reshape(nq, -1)  # (nq, C)
+    c_w, d = cand.shape[1], fine_c.shape[1]
+    out: list[np.ndarray] = []
+    # chunk the query axis so the (Qc, C, d) centroid gather stays ~64MB
+    # (a skew-heavy owner table can make C = n_probe x Lmax large)
+    qc = max(1, int((64 << 20) // max(c_w * d * 8, 1)))
+    for lo in range(0, nq, qc):
+        hi = min(lo + qc, nq)
+        cd = cand[lo:hi]
+        valid = cd >= 0
+        fc = fine_c[np.clip(cd, 0, None)]  # (Qc, C, d) gather
+        d2 = np.einsum("qcd,qcd->qc", fc, fc) - 2.0 * np.einsum(
+            "qd,qcd->qc", qmat[lo:hi], fc
+        )
+        d2[~valid] = np.inf
+        if npf < c_w:
+            sel = np.argpartition(d2, npf - 1, axis=1)[:, :npf]
+            subs = np.take_along_axis(cd, sel, axis=1)
+            keep = np.isfinite(np.take_along_axis(d2, sel, axis=1))
+        else:
+            subs, keep = cd, valid
+        out.extend(subs[i][keep[i]].astype(np.int32) for i in range(hi - lo))
+    return out
 
 
 class _PartStatsParam(AccumulatorParam):
@@ -951,6 +1017,16 @@ class IVFIndex:
             info["part_counts"] = arr
         return info["part_counts"]
 
+    @staticmethod
+    def _fine_own_pad(info: dict) -> np.ndarray:
+        """Cached padded owner table for hierarchical fine probing (see
+        ``_fine_owner_pad``); derived once per loaded segment."""
+        if "fine_own_pad" not in info:
+            info["fine_own_pad"] = _fine_owner_pad(
+                info["fine"], info["centroids"]
+            )
+        return info["fine_own_pad"]
+
     def vectors(self, segment: str | None = None) -> DataFrame:
         segs = [segment] if segment else [s.name for s in self.manifest.segments]
         dfs = [self._segment_data(s).select("id", "vec") for s in segs]
@@ -1238,19 +1314,28 @@ class IVFIndex:
         if n_probe_fine and info.get("fine") is not None:
             fine_c = info["fine"]
             npf = min(int(n_probe_fine), len(fine_c))
-            fdist = (
-                np.einsum("ij,ij->i", qmat, qmat)[:, None]
-                + np.einsum("ij,ij->i", fine_c, fine_c)[None, :]
-                - 2.0 * qmat @ fine_c.T
+            # hierarchical selection (shared with the distributed route's
+            # assignment pass — bit-parity across routes): top-npf among
+            # the fine cells OWNED by each query's probed coarse cells,
+            # so every selected cell lies in a partition this query scans
+            subs_list = _hier_fine_subs(
+                qmat, probe, fine_c, self._fine_own_pad(info), npf
             )
-            fsub = np.argsort(fdist, axis=1)[:, :npf]
-            probed_subs = sorted({int(s) for s in fsub.ravel()})
+            probed_subs = sorted({int(s) for a in subs_list for s in a})
             data = data.filter(F.col("sub_id").isin(probed_subs))
             # (m, n_fine) membership bitmap; guarded so a huge query batch
             # over a huge fine level degrades to the union filter alone
             if len(qids) * len(fine_c) <= 1 << 28:
+                lens = np.fromiter(
+                    (len(a) for a in subs_list), dtype=np.int64,
+                    count=len(subs_list),
+                )
                 q_fine_mask = np.zeros((len(qids), len(fine_c)), dtype=bool)
-                q_fine_mask[np.repeat(np.arange(len(qids)), npf), fsub.ravel()] = True
+                if lens.sum():
+                    q_fine_mask[
+                        np.repeat(np.arange(len(qids)), lens),
+                        np.concatenate(subs_list),
+                    ] = True
         # F1 accept filter BEFORE candidate selection: batch-local top-k then
         # only ever ranks accepted rows — exact w.r.t. the filtered corpus
         # (the reference applies acceptOrds the same way, never as traversal
@@ -1382,6 +1467,7 @@ class IVFIndex:
         }
         fine = info.get("fine") if fine_npf else None
         npf = int(min(int(fine_npf), len(fine))) if fine is not None else 0
+        own_pad = self._fine_own_pad(info) if fine is not None else None
         schema = "part_id int, qid long, vec array<float>"
         if fine is not None:
             schema += ", subs array<int>"
@@ -1390,11 +1476,11 @@ class IVFIndex:
             return self.spark.createDataFrame([], schema)
         npb = int(max(1, min(n_probe, n_live))) if threshold is None else 0
         bcast = self.spark.sparkContext.broadcast(
-            (stats, npb, metric, threshold, fine, npf)
+            (stats, npb, metric, threshold, fine, npf, own_pad)
         )
 
         def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            st, npb_, met, thr, fine_c, npf_ = bcast.value
+            st, npb_, met, thr, fine_c, npf_, own_pad_ = bcast.value
             cents = st["centroids"]
             live = st["has_rows"]
             cc = np.einsum("ij,ij->i", cents, cents)
@@ -1420,14 +1506,15 @@ class IVFIndex:
                     "vec": pdf["vec"].iloc[qi].reset_index(drop=True),
                 }
                 if fine_c is not None:
-                    fcc = np.einsum("ij,ij->i", fine_c, fine_c)
-                    fd = -2.0 * qmat @ fine_c.T + fcc[None, :]
-                    if npf_ < fd.shape[1]:
-                        fsub = np.argpartition(fd, npf_ - 1, axis=1)[:, :npf_]
-                    else:
-                        fsub = np.tile(np.arange(fd.shape[1]), (len(qmat), 1))
-                    fsub = fsub.astype(np.int32)
-                    out["subs"] = pd.Series([fsub[i] for i in qi])
+                    # hierarchical: top-npf among the fine cells of the
+                    # query's OWN probed coarse cells (fine is only used
+                    # on the top-k path, where `sel` exists; the global
+                    # n_fine-wide matmul + argpartition this replaces was
+                    # >half the 1M corpus-as-queries assignment compute)
+                    subs_list = _hier_fine_subs(
+                        qmat, sel, fine_c, own_pad_, npf_
+                    )
+                    out["subs"] = pd.Series([subs_list[i] for i in qi])
                 yield pd.DataFrame(out)
 
         qin = queries_df.select(
@@ -2121,15 +2208,17 @@ class IVFIndex:
                 cell[hist["part_id"].to_numpy(), hist["sub_id"].to_numpy()] = (
                     hist["count"].to_numpy()
                 )
-                fd = (
-                    np.einsum("ij,ij->i", qmat, qmat)[:, None]
-                    + np.einsum("ij,ij->i", fine_c, fine_c)[None, :]
-                    - 2.0 * qmat @ fine_c.T
+                # same hierarchical selection as the search routes, so the
+                # IO model predicts what the search actually scans
+                subs_list = _hier_fine_subs(
+                    qmat, probe, fine_c, self._fine_own_pad(info), npf
                 )
-                fsub = np.argsort(fd, axis=1)[:, :npf]
                 stored += int(cell.sum())
                 visited += np.array(
-                    [cell[np.ix_(probe[q], fsub[q])].sum() for q in range(nq)]
+                    [
+                        cell[np.ix_(probe[q], subs_list[q])].sum()
+                        for q in range(nq)
+                    ]
                 )
             else:
                 sizes = data.groupBy("part_id").count().toPandas()
