@@ -354,9 +354,10 @@ def main() -> None:
                 qall = xcorpus.selectExpr("id as qid", "vec")
                 t0 = time.perf_counter()
                 # np=4/npf=16/oq=64: the measured sweet spot — oq=64 costs
-                # ~60% wall over oq=8 and doubles bulk recall (r6 final
-                # kernels: 0.275 @ oq=8 / 206 s -> 0.539 @ oq=64 / 333 s;
-                # deeper np=4/npf=32/oq=256 reaches 0.792 @ 485 s)
+                # ~60% wall over oq=8 and doubles bulk recall (r6 final,
+                # with hierarchical fine probing: 0.2797 @ oq=8 / 140 s ->
+                # 0.5547 @ oq=64 / 219 s; deeper np=4/npf=32/oq=256
+                # reaches 0.7953 @ 417 s)
                 xres = xidx.search(
                     qall, 10, n_probe=4, overquery=64.0, n_probe_fine=16,
                     strategy="distributed", m_hint=xl_n,
