@@ -73,8 +73,10 @@ MAX_CENTROIDS = 4096  # keep the broadcast "upper layer" small
 # (stored_rows x qbn x ~4 bytes/dim); 4x exact.py's _Q_TILE because the
 # in-tile kernel chunks the query axis at 512 anyway (LUTs, score matrix
 # AND the fine-cell mask are all per-chunk), leaving per-task memory
-# bounded while the shuffle shrinks.
-_Q_TILE_IVF = 8192
+# bounded while the shuffle shrinks. 16384 measured best at the 1M
+# probe (131 s vs 142 s @ 8192 and 155 s @ 32768 — wider tiles cut
+# replication but cost task balance on zipf-hot partitions).
+_Q_TILE_IVF = 16384
 
 _DATA_SCHEMA = "id long, vec array<float>, codes binary, part_id int"
 
@@ -1558,7 +1560,11 @@ class IVFIndex:
         column the assignment pass already computed — explode + distinct
         over the checkpoint, never a second pass over the query side (r6
         ADVICE). The collected union is INDEX-METADATA sized (<= n_fine
-        ids, <= 65536), the same driver-residency class as the centroids."""
+        ids, <= 65536), the same driver-residency class as the centroids.
+        When ``m_hint`` predicts the union saturates the fine level
+        (corpus-as-queries bulk), the filter is skipped outright: it
+        would prune ~nothing while costing the checkpoint job + distinct
+        — the per-query mask alone carries the fine semantics there."""
         use_nvq = rerank == "nvq"
         parts = []
         for seg in self.manifest.segments:
@@ -1566,10 +1572,22 @@ class IVFIndex:
             n_live = max(1, int(info["has_rows"].sum()))
             npb = max(1, min(n_probe, n_live))
             fine_npf = n_probe_fine if info.get("fine") is not None else None
+            # The sub_id IN (...) pushdown is an IO optimization only (the
+            # per-query mask preserves ranking semantics) — at bulk
+            # corpus-as-queries scale the union saturates the fine level
+            # (measured 7,879/8,000 cells at 200k queries), so the
+            # row-group skip prunes ~nothing while deriving it costs a
+            # full checkpoint materialization + explode-distinct-collect.
+            # Skip it when the EXPECTED coverage saturates (m_hint x npf
+            # >= 4x the fine level); small m_hint batches keep the filter.
+            derive_subfilter = bool(fine_npf) and (
+                m_hint is None
+                or int(m_hint) * int(fine_npf) < 4 * len(info["fine"])
+            )
             assigned = self._assign_probes(
                 queries_df, info, npb, qid_col, qvec_col, fine_npf=fine_npf
             )
-            if m_hint is None or fine_npf:
+            if m_hint is None or derive_subfilter:
                 assigned = assigned.localCheckpoint(eager=False)
             rows_p = self._part_counts(seg.name)
             if m_hint is not None:
@@ -1593,7 +1611,7 @@ class IVFIndex:
                     for r in assigned.groupBy("part_id").count().collect()
                 }
             sub_filter = None
-            if fine_npf:
+            if derive_subfilter:
                 sub_filter = sorted(
                     int(r["sub_id"])
                     for r in assigned.select(
