@@ -680,6 +680,36 @@ def _ann_ivf_fine(spark: SparkSession, sf_dir: str) -> DataFrame:
 _oracle("ann_ivf_fine", _gate_oracle(n_results=10))
 
 
+@_register("ann_ivf_residual")
+def _ann_ivf_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-PQ search (J2 + E7-E9 in residual space; FAISS-IVFPQ-style
+    encoding the reference's GLOBAL PQ lacks — ProductQuantization.java
+    trains on raw vectors because the graph index has no coarse level):
+    codes quantize (vec - coarse centroid), so the 256 codewords resolve
+    the within-cell spread; stage-1 decomposes every metric into the
+    per-(query, cell) dot plus the standard ADC gather (index.py
+    _fused_block_topk residual mode). Gated at a LOW overquery (2.0 —
+    half of ann_ivf_topk's 8.0) where raw-PQ ADC noticeably degrades:
+    per-query recall@10 vs the exact oracle must still be >= 0.5
+    (observed floor 8/10 hits at sf0.01)."""
+    import tempfile
+
+    from jvector_spark.operators import exact
+    from jvector_spark.operators.index import IVFIndexBuilder
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    tmp = tempfile.mkdtemp(prefix="jvs_entry_ivf_res_")
+    idx = IVFIndexBuilder(metric="COSINE", pq_m=8, pq_residual=True).fit(corpus, tmp)
+    queries = corpus.filter(F.col("id") < 16).selectExpr("id as qid", "vec")
+    res = idx.search(queries, k=10, n_probe=16, overquery=2.0)
+    gt = exact.knn_join(corpus, queries, k=10, metric="COSINE", strategy="numpy")
+    return _recall_gate(res, gt, min_hits=5)
+
+
+_oracle("ann_ivf_residual", _gate_oracle(n_results=10))
+
+
 @_register("knn_filtered_ivf")
 def _knn_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered ANN through the index (F1 via the fused scan; ref

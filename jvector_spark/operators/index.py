@@ -151,6 +151,7 @@ def _fused_block_topk(
     bq=None,
     mask=None,
     counters=None,
+    residual=None,
 ):
     """Fused two-phase scoring of one (query block × row block).
 
@@ -178,6 +179,14 @@ def _fused_block_topk(
     reranked_acc, stage_accs) — stage_accs is SearchTelemetry's
     per-stage-microseconds accumulator dict; when present the adc/topk/
     rerank stages are timed from inside the kernel.
+
+    ``residual`` = (qc_dot (mq,), rsq (n,)): residual-PQ mode. Every call
+    covers rows of ONE coarse cell (both routes group by ``part_id``), so
+    the per-(query, cell) term is a vector. ``luts`` must then be
+    DOT-partials over the residual codebooks for EVERY metric; the score
+    decomposes as q·(c+r̂) = qc_dot + gather, with the stored ‖c+r̂‖²
+    (``rsq``) supplying the L2/cosine magnitude — no per-cell LUT rebuild,
+    the gather kernel is byte-identical to the global-PQ path.
     """
     stages = counters[2] if counters is not None and len(counters) > 2 else None
     t_mark = time.perf_counter() if stages is not None else 0.0
@@ -187,7 +196,7 @@ def _fused_block_topk(
     else:
         m = code_idx.shape[1]
         cols = np.arange(m)
-        if met == "COSINE":
+        if met == "COSINE" and residual is None:
             mags = np.sqrt(
                 np.maximum(mag_lut[cols, code_idx].sum(axis=1), 1e-30)
             ).astype(np.float32)
@@ -208,7 +217,26 @@ def _fused_block_topk(
                 acc += lut_t[mm][code_idx[lo:hi, mm]]
             accT[lo:hi] = acc
         partial = accT.T
-        if met == "EUCLIDEAN":
+        if residual is not None:
+            qc_dot, rsq = residual
+            full = partial + qc_dot.astype(np.float32)[:, None]
+            if met == "EUCLIDEAN":
+                d2 = (
+                    (q_norms * q_norms).astype(np.float32)[:, None]
+                    + rsq[None, :]
+                    - 2.0 * full
+                )
+                np.maximum(d2, 0.0, out=d2)
+                approx = 1.0 / (1.0 + d2)
+            elif met == "DOT_PRODUCT":
+                approx = (1.0 + full) / 2.0
+            else:  # COSINE: rsq is the reconstructed squared magnitude
+                denom = (
+                    np.sqrt(np.maximum(rsq, 1e-30))[None, :]
+                    * np.maximum(q_norms, 1e-30).astype(np.float32)[:, None]
+                )
+                approx = (1.0 + full / denom) / 2.0
+        elif met == "EUCLIDEAN":
             approx = 1.0 / (1.0 + partial)
         elif met == "DOT_PRODUCT":
             approx = (1.0 + partial) / 2.0
@@ -464,6 +492,7 @@ class IVFIndexBuilder:
         anisotropic_threshold: float | None = None,
         bsp=None,
         fine_assign_cells: int = 4,
+        pq_residual: bool = False,
     ):
         # X3 SPI: a BuildScoreProvider bundles the construction-scoring
         # choice; explicit kwargs win (ref BuildScoreProvider.java:32-258)
@@ -530,6 +559,21 @@ class IVFIndexBuilder:
         # partition is tens of millions of rows; fine pruning is what keeps
         # per-probe IO sublinear in partition size. 0 disables (default).
         self.fine_factor = max(0, int(fine_factor))
+        # pq_residual encodes each stored copy's RESIDUAL from its coarse
+        # centroid (FAISS-IVFPQ-style; the reference's graph index has no
+        # coarse level so its PQ is global — ProductQuantization.java trains
+        # on raw vectors): codebooks spend their 256 codes on the
+        # within-cell spread instead of the whole-corpus spread, so ADC can
+        # separate near-twin rows inside a dense cluster (exactly where
+        # global PQ saturates — measured r6: pq_m=16 bought less recall
+        # than deeper rerank on a twin-dense corpus). Stage-1 scoring stays
+        # one LUT gather: for every metric the score decomposes as
+        # q·(c + r̂) = (q·c, per probed cell) + (q·r̂, dot-partial LUT
+        # gather), plus a stored per-row ‖c + r̂‖² for L2/cosine. Costs one
+        # f32/row (`rsq`) and spill× encode work at build.
+        if pq_residual and first_pass == "bq":
+            raise ValueError("pq_residual applies to the PQ first pass only")
+        self.pq_residual = bool(pq_residual)
         # spill > 1 stores each vector in its `spill` nearest partitions
         # (multi-assignment, cf. SOAR/ScaNN spilling): boundary vectors stop
         # being missed when only their second-closest centroid is probed.
@@ -604,6 +648,16 @@ class IVFIndexBuilder:
         n_parts = self.n_partitions or max(1, min(MAX_CENTROIDS, int(math.sqrt(max(n, 1)))))
 
         centroids = kmeans_pp(sample, n_parts, self.kmeans_iterations, self.seed)
+        train_mat = sample
+        if self.pq_residual:
+            # train codebooks in RESIDUAL space: each training vector is
+            # assigned to its nearest coarse centroid (same rule the encode
+            # pass uses for the PRIMARY copy) and the codebooks see only
+            # the within-cell offsets. Residuals are already centered, so
+            # the EUCLIDEAN global-centroid shift is redundant here.
+            cc_s = np.einsum("ij,ij->i", centroids, centroids)
+            a = np.argmin(-2.0 * sample @ centroids.T + cc_s[None, :], axis=1)
+            train_mat = sample - centroids[a]
         if self.first_pass == "bq":
             # BQ stage-1: stateless sign-bit codec, nothing to train (ref
             # BinaryQuantization.java:88-111)
@@ -620,11 +674,11 @@ class IVFIndexBuilder:
             # existing codebooks on the fresh sample instead of retraining
             # from scratch — fewer Lloyd's rounds, no codebook churn across
             # compactions.
-            pq = warm_pq.refine(sample, iterations=2, seed=self.seed)
+            pq = warm_pq.refine(train_mat, iterations=2, seed=self.seed)
         else:
             pq = ProductQuantizer.fit_numpy(
-                sample, m=self.pq_m, clusters=self.pq_clusters,
-                center=(self.metric == "EUCLIDEAN"),
+                train_mat, m=self.pq_m, clusters=self.pq_clusters,
+                center=(self.metric == "EUCLIDEAN" and not self.pq_residual),
                 iterations=self.kmeans_iterations, seed=self.seed,
                 anisotropic_threshold=self.anisotropic_threshold,
             )
@@ -667,6 +721,7 @@ class IVFIndexBuilder:
 
         spill = max(1, min(self.spill, len(centroids)))
         fa_cells = max(spill, self.fine_assign_cells)
+        residual = self.pq_residual
 
         def assign_encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from pyspark import TaskContext
@@ -680,7 +735,6 @@ class IVFIndexBuilder:
                     continue
                 x = kernels.as_matrix(pdf["vec"])
                 d = -2.0 * x @ cents.T + cc[None, :]  # dist^2 - ||x||^2 (argmin-safe)
-                codes = codec.encode_numpy(x)
                 if spill == 1:
                     pm = np.argmin(d, axis=1)[:, None]
                 else:
@@ -730,11 +784,26 @@ class IVFIndexBuilder:
                 acc.add(stats)
                 for part, cnt in zip(*np.unique(p, return_counts=True)):
                     task_counts[int(part)] = task_counts.get(int(part), 0) + int(cnt)
-                code_bytes = [c.tobytes() for c in codes]
+                rsq = None
+                if residual:
+                    # per-COPY residual codes: a spilled copy's residual is
+                    # taken from ITS partition's centroid, so the ADC
+                    # decomposition q·c_p + LUT-gather holds for every
+                    # stored copy. rsq = ‖c_p + decode(codes)‖² — the
+                    # reconstructed magnitude stage-1 L2/cosine needs.
+                    res = x[rep] - cents[p]
+                    rcodes = codec.encode_numpy(res)
+                    recon = codec.decode_numpy(rcodes) + cents[p]
+                    rsq = np.einsum("ij,ij->i", recon, recon).astype(np.float32)
+                    codes_rows = [c.tobytes() for c in rcodes]
+                else:
+                    codes = codec.encode_numpy(x)
+                    code_bytes = [c.tobytes() for c in codes]
+                    codes_rows = [code_bytes[i] for i in rep]
                 out = {
                     "id": pdf["id"].to_numpy(dtype=np.int64)[rep],
                     "vec": pdf["vec"].iloc[rep].reset_index(drop=True),
-                    "codes": [code_bytes[i] for i in rep],
+                    "codes": codes_rows,
                     "part_id": p.astype(np.int32),
                 }
                 if nvq_codec is not None:
@@ -764,6 +833,8 @@ class IVFIndexBuilder:
                         fd = -2.0 * x @ fine_cents.T + fc[None, :]
                         sub = np.argmin(fd, axis=1)
                     out["sub_id"] = sub.astype(np.int32)[rep]
+                if rsq is not None:  # keep column order aligned with schema
+                    out["rsq"] = rsq
                 yield pd.DataFrame(out)
             # ONE add per task, after the batch loop (pid-keyed overwrite
             # merge -> retry-idempotent; see _TaskPartCountParam)
@@ -777,6 +848,8 @@ class IVFIndexBuilder:
             )
         if fine is not None:
             schema += ", sub_id int"
+        if residual:
+            schema += ", rsq float"
         data = df.mapInPandas(assign_encode, schema=schema)
         # Size the write shuffle to the data, not the cluster default: one
         # task per ~128 MB of (vec + codes) payload. At sf0.1 that is ONE
@@ -866,6 +939,7 @@ class IVFIndexBuilder:
                 spill=self.spill, rerank=self.rerank, fine_factor=self.fine_factor,
                 first_pass=self.first_pass,
                 anisotropic_threshold=self.anisotropic_threshold,
+                pq_residual=self.pq_residual,
             )
         manifest.segments.append(SegmentInfo(name=seg_name, n_rows=n, n_partitions=int(len(centroids))))
         return manifest
@@ -989,6 +1063,7 @@ class IVFIndex:
             "fine": fine,
             **({"part_counts": n_stored} if n_stored is not None else {}),
             "pq": _load_codec(os.path.join(seg_dir, "pq")),
+            "residual": bool(getattr(self.manifest, "pq_residual", False)),
         }
 
     # ------------------------------------------------------------------ load
@@ -1352,12 +1427,17 @@ class IVFIndex:
         # stage-1 query-side precompute, by codec kind (X5 SPI)
         from jvector_spark.operators.quantize.bq import BinaryQuantizer
 
+        res_mode = bool(info.get("residual"))
         if isinstance(pq, BinaryQuantizer):
             stage1 = ("bq", pq.encode_numpy(qmat), pq.dim, pq.words)
         else:
-            luts = pq.adc_lut_batch(qmat, metric)
-            mag = pq.magnitude_lut() if metric == "COSINE" else None
+            # residual mode: DOT-partial LUTs for every metric (the score
+            # decomposes as q·c_p + q·r̂; see _fused_block_topk) plus the
+            # per-(query, cell) dot table — Q x n_cells, driver-tiny.
+            luts = pq.adc_lut_batch(qmat, "DOT_PRODUCT" if res_mode else metric)
+            mag = pq.magnitude_lut() if metric == "COSINE" and not res_mode else None
             stage1 = ("pq", luts, mag, pq.m)
+        qc_all = qmat @ cents.T if res_mode else None
         qnorms = np.linalg.norm(qmat, axis=1)
         part_to_queries = part_to_queries_raw
         use_nvq = (rerank or self.manifest.rerank) == "nvq"
@@ -1368,7 +1448,7 @@ class IVFIndex:
             nvq_codec = NVQuantizer(dim=self.manifest.dim)
         b = self.spark.sparkContext.broadcast(
             (stage1, qids, qmat, qnorms, metric, k, rerank_k, part_to_queries,
-             nvq_codec, q_fine_mask)
+             nvq_codec, q_fine_mask, qc_all)
         )
 
         tel_acc = (
@@ -1378,7 +1458,7 @@ class IVFIndex:
         )
 
         def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            s1, q_ids, q_mat, q_norms, met, kk, keep, p2q, nvq_c, qfm = b.value
+            s1, q_ids, q_mat, q_norms, met, kk, keep, p2q, nvq_c, qfm, qc_a = b.value
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -1411,6 +1491,11 @@ class IVFIndex:
                     # dequantized NVQ bytes — the reference's default rerank
                     # feature, NVQScorer.java; parquet column pruning means
                     # the 4-bytes/dim fp32 column is never read in that mode)
+                    res_pack = (
+                        (qc_a[qsel, int(part)], grp["rsq"].to_numpy(np.float32))
+                        if qc_a is not None
+                        else None
+                    )
                     oq, oi, osc = _fused_block_topk(
                         met, kk, keep,
                         q_ids[qsel], q_mat[qsel], luts_sel, mag_lut,
@@ -1420,6 +1505,7 @@ class IVFIndex:
                         bq=bq_pack,
                         mask=mask,
                         counters=tel_acc,
+                        residual=res_pack,
                     )
                     yield pd.DataFrame({"qid": oq, "id": oi, "score": osc})
 
@@ -1430,6 +1516,8 @@ class IVFIndex:
         )
         if q_fine_mask is not None:
             cols.append("sub_id")
+        if res_mode:
+            cols.append("rsq")
         return data.select(*cols).mapInPandas(
             scan, schema="qid long, id long, score double"
         )
@@ -1703,16 +1791,19 @@ class IVFIndex:
         if accept_df is not None:
             data = data.join(accept_df, "id", "semi")  # F1 accept list
 
+        res_mode = bool(info.get("residual"))
         extra = []
         if threshold is None:
             extra.append("codes")
             if use_nvq:
                 extra += ["nvq", "nvq_params"]
+            if res_mode:
+                extra.append("rsq")  # reconstructed ‖c+r̂‖² for residual ADC
         if n_fine:
             extra.append("sub_id")  # rows' fine cell, for per-query masking
         null_of = {
             "codes": "binary", "nvq": "binary", "nvq_params": "array<double>",
-            "sub_id": "int",
+            "sub_id": "int", "rsq": "float",
         }
         c_base = data.select(
             "part_id",
@@ -1757,7 +1848,8 @@ class IVFIndex:
 
             nvq_codec = NVQuantizer(dim=self.manifest.dim)
         bt = self.spark.sparkContext.broadcast(
-            (pq_obj, metric, k, rerank_k, threshold, nvq_codec, n_fine)
+            (pq_obj, metric, k, rerank_k, threshold, nvq_codec, n_fine,
+             info["centroids"] if res_mode else None)
         )
         # On the tile route each corpus row is visited once PER TILE
         # REPLICA it lands in — the counter measures scan work done, which
@@ -1769,7 +1861,7 @@ class IVFIndex:
         )
 
         def tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            pq_o, met, kk, keep, thr, nvq_c, n_fine_ = bt.value
+            pq_o, met, kk, keep, thr, nvq_c, n_fine_, res_cents = bt.value
             stages = tel_acc[2] if tel_acc is not None else None
             t_mark = time.perf_counter() if stages is not None else 0.0
             empty = pd.DataFrame(
@@ -1818,7 +1910,17 @@ class IVFIndex:
                 code_idx = np.frombuffer(
                     b"".join(cs["codes"]), dtype=np.uint8
                 ).reshape(len(cs), pq_o.m).astype(np.int64)
-                mag = pq_o.magnitude_lut() if met == "COSINE" else None
+                mag = (
+                    pq_o.magnitude_lut()
+                    if met == "COSINE" and res_cents is None
+                    else None
+                )
+            # residual mode: one coarse cell per tile (part_id is the
+            # leading group key), so the per-(query, cell) dot is a vector
+            res_rsq = (
+                cs["rsq"].to_numpy(np.float32) if res_cents is not None else None
+            )
+            res_cent = res_cents[int(key[0])] if res_cents is not None else None
             cs_vec = None if nvq_c is not None else cs["vec"]
             nvq_pack = (
                 (nvq_c, cs["nvq"], cs["nvq_params"]) if nvq_c is not None else None
@@ -1840,7 +1942,9 @@ class IVFIndex:
                 if is_bq:
                     luts, bq_pack = None, (pq_o.encode_numpy(q_mat), pq_o.dim)
                 else:
-                    luts = pq_o.adc_lut_batch(q_mat, met)
+                    luts = pq_o.adc_lut_batch(
+                        q_mat, "DOT_PRODUCT" if res_cent is not None else met
+                    )
                     bq_pack = None
                 qn = np.linalg.norm(q_mat, axis=1)
                 if stages is not None:
@@ -1874,6 +1978,11 @@ class IVFIndex:
                     ids, code_idx, vec_rows=cs_vec, nvq=nvq_pack, bq=bq_pack,
                     mask=chunk_mask,
                     counters=tel_acc,
+                    residual=(
+                        (q_mat @ res_cent, res_rsq)
+                        if res_cent is not None
+                        else None
+                    ),
                 )
                 frames.append(pd.DataFrame({"qid": oq, "id": oi, "score": osc}))
             return pd.concat(frames, ignore_index=True) if frames else empty
@@ -2116,6 +2225,7 @@ class IVFIndex:
             fine_factor=self.manifest.fine_factor,
             first_pass=self.manifest.first_pass,
             anisotropic_threshold=self.manifest.anisotropic_threshold,
+            pq_residual=self.manifest.pq_residual,
         )
         if df.isEmpty():  # limit-1 probe, far cheaper than a count
             return
@@ -2140,6 +2250,7 @@ class IVFIndex:
             fine_factor=self.manifest.fine_factor,
             first_pass=self.manifest.first_pass,
             anisotropic_threshold=self.manifest.anisotropic_threshold,
+            pq_residual=self.manifest.pq_residual,
         )
         seg_name = f"seg-{self.manifest.version:06d}c"
         fresh = IndexManifest(
@@ -2153,6 +2264,7 @@ class IVFIndex:
             fine_factor=self.manifest.fine_factor,
             first_pass=self.manifest.first_pass,
             anisotropic_threshold=self.manifest.anisotropic_threshold,
+            pq_residual=self.manifest.pq_residual,
             version=self.manifest.version,
         )
         # warm-start PQ from the largest live segment's codebooks (the

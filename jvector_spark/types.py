@@ -51,6 +51,7 @@ class IndexManifest:
     first_pass: str = "pq"  # stage-1 codec: "pq" (ADC) | "bq" (hamming)
     anisotropic_threshold: float | None = None  # ScaNN-style PQ objective
     fine_factor: int = 0  # fine sub-clusters per coarse partition (0 = off)
+    pq_residual: bool = False  # PQ codes encode (vec - coarse centroid)
     segments: list[SegmentInfo] = field(default_factory=list)
     version: int = 0
     format_version: int = MANIFEST_VERSION
@@ -73,6 +74,11 @@ class IndexManifest:
         }
         if self.first_pass == "bq":
             out["BQ_CODES"] = ["data.parquet: codes (packed sign words)"]
+        elif self.pq_residual:
+            out["FUSED_ADC_PQ_RESIDUAL"] = [
+                "data.parquet: codes (coarse-residual), rsq",
+                "pq/ codebooks (residual space)",
+            ]
         else:
             out["FUSED_ADC_PQ"] = ["data.parquet: codes", "pq/ codebooks"]
         if self.rerank == "nvq":

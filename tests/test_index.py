@@ -578,3 +578,109 @@ def test_recall_floor_low_overquery(spark, rng, tmp_path_factory):
     gt = exact.knn_join(df, qdf, 10, metric="COSINE", strategy="numpy")
     r = recall_at_k(idx.search(qdf, 10, n_probe=16, overquery=4.0), gt, 10)
     assert r >= 0.75, f"low-oq recall floor broken: recall@10={r}"
+
+
+# --------------------------------------------------------------- residual PQ
+@pytest.fixture(scope="module")
+def twin_corpus(spark):
+    """Clustered corpus with near-twin rows — the regime where GLOBAL PQ
+    saturates (all of a cluster's rows share codes) and residual PQ keeps
+    resolving (codebooks see only the within-cell spread). Own-seeded
+    generator: the shared session `rng` fixture is STATEFUL, so drawing
+    from it here would make this corpus depend on which tests ran first —
+    and the residual-vs-global A/B margin with it."""
+    rng = np.random.default_rng(1234)
+    centers = rng.normal(size=(40, 32)) * 5.0
+    asg = rng.integers(0, 40, size=6000)
+    mat = (centers[asg] + 0.3 * rng.normal(size=(6000, 32))).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(len(mat))], "id long, vec array<float>"
+    ).cache()
+    df.count()
+    qsel = rng.choice(len(mat), 24, replace=False)
+    qdf = spark.createDataFrame(
+        [(int(i), mat[i].tolist()) for i in qsel], "qid long, vec array<float>"
+    ).cache()
+    return df, qdf
+
+
+@pytest.mark.parametrize("metric", ["COSINE", "EUCLIDEAN", "DOT_PRODUCT"])
+def test_residual_exhaustive_exact(spark, twin_corpus, tmp_path_factory, metric):
+    """Exhaustive probes + rerank covering the corpus must return EXACTLY
+    the brute-force top-k on a residual index for every metric — proves the
+    q·c_p + LUT-gather decomposition selects a superset and the fp32 rerank
+    repairs any ADC ranking noise."""
+    df, qdf = twin_corpus
+    path = str(tmp_path_factory.mktemp(f"res_{metric}") / "index")
+    idx = IVFIndexBuilder(
+        metric=metric, n_partitions=16, pq_m=8, spill=2, pq_residual=True, seed=3
+    ).fit(df, path)
+    got = idx.search(qdf, K, n_probe=16, overquery=700.0).collect()
+    want = exact.knn_join(df, qdf, K, metric=metric, strategy="numpy").collect()
+    got_m = {(r["qid"], r["rank"]): r["id"] for r in got}
+    want_m = {(r["qid"], r["rank"]): r["id"] for r in want}
+    assert got_m == want_m
+
+
+def test_residual_beats_global_pq_low_overquery(spark, twin_corpus, tmp_path_factory):
+    """The point of residual encoding: at a starved rerank budget
+    (overquery=1 — stage-1 ADC ranking IS the result) residual codes must
+    out-recall global codes on a twin-dense corpus."""
+    df, qdf = twin_corpus
+    gt = exact.knn_join(df, qdf, K, metric="COSINE", strategy="numpy").cache()
+    rec = {}
+    for res in (False, True):
+        path = str(tmp_path_factory.mktemp(f"resab_{res}") / "index")
+        idx = IVFIndexBuilder(
+            metric="COSINE", n_partitions=16, pq_m=8, spill=2,
+            pq_residual=res, seed=3,
+        ).fit(df, path)
+        rec[res] = recall_at_k(idx.search(qdf, K, n_probe=16, overquery=1.0), gt, K)
+    assert rec[True] > rec[False], f"residual {rec[True]} vs global {rec[False]}"
+    assert rec[True] >= 0.5
+
+
+def test_residual_route_parity(spark, twin_corpus, tmp_path_factory):
+    """Broadcast and distributed (tile) routes must return the same rows at
+    the same config on a residual index — both feed the kernel the same
+    (qc_dot, rsq) decomposition."""
+    df, qdf = twin_corpus
+    path = str(tmp_path_factory.mktemp("res_parity") / "index")
+    idx = IVFIndexBuilder(
+        metric="COSINE", n_partitions=16, pq_m=8, spill=2,
+        pq_residual=True, fine_factor=4, seed=3,
+    ).fit(df, path)
+    kw = dict(n_probe=8, overquery=4.0, n_probe_fine=8)
+    a = idx.search(qdf, K, strategy="broadcast", **kw).collect()
+    b = idx.search(qdf, K, strategy="distributed", m_hint=24, **kw).collect()
+    assert {(r["qid"], r["id"]) for r in a} == {(r["qid"], r["id"]) for r in b}
+
+
+def test_residual_lifecycle_and_features(spark, twin_corpus, tmp_path_factory):
+    """append() and compact() must carry pq_residual through rebuilt
+    segments (manifest-driven builder config), and the X6 feature registry
+    must expose the residual codes + rsq column."""
+    df, qdf = twin_corpus
+    path = str(tmp_path_factory.mktemp("res_life") / "index")
+    idx = IVFIndexBuilder(
+        metric="COSINE", n_partitions=16, pq_m=8, pq_residual=True, seed=3
+    ).fit(df.filter("id < 4000"), path)
+    assert "FUSED_ADC_PQ_RESIDUAL" in idx.manifest.features()
+    idx.append(df.filter("id >= 4000"))
+    assert idx.manifest.pq_residual
+    got = idx.search(qdf, K, n_probe=16, overquery=700.0).collect()
+    want = exact.knn_join(df, qdf, K, metric="COSINE", strategy="numpy").collect()
+    assert {(r["qid"], r["rank"], r["id"]) for r in got} == {
+        (r["qid"], r["rank"], r["id"]) for r in want
+    }
+    idx2 = idx.compact()
+    assert idx2.manifest.pq_residual
+    got2 = idx2.search(qdf, K, n_probe=16, overquery=700.0).collect()
+    assert {(r["qid"], r["rank"], r["id"]) for r in got2} == {
+        (r["qid"], r["rank"], r["id"]) for r in want
+    }
+
+
+def test_residual_rejects_bq_first_pass():
+    with pytest.raises(ValueError, match="pq_residual"):
+        IVFIndexBuilder(first_pass="bq", pq_residual=True)

@@ -97,6 +97,11 @@ def main() -> None:
         "--rerank", choices=("fp32", "nvq"), default="fp32",
         help="stage-2 payload: fp32 vecs or NVQ bytes (1/4 shuffle at d=64)",
     )
+    ap.add_argument(
+        "--residual", action="store_true",
+        help="PQ codes encode (vec - coarse centroid): FAISS-IVFPQ-style "
+        "residual quantization (r6) — same ADC gather, per-cell dot offset",
+    )
     ap.add_argument("--bulk", action="store_true", help="run corpus-as-queries bulk top-k")
     ap.add_argument("--bulk-np", type=int, default=4)
     ap.add_argument("--bulk-npf", type=int, default=16)
@@ -125,8 +130,10 @@ def main() -> None:
         corpus = spark.read.parquet(f"{base}/corpus.parquet")
         queries = spark.read.parquet(f"{base}/queries.parquet")
 
-        suffix = ("" if args.pq_m == 8 else f"_m{args.pq_m}") + (
-            "" if args.rerank == "fp32" else f"_{args.rerank}"
+        suffix = (
+            ("" if args.pq_m == 8 else f"_m{args.pq_m}")
+            + ("" if args.rerank == "fp32" else f"_{args.rerank}")
+            + ("_res" if args.residual else "")
         )
         idx_dir = f"{base}/idx{suffix}"
         if os.path.exists(f"{idx_dir}/meta.json"):
@@ -138,10 +145,12 @@ def main() -> None:
                 metric="COSINE", pq_m=args.pq_m, spill=2,
                 fine_factor=args.fine_factor, n_partitions=args.parts,
                 fine_assign_cells=args.fine_assign_cells, rerank=args.rerank,
+                pq_residual=args.residual,
             ).fit(corpus, idx_dir)
             log(
                 step="build", sec=round(time.perf_counter() - t0, 1),
                 fine_assign_cells=args.fine_assign_cells, rerank=args.rerank,
+                residual=args.residual,
             )
 
         if not args.bulk_only and not args.skip_grid:
