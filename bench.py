@@ -347,19 +347,22 @@ def main() -> None:
                 t0 = time.perf_counter()
                 xidx = IVFIndexBuilder(
                     metric="COSINE", pq_m=8, spill=2, fine_factor=8,
-                    n_partitions=1000,
+                    n_partitions=1000, pq_residual=True,
                 ).fit(xcorpus, f"{xdir}/idx")
                 timings["large_ivf_build_1m"] = round(time.perf_counter() - t0, 3)
 
                 qall = xcorpus.selectExpr("id as qid", "vec")
                 t0 = time.perf_counter()
-                # np=4/npf=16/oq=64: the measured sweet spot — oq=64 costs
-                # ~60% wall over oq=8 and doubles bulk recall (r6 final,
-                # with hierarchical fine probing: 0.2797 @ oq=8 / 140 s ->
-                # 0.5547 @ oq=64 / 219 s; deeper np=4/npf=32/oq=256
-                # reaches 0.7953 @ 417 s)
+                # Residual PQ + np=4/npf=16/oq=8: the measured frontier
+                # point (r6 final). Residual codes resolve within-cell
+                # spread, so the cheap overquery dominates global PQ's
+                # mid point on BOTH axes: 0.691 @ 159 s vs global's
+                # 0.555 @ 219 s (oq=64); residual oq=64 reaches 0.755 @
+                # 249 s, np=4/npf=32/oq=256 reaches 0.839 @ 542 s.
+                # Build cost of residual: 66 s -> 116 s (spill x2
+                # re-encode + per-row rsq).
                 xres = xidx.search(
-                    qall, 10, n_probe=4, overquery=64.0, n_probe_fine=16,
+                    qall, 10, n_probe=4, overquery=8.0, n_probe_fine=16,
                     strategy="distributed", m_hint=xl_n,
                 ).persist()
                 n_out = xres.count()
