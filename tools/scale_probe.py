@@ -35,7 +35,16 @@ def log(**kw) -> None:
     print(json.dumps(kw), flush=True)
 
 
-def gen_corpus(dirpath: str, n: int, d: int, n_clusters: int, seed: int) -> None:
+def gen_corpus(
+    dirpath: str, n: int, d: int, n_clusters: int, seed: int,
+    dupe_frac: float = 0.0,
+) -> None:
+    """Write the probe corpus. ``dupe_frac`` > 0 additionally overwrites that
+    fraction of rows with EXACT copies of earlier rows (uniform source pick
+    within the same write chunk) and records the injected (src_id, dup_id)
+    pairs in ``dupe_pairs.parquet`` — known-answer ground truth for the
+    1M-scale threshold-dedup probe. The duplicate stream uses its own RNG so
+    ``dupe_frac=0`` output stays byte-identical to earlier rounds."""
     import pyarrow as pa
     import pyarrow.parquet as papq
 
@@ -47,11 +56,23 @@ def gen_corpus(dirpath: str, n: int, d: int, n_clusters: int, seed: int) -> None
     os.makedirs(dirpath, exist_ok=True)
     chunk = 250_000
     writer = None
+    all_pairs = []
     t0 = time.perf_counter()
     for lo in range(0, n, chunk):
         m = min(chunk, n - lo)
         asg = rng.choice(n_clusters, size=m, p=w)
         mat = (centers[asg] + 0.25 * rng.normal(size=(m, d))).astype(np.float32)
+        if dupe_frac > 0.0 and m > 1:
+            drng = np.random.default_rng(seed * 1_000_003 + lo)
+            nd = int(m * dupe_frac)
+            dst = np.sort(drng.choice(np.arange(1, m), size=nd, replace=False))
+            src = np.floor(drng.random(nd) * dst).astype(np.int64)  # src < dst
+            # sequential in increasing dst order: a src that is itself a dup
+            # has already received its final value (src < dst throughout), so
+            # every recorded pair holds bit-equal vectors even in chains
+            for s, t_ in zip(src, dst):
+                mat[t_] = mat[s]
+            all_pairs.append(np.stack([src + lo, dst + lo], axis=1))
         tbl = pa.table(
             {
                 "id": pa.array(range(lo, lo + m), pa.int64()),
@@ -62,6 +83,17 @@ def gen_corpus(dirpath: str, n: int, d: int, n_clusters: int, seed: int) -> None
             writer = papq.ParquetWriter(f"{dirpath}/corpus.parquet", tbl.schema)
         writer.write_table(tbl, row_group_size=62_500)
     writer.close()
+    if all_pairs:
+        pairs = np.concatenate(all_pairs)
+        papq.write_table(
+            pa.table(
+                {
+                    "src_id": pa.array(pairs[:, 0], pa.int64()),
+                    "dup_id": pa.array(pairs[:, 1], pa.int64()),
+                }
+            ),
+            f"{dirpath}/dupe_pairs.parquet",
+        )
     # held-out noisy queries near random corpus clusters
     qn = 64
     asg = rng.choice(n_clusters, size=qn, p=w)
@@ -102,6 +134,18 @@ def main() -> None:
         help="PQ codes encode (vec - coarse centroid): FAISS-IVFPQ-style "
         "residual quantization (r6) — same ADC gather, per-cell dot offset",
     )
+    ap.add_argument(
+        "--dupes", type=float, default=0.0,
+        help="inject this fraction of EXACT duplicate rows (known-answer "
+        "ground truth for --threshold-bulk); 0 keeps the corpus byte-"
+        "identical to earlier rounds",
+    )
+    ap.add_argument(
+        "--threshold-bulk", type=float, default=None, metavar="TAU",
+        help="corpus-as-queries THRESHOLD search (the exact semantic-dedup "
+        "shape, ref J4 at corpus scale): bound-pruned, exact fp32 scoring; "
+        "with --dupes, verifies every injected pair is recovered",
+    )
     ap.add_argument("--bulk", action="store_true", help="run corpus-as-queries bulk top-k")
     ap.add_argument("--bulk-np", type=int, default=4)
     ap.add_argument("--bulk-npf", type=int, default=16)
@@ -126,7 +170,8 @@ def main() -> None:
     base = args.keep or tempfile.mkdtemp(prefix="jvs_scale_")
     try:
         if not os.path.exists(f"{base}/corpus.parquet"):
-            gen_corpus(base, args.n, args.d, args.clusters, seed=11)
+            gen_corpus(base, args.n, args.d, args.clusters, seed=11,
+                       dupe_frac=args.dupes)
         corpus = spark.read.parquet(f"{base}/corpus.parquet")
         queries = spark.read.parquet(f"{base}/queries.parquet")
 
@@ -177,6 +222,42 @@ def main() -> None:
                     visited_frac=round(io["visited_fraction"], 5),
                 )
             gt.unpersist()
+
+        if args.threshold_bulk is not None:
+            # every corpus row as a THRESHOLD query: the exact semantic-dedup
+            # shape at scale. Pruning uses the stored partition bounds; the
+            # survivors are scored exactly, so with injected exact duplicates
+            # recovery MUST be 100% — a correctness gate, not a recall knob.
+            tau = args.threshold_bulk
+            qall = corpus.selectExpr("id as qid", "vec")
+            t0 = time.perf_counter()
+            pairs = (
+                idx.threshold_search(
+                    qall, tau, strategy="distributed", m_hint=args.n
+                )
+                .filter(F.col("qid") < F.col("id"))
+                .persist()
+            )
+            n_pairs = pairs.count()
+            dt = time.perf_counter() - t0
+            log(step="threshold_bulk", tau=tau, pairs=n_pairs, sec=round(dt, 1))
+            if os.path.exists(f"{base}/dupe_pairs.parquet"):
+                inj = spark.read.parquet(f"{base}/dupe_pairs.parquet")
+                n_inj = inj.count()
+                n_found = (
+                    inj.join(
+                        pairs,
+                        (inj["src_id"] == pairs["qid"])
+                        & (inj["dup_id"] == pairs["id"]),
+                        "left_semi",
+                    ).count()
+                )
+                log(
+                    step="threshold_bulk_verify", injected=n_inj,
+                    recovered=n_found,
+                    recovered_frac=round(n_found / max(1, n_inj), 6),
+                )
+            pairs.unpersist()
 
         if args.bulk or args.bulk_only:
             # the flagship bulk shape: every corpus row as a query through
