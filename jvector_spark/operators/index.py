@@ -1094,6 +1094,29 @@ class IVFIndex:
             info["part_counts"] = arr
         return info["part_counts"]
 
+    def _cell_counts(self, seg_name: str) -> np.ndarray | None:
+        """Per-(partition, fine-cell) STORED row counts for a two-level
+        segment (``None`` when it has no fine level) — the IO model's input
+        for fine-masked probing. One cached cell-key agg per loaded segment
+        (column-pruned scan); the (n_parts x n_fine) int64 result is the
+        same driver-residency class as the centroid tables."""
+        info = self._segments[seg_name]
+        if info.get("fine") is None:
+            return None
+        if "cell_counts" not in info:
+            cell = np.zeros(
+                (len(info["centroids"]), len(info["fine"])), dtype=np.int64
+            )
+            for r in (
+                self._segment_data(seg_name)
+                .groupBy("part_id", "sub_id")
+                .count()
+                .collect()
+            ):
+                cell[int(r["part_id"]), int(r["sub_id"])] = int(r["count"])
+            info["cell_counts"] = cell
+        return info["cell_counts"]
+
     @staticmethod
     def _fine_own_pad(info: dict) -> np.ndarray:
         """Cached padded owner table for hierarchical fine probing (see
@@ -2329,15 +2352,10 @@ class IVFIndex:
             )
             d2[:, ~info["has_rows"]] = np.inf
             probe = np.argsort(d2, axis=1)[:, :npb]
-            data = self._segment_data(seg.name)
             if n_probe_fine and info.get("fine") is not None:
                 fine_c = info["fine"]
                 npf = min(int(n_probe_fine), len(fine_c))
-                hist = data.groupBy("part_id", "sub_id").count().toPandas()
-                cell = np.zeros((len(cents), len(fine_c)), dtype=np.int64)
-                cell[hist["part_id"].to_numpy(), hist["sub_id"].to_numpy()] = (
-                    hist["count"].to_numpy()
-                )
+                cell = self._cell_counts(seg.name)
                 # same hierarchical selection as the search routes, so the
                 # IO model predicts what the search actually scans
                 subs_list = _hier_fine_subs(
@@ -2351,9 +2369,7 @@ class IVFIndex:
                     ]
                 )
             else:
-                sizes = data.groupBy("part_id").count().toPandas()
-                rows = np.zeros(len(cents), dtype=np.int64)
-                rows[sizes["part_id"].to_numpy()] = sizes["count"].to_numpy()
+                rows = self._part_counts(seg.name)
                 stored += int(rows.sum())
                 visited += rows[probe].sum(axis=1)
         return {
@@ -2362,6 +2378,14 @@ class IVFIndex:
             "mean_visited_rows": float(visited.mean()),
             "visited_fraction": float(visited.mean() / max(stored, 1)),
         }
+
+    def tune(self, queries_df: DataFrame | None = None, **kw) -> dict:
+        """Auto-tune (n_probe, n_probe_fine, overquery) for a recall target —
+        the reference's Grid parameter sweep (Grid.java:98-132, 668-679) as
+        an index method; see ``jvector_spark.operators.tune.tune_search``."""
+        from jvector_spark.operators.tune import tune_search
+
+        return tune_search(self, queries_df, **kw)
 
     def stats(self) -> dict:
         """A10 analog: per-segment row/partition counts + avg partition size."""

@@ -1,0 +1,143 @@
+"""Search-parameter auto-tuning over the (n_probe, n_probe_fine, overquery)
+lattice.
+
+The Spark analog of the reference's Grid sweep (Grid.java:98-132 builds a
+topK -> [overquery...] grid per index configuration; Grid.java:668-679
+measures each lattice point for accuracy / latency / throughput and prints
+the table). Two Spark-first differences:
+
+- The sweep is ORDERED BY THE INDEX'S OWN IO MODEL (``probe_io_stats``'
+  visited fraction — deterministic partition/fine-cell arithmetic, no
+  timing noise), with overquery as the tie-break. That encodes the r5
+  measurement lesson directly: overquery (rerank depth) is nearly free, so
+  all overquery steps of a cheap probe shape are tried before the next
+  probe widening.
+- It EARLY-STOPS at the first (= cheapest-ordered) config meeting the
+  recall target, so a tune run costs a handful of sampled searches instead
+  of the full lattice, and every evaluated point is returned so the caller
+  can see the frontier it walked.
+
+Ground truth comes from the exact brute-force join over the index's own
+live vectors on a driver-pinned query sample — self-contained: no external
+GT file, unlike the reference's precomputed ivecs
+(DataSet.java ground-truth loading)."""
+
+from __future__ import annotations
+
+import time
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+
+from jvector_spark.metrics import recall_at_k
+
+if TYPE_CHECKING:  # pragma: no cover
+    from jvector_spark.operators.index import IVFIndex
+
+
+def tune_search(
+    index: "IVFIndex",
+    queries_df: DataFrame | None = None,
+    k: int = 10,
+    target_recall: float = 0.9,
+    sample: int = 64,
+    n_probe_grid: list[int] | None = None,
+    n_probe_fine_grid: list[int | None] | None = None,
+    overquery_grid: list[float] | None = None,
+    max_evals: int = 32,
+) -> dict:
+    """Find the cheapest (n_probe, n_probe_fine, overquery) meeting
+    ``target_recall`` on a sampled query set.
+
+    ``queries_df`` defaults to the index's own live vectors (self-query
+    tuning — the semantic-dedup shape); pass the real query distribution
+    when you have one. Returns ``{"best": {...} | None, "evaluated":
+    [...], ...}``; ``best is None`` means no config within ``max_evals``
+    met the target — widen the grids or lower the target.
+
+    Cost: one exact GT join over the corpus for ``sample`` queries, one
+    cached cell-histogram job per segment, then one sampled search per
+    evaluated lattice point (early-stopped)."""
+    from jvector_spark.operators import exact
+
+    spark = index.spark
+    corpus = index.live_vectors()
+    if queries_df is None:
+        queries_df = corpus.selectExpr("id as qid", "vec")
+    # Pin the sample on the driver so the GT join, the IO model, and every
+    # swept search see the SAME rows (a re-evaluated .limit may not return
+    # identical rows across jobs once upstream partitioning shifts).
+    rows = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in queries_df.select(queries_df.columns[0], queries_df.columns[1])
+        .limit(int(sample))
+        .collect()
+    ]
+    qdf = spark.createDataFrame(rows, "qid long, vec array<float>").cache()
+    metric = index.manifest.metric
+    gt = exact.knn_join(corpus, qdf, k, metric=metric, strategy="numpy").cache()
+    gt.count()
+
+    n_parts = max(
+        len(index._segments[s.name]["centroids"])
+        for s in index.manifest.segments
+    )
+    has_fine = any(
+        index._segments[s.name].get("fine") is not None
+        for s in index.manifest.segments
+    )
+    if n_probe_grid is None:
+        n_probe_grid = [p for p in (1, 2, 4, 8, 16, 32) if p < n_parts]
+        n_probe_grid = n_probe_grid or [n_parts]
+    if n_probe_fine_grid is None:
+        n_probe_fine_grid = [None, 8, 16, 32] if has_fine else [None]
+    if overquery_grid is None:
+        overquery_grid = [1.0, 4.0, 16.0, 64.0]
+
+    # IO model once per (n_probe, n_probe_fine) shape; the cell histogram
+    # behind it is cached on the segment, so this is driver arithmetic.
+    io_frac = {
+        (np_, npf): index.probe_io_stats(qdf, np_, npf)["visited_fraction"]
+        for np_ in n_probe_grid
+        for npf in n_probe_fine_grid
+    }
+    lattice = sorted(
+        (
+            (io_frac[(np_, npf)], oq, np_, npf)
+            for np_ in n_probe_grid
+            for npf in n_probe_fine_grid
+            for oq in overquery_grid
+        ),
+        key=lambda t: (t[0], t[1]),
+    )
+
+    evaluated: list[dict] = []
+    best: dict | None = None
+    for frac, oq, np_, npf in lattice:
+        if len(evaluated) >= max_evals:
+            break
+        t0 = time.perf_counter()
+        res = index.search(qdf, k, n_probe=np_, overquery=oq, n_probe_fine=npf)
+        rec = recall_at_k(res, gt, k)
+        point = {
+            "n_probe": np_,
+            "n_probe_fine": npf,
+            "overquery": oq,
+            "recall": round(rec, 4),
+            "visited_fraction": round(frac, 6),
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }
+        evaluated.append(point)
+        if rec >= target_recall:
+            best = point
+            break
+    gt.unpersist()
+    qdf.unpersist()
+    return {
+        "k": k,
+        "target_recall": target_recall,
+        "metric": metric,
+        "sampled_queries": len(rows),
+        "best": best,
+        "evaluated": evaluated,
+    }

@@ -1,0 +1,86 @@
+"""Search-parameter auto-tuning (the reference's Grid sweep analog,
+Grid.java:98-132, 668-679): cheapest-first walk of the (n_probe,
+n_probe_fine, overquery) lattice under the index's own IO model."""
+
+import numpy as np
+import pytest
+
+from jvector_spark.operators import exact
+from jvector_spark.operators.index import IVFIndexBuilder
+
+
+@pytest.fixture(scope="module")
+def tuned_index(spark, tmp_path_factory):
+    rng = np.random.default_rng(77)
+    centers = rng.normal(size=(50, 32))
+    asg = rng.integers(0, 50, size=6000)
+    mat = (centers[asg] + 0.25 * rng.normal(size=(6000, 32))).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(len(mat))], "id long, vec array<float>"
+    ).cache()
+    df.count()
+    path = str(tmp_path_factory.mktemp("tune") / "index")
+    idx = IVFIndexBuilder(
+        metric="COSINE", n_partitions=32, pq_m=8, spill=1, fine_factor=4, seed=7
+    ).fit(df, path)
+    return idx, df
+
+
+def test_tune_meets_target_and_is_cheapest_first(tuned_index):
+    idx, _ = tuned_index
+    out = idx.tune(k=10, target_recall=0.8, sample=24)
+    best = out["best"]
+    assert best is not None, f"no config met 0.8: {out['evaluated']}"
+    assert best["recall"] >= 0.8
+    assert out["sampled_queries"] == 24
+    # the walk is ordered by (visited_fraction, overquery) ascending
+    keys = [(p["visited_fraction"], p["overquery"]) for p in out["evaluated"]]
+    assert keys == sorted(keys)
+    # cheapest-passing contract: everything evaluated before best FAILED
+    for p in out["evaluated"][:-1]:
+        assert p["recall"] < 0.8
+    # early stop: the full lattice was not evaluated
+    assert len(out["evaluated"]) < 5 * 4 * 4
+
+
+def test_tune_unreachable_target_returns_none(tuned_index):
+    idx, _ = tuned_index
+    out = idx.tune(k=10, target_recall=1.01, sample=16, max_evals=5)
+    assert out["best"] is None
+    assert len(out["evaluated"]) == 5
+
+
+def test_tune_best_config_holds_on_heldout_queries(tuned_index, spark):
+    """The tuned config must generalize: recall on held-out noisy queries
+    (not the tuning sample) stays within a tolerance of the target."""
+    idx, df = tuned_index
+    out = idx.tune(k=10, target_recall=0.85, sample=32)
+    best = out["best"]
+    assert best is not None
+    rng = np.random.default_rng(99)
+    rows = df.orderBy("id").limit(400).collect()
+    sel = rng.choice(len(rows), 32, replace=False)
+    qdf = spark.createDataFrame(
+        [
+            (
+                int(rows[i]["id"]),
+                (
+                    np.asarray(rows[i]["vec"], dtype=np.float32)
+                    + 0.05 * rng.normal(size=32).astype(np.float32)
+                ).tolist(),
+            )
+            for i in sel
+        ],
+        "qid long, vec array<float>",
+    )
+    gt = exact.knn_join(df, qdf, 10, metric="COSINE", strategy="numpy")
+    from jvector_spark.metrics import recall_at_k
+
+    r = idx.search(
+        qdf,
+        10,
+        n_probe=best["n_probe"],
+        overquery=best["overquery"],
+        n_probe_fine=best["n_probe_fine"],
+    )
+    assert recall_at_k(r, gt, 10) >= 0.85 - 0.15  # generalization tolerance
