@@ -684,3 +684,40 @@ def test_residual_lifecycle_and_features(spark, twin_corpus, tmp_path_factory):
 def test_residual_rejects_bq_first_pass():
     with pytest.raises(ValueError, match="pq_residual"):
         IVFIndexBuilder(first_pass="bq", pq_residual=True)
+
+
+def test_residual_auto_resolves_from_corpus(spark, twin_corpus, tmp_path_factory):
+    """pq_residual="auto" turns residual encoding ON when the coarse
+    clustering explains the sample variance (clustered corpus) and keeps
+    GLOBAL codebooks on an isotropic corpus — and the manifest records the
+    RESOLVED bool so append/compact inherit the decision."""
+    df, qdf = twin_corpus
+    path = str(tmp_path_factory.mktemp("res_auto_on") / "index")
+    idx = IVFIndexBuilder(
+        metric="COSINE", n_partitions=32, pq_m=8, spill=1, pq_residual="auto",
+        seed=7,
+    ).fit(df, path)
+    assert bool(idx.manifest.pq_residual) is True
+
+    rng = np.random.default_rng(5)
+    mat = rng.normal(size=(4000, 32)).astype(np.float32)
+    df2 = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(len(mat))], "id long, vec array<float>"
+    )
+    path2 = str(tmp_path_factory.mktemp("res_auto_off") / "index")
+    idx2 = IVFIndexBuilder(
+        metric="COSINE", n_partitions=32, pq_m=8, spill=1, pq_residual="auto",
+        seed=7,
+    ).fit(df2, path2)
+    assert bool(idx2.manifest.pq_residual) is False
+
+    # auto composes with BQ (no PQ codebooks): resolves to False, no error
+    path3 = str(tmp_path_factory.mktemp("res_auto_bq") / "index")
+    idx3 = IVFIndexBuilder(
+        metric="COSINE", n_partitions=32, spill=1, first_pass="bq",
+        pq_residual="auto", seed=7,
+    ).fit(df, path3)
+    assert bool(idx3.manifest.pq_residual) is False
+
+    with pytest.raises(ValueError, match="pq_residual"):
+        IVFIndexBuilder(pq_residual="maybe")
