@@ -531,6 +531,11 @@ class IVFIndexBuilder:
         # FeatureId.java:31-36, NVQScorer.java): ~4x fewer stage-2 bytes
         # read (parquet column pruning skips `vec`) for near-fp32 scores.
         # fp32 stays on disk for compaction / exact fallbacks.
+        # Measured (r6): a NETWORK-shuffle lever only — on local[*] the
+        # rerank-kernel NVQ decode costs more than the loopback bytes it
+        # saves at BOTH d=64 (+16% bulk wall) and d=1024 (+45%), recall
+        # unchanged; the decode-vs-bytes trade is d-invariant. Choose nvq
+        # only when stage-2 candidate payloads cross a real network.
         if rerank not in ("fp32", "nvq"):
             raise ValueError(f"rerank must be 'fp32' or 'nvq', got {rerank!r}")
         self.rerank = rerank
