@@ -45,7 +45,7 @@ def tune_search(
     n_probe_grid: list[int] | None = None,
     n_probe_fine_grid: list[int | None] | None = None,
     overquery_grid: list[float] | None = None,
-    max_evals: int = 32,
+    max_evals: int = 48,
 ) -> dict:
     """Find the cheapest (n_probe, n_probe_fine, overquery) meeting
     ``target_recall`` on a sampled query set.
@@ -109,51 +109,61 @@ def tune_search(
         for np_ in n_probe_grid
         for npf in n_probe_fine_grid
     }
-    lattice = sorted(
-        (
-            (io_frac[(np_, npf)], oq, np_, npf)
-            for np_ in n_probe_grid
-            for npf in n_probe_fine_grid
-            for oq in overquery_grid
-        ),
-        key=lambda t: (t[0], t[1]),
+    shapes = sorted(
+        ((io_frac[(np_, npf)], np_, npf)
+         for np_ in n_probe_grid for npf in n_probe_fine_grid),
+        key=lambda t: t[0],
     )
+    ladder = sorted(overquery_grid)
 
     evaluated: list[dict] = []
     best: dict | None = None
-    # plateau skip: within one probe shape the overquery ladder saturates
-    # once the rerank pool already contains everything the probed cells
-    # hold — further oq steps are wasted evals (measured on the 1M probe:
-    # oq 16 -> 64 moved recall < 0.02 at every shape). When a step gains
-    # less than `plateau_eps` and still misses the target, the rest of
-    # that shape's ladder is skipped so the budget reaches wider probes.
+    # Ladder-abandon rule: overquery gains DIMINISH along a shape's ladder
+    # (each step multiplies the rerank pool; every measured grid shows
+    # shrinking increments), so `recall + last_gain * steps_left` is an
+    # optimistic bound on what the shape can still reach. Shapes whose
+    # bound can't make the target are abandoned — fine-mask shapes are
+    # often coverage-bounded well below the target (measured on the 1M
+    # residual probe: every npf<=32 shape plateaus ~0.6 while unmasked
+    # shapes reach it), and without this rule they eat the whole eval
+    # budget before the walk reaches a shape that can pass.
     plateau_eps = 0.005
-    last_rec: dict[tuple, float] = {}
-    saturated: set[tuple] = set()
-    for frac, oq, np_, npf in lattice:
-        shape = (np_, npf)
-        if shape in saturated:
-            continue
-        if len(evaluated) >= max_evals:
+    done = False
+    for frac, np_, npf in shapes:
+        if done:
             break
-        t0 = time.perf_counter()
-        res = index.search(qdf, k, n_probe=np_, overquery=oq, n_probe_fine=npf)
-        rec = recall_at_k(res, gt, k)
-        point = {
-            "n_probe": np_,
-            "n_probe_fine": npf,
-            "overquery": oq,
-            "recall": round(rec, 4),
-            "visited_fraction": round(frac, 6),
-            "wall_s": round(time.perf_counter() - t0, 3),
-        }
-        evaluated.append(point)
-        if rec >= target_recall:
-            best = point
-            break
-        if shape in last_rec and rec - last_rec[shape] < plateau_eps:
-            saturated.add(shape)
-        last_rec[shape] = rec
+        prev_rec: float | None = None
+        gain: float | None = None
+        for j, oq in enumerate(ladder):
+            if len(evaluated) >= max_evals:
+                done = True
+                break
+            if prev_rec is not None and gain is not None:
+                if gain < plateau_eps:
+                    break  # saturated ladder: wider probes, not deeper rerank
+                steps_left = len(ladder) - j
+                if prev_rec + max(gain, 0.0) * steps_left < target_recall:
+                    break  # coverage-bounded shape: can't reach the target
+            t0 = time.perf_counter()
+            res = index.search(
+                qdf, k, n_probe=np_, overquery=oq, n_probe_fine=npf
+            )
+            rec = recall_at_k(res, gt, k)
+            point = {
+                "n_probe": np_,
+                "n_probe_fine": npf,
+                "overquery": oq,
+                "recall": round(rec, 4),
+                "visited_fraction": round(frac, 6),
+                "wall_s": round(time.perf_counter() - t0, 3),
+            }
+            evaluated.append(point)
+            if rec >= target_recall:
+                best = point
+                done = True
+                break
+            gain = rec - prev_rec if prev_rec is not None else None
+            prev_rec = rec
     gt.unpersist()
     qdf.unpersist()
     return {
