@@ -498,7 +498,7 @@ class IVFIndexBuilder:
         anisotropic_threshold: float | None = None,
         bsp=None,
         fine_assign_cells: int = 4,
-        pq_residual: bool = False,
+        pq_residual: bool | str = "auto",
     ):
         # X3 SPI: a BuildScoreProvider bundles the construction-scoring
         # choice; explicit kwargs win (ref BuildScoreProvider.java:32-258)
