@@ -1131,27 +1131,36 @@ class IVFIndex:
             info["part_counts"] = arr
         return info["part_counts"]
 
-    def _cell_counts(self, seg_name: str) -> np.ndarray | None:
+    def _cell_counts(self, seg_name: str) -> dict[int, tuple] | None:
         """Per-(partition, fine-cell) STORED row counts for a two-level
         segment (``None`` when it has no fine level) — the IO model's input
         for fine-masked probing. One cached cell-key agg per loaded segment
-        (column-pruned scan); the (n_parts x n_fine) int64 result is the
-        same driver-residency class as the centroid tables."""
+        (column-pruned scan). SPARSE by partition: {part_id -> (sorted
+        sub_id int32 array, count int64 array)} — a fine cell has ~spill
+        owning partitions, so the true size is O(n_fine x spill); the dense
+        (n_parts x n_fine) matrix this replaces hits 2 GB at the default
+        caps and grows unbounded with explicit n_partitions."""
         info = self._segments[seg_name]
         if info.get("fine") is None:
             return None
         if "cell_counts" not in info:
-            cell = np.zeros(
-                (len(info["centroids"]), len(info["fine"])), dtype=np.int64
-            )
+            per_part: dict[int, list] = {}
             for r in (
                 self._segment_data(seg_name)
                 .groupBy("part_id", "sub_id")
                 .count()
                 .collect()
             ):
-                cell[int(r["part_id"]), int(r["sub_id"])] = int(r["count"])
-            info["cell_counts"] = cell
+                per_part.setdefault(int(r["part_id"]), []).append(
+                    (int(r["sub_id"]), int(r["count"]))
+                )
+            info["cell_counts"] = {
+                p: (
+                    np.array([s for s, _ in sorted(v)], dtype=np.int32),
+                    np.array([c for _, c in sorted(v)], dtype=np.int64),
+                )
+                for p, v in per_part.items()
+            }
         return info["cell_counts"]
 
     @staticmethod
@@ -2392,19 +2401,25 @@ class IVFIndex:
             if n_probe_fine and info.get("fine") is not None:
                 fine_c = info["fine"]
                 npf = min(int(n_probe_fine), len(fine_c))
-                cell = self._cell_counts(seg.name)
+                cellmap = self._cell_counts(seg.name)
+                stored += sum(
+                    int(c.sum()) for _, c in cellmap.values()
+                )
                 # same hierarchical selection as the search routes, so the
                 # IO model predicts what the search actually scans
                 subs_list = _hier_fine_subs(
                     qmat, probe, fine_c, self._fine_own_pad(info), npf
                 )
-                stored += int(cell.sum())
-                visited += np.array(
-                    [
-                        cell[np.ix_(probe[q], subs_list[q])].sum()
-                        for q in range(nq)
-                    ]
-                )
+                for q in range(nq):
+                    subs_q = np.asarray(subs_list[q], dtype=np.int32)
+                    v = 0
+                    for p in probe[q]:
+                        entry = cellmap.get(int(p))
+                        if entry is None:
+                            continue
+                        subs_p, cnts_p = entry
+                        v += int(cnts_p[np.isin(subs_p, subs_q)].sum())
+                    visited[q] += v
             else:
                 rows = self._part_counts(seg.name)
                 stored += int(rows.sum())
