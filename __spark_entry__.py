@@ -1385,6 +1385,65 @@ def _register_pipeline() -> None:
 _register_pipeline()
 
 
+@_register("pack_sequences")
+def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: hash-sharded
+    deterministic order, per-shard running token total, seq_len-sized
+    chunk spans — one window per shard partition, no global sort (see
+    jvector_spark/pipeline/pack.py)."""
+    from jvector_spark.pipeline.pack import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), seq_len=512, n_shards=8)
+
+
+def _pack_sequences_oracle() -> str:
+    from jvector_spark.pipeline.pack import pack_sequences_sql
+
+    return pack_sequences_sql(seq_len=512, n_shards=8)
+
+
+_oracle("pack_sequences", _pack_sequences_oracle())
+
+
+@_register("mixture_weights")
+def _mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture weights (alpha-sampling): one
+    partial-aggregated groupBy + window normalization over <= |strata|
+    rows; emits natural share, mixture probability, and the realizing
+    per-stratum keep fraction."""
+    from jvector_spark.pipeline.sampling import mixture_weights
+
+    return mixture_weights(_docs(spark, sf_dir), temperature=0.7)
+
+
+def _mixture_weights_oracle() -> str:
+    from jvector_spark.pipeline.sampling import mixture_weights_sql
+
+    return mixture_weights_sql(temperature=0.7)
+
+
+_oracle("mixture_weights", _mixture_weights_oracle())
+
+
+@_register("redact_pii")
+def _redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails / IPv4 / long digit runs): map-only
+    regexp_replace inside whole-stage codegen, per-pattern match counts
+    measured on the original text."""
+    from jvector_spark.pipeline.text import redact_pii
+
+    return redact_pii(_docs(spark, sf_dir))
+
+
+def _redact_pii_oracle() -> str:
+    from jvector_spark.pipeline.text import redact_pii_sql
+
+    return redact_pii_sql()
+
+
+_oracle("redact_pii", _redact_pii_oracle())
+
+
 @_register("decontaminate")
 def _decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3 Appendix C / Gopher n-gram overlap

@@ -55,6 +55,9 @@ BENCH_QUERIES = [
     "text_token_count",
     "doc_fingerprint",
     "decontaminate",
+    "pack_sequences",
+    "mixture_weights",
+    "redact_pii",
     "events_rollup",
     "events_sessionize",
     "knn_join_wide",

@@ -11,7 +11,7 @@ draws an independent sample.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from jvector_spark.pipeline.dedup import h64, sql_h64
@@ -42,6 +42,73 @@ def stratified_sample(
     for s, frac in sorted(fractions.items()):
         thr = F.when(F.col(strata_col) == s, F.lit(int(round(frac * _M)))).otherwise(thr)
     return df.filter(_bucket(id_col, salt) < thr)
+
+
+def mixture_weights(
+    df: DataFrame,
+    temperature: float = 0.7,
+    strata_col: str = "source",
+    weight_col: str = "n_chars",
+) -> DataFrame:
+    """Temperature-scaled mixture weights per stratum (the multilingual /
+    multi-domain rebalancing rule, cf. the alpha-sampling used by
+    multilingual LM pipelines): stratum mass m_s = sum(weight_col), mixture
+    probability p_s ∝ m_s^temperature. temperature=1 keeps natural
+    proportions, 0 is uniform, in between up-weights small strata.
+
+    One partial-aggregated groupBy (map-side combine) over the corpus and
+    driver-free normalization via a window over the <= |strata| aggregate
+    rows — scale-safe by construction. Returns per-stratum natural share,
+    mixture probability, and the per-row KEEP FRACTION that realizes the
+    mixture against the largest stratum (feed it to
+    :func:`stratified_sample`)."""
+    agg = df.groupBy(strata_col).agg(F.sum(weight_col).alias("mass"))
+    w = Window.partitionBy(F.lit(1))
+    scaled = F.pow(F.col("mass"), F.lit(float(temperature)))
+    out = (
+        agg.withColumn("natural_share", F.col("mass") / F.sum("mass").over(w))
+        .withColumn("mix_prob", scaled / F.sum(scaled).over(w))
+        # realize the mixture by downsampling: the stratum with the largest
+        # mix_prob/mass ratio keeps everything, others keep proportionally
+        .withColumn("rate", F.col("mix_prob") / F.col("mass"))
+        .withColumn("keep_fraction", F.col("rate") / F.max("rate").over(w))
+        .select(
+            strata_col,
+            F.col("mass").cast("double").alias("mass"),
+            F.round("natural_share", 6).alias("natural_share"),
+            F.round("mix_prob", 6).alias("mix_prob"),
+            F.round("keep_fraction", 6).alias("keep_fraction"),
+        )
+    )
+    return out
+
+
+def mixture_weights_sql(
+    temperature: float = 0.7,
+    strata_col: str = "source",
+    weight_col: str = "n_chars",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`mixture_weights`."""
+    t = float(temperature)
+    return f"""
+WITH agg AS (
+  SELECT {strata_col}, SUM({weight_col}) AS mass
+  FROM {table} GROUP BY {strata_col}
+), norm AS (
+  SELECT {strata_col}, mass,
+         mass / SUM(mass) OVER () AS natural_share,
+         POW(mass, {t}) / SUM(POW(mass, {t})) OVER () AS mix_prob
+  FROM agg
+)
+SELECT {strata_col},
+       CAST(mass AS DOUBLE) AS mass,
+       ROUND(natural_share, 6) AS natural_share,
+       ROUND(mix_prob, 6) AS mix_prob,
+       ROUND((mix_prob / mass) / MAX(mix_prob / mass) OVER (), 6)
+           AS keep_fraction
+FROM norm
+"""
 
 
 def stratified_sample_sql(

@@ -271,3 +271,45 @@ SELECT doc_id,
              / CAST(len(bg) AS DOUBLE), 6) AS top_bigram_ratio
 FROM b
 """
+
+
+# ---------------------------------------------------------------- redaction
+# PII scrubbing: the pre-training hygiene pass every production corpus
+# runs. Pattern-based (emails / IPv4 / long digit runs), map-only, zero
+# Python — regexp_replace stays inside whole-stage codegen, so this is a
+# pure scan at any scale. Patterns are restricted to the syntax Java
+# regex and RE2 (DuckDB) interpret identically, so the SQL twin is exact.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("idnum", r"\d{9,}", "<NUM>"),
+]
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact PII-shaped spans and report per-pattern match counts.
+
+    Counts are measured on the ORIGINAL text (before any replacement) so
+    they are order-independent; replacements apply in PII_PATTERNS order.
+    """
+    out_text = F.col(text_col)
+    cols = [F.col("doc_id")]
+    for name, pat, _ in PII_PATTERNS:
+        cols.append(
+            F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(f"n_{name}")
+        )
+    for _, pat, repl in PII_PATTERNS:
+        out_text = F.regexp_replace(out_text, pat, repl)
+    return docs.select(*cols, out_text.alias("redacted"))
+
+
+def redact_pii_sql(text_col: str = "text", table: str = "documents") -> str:
+    """DuckDB twin of :func:`redact_pii`."""
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all({text_col}, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    red = text_col
+    for _, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return f"SELECT doc_id, {counts}, {red} AS redacted FROM {table}"

@@ -222,3 +222,69 @@ def test_decontaminate_against_bruteforce(spark):
         hits = len(grams(text) & ev)
         assert got[doc_id] == (hits, int(hits > 0)), (doc_id, got[doc_id], hits)
     assert got[0][1] == 1 and got[4][1] == 1 and got[2] == (0, 0) and got[3] == (0, 0)
+
+
+# ------------------------------------------------------------- packing (r6)
+def test_pack_sequences_partitions_shard_stream(spark):
+    """Within every shard the token intervals must tile [0, shard total)
+    with no gaps or overlaps in the deterministic (h, doc_id) order, and
+    the sequence span must be the chunk arithmetic of the interval."""
+    from jvector_spark.pipeline.pack import pack_sequences
+
+    rows = [(i, " ".join(f"w{j}" for j in range(1 + (i * 7) % 23))) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, seq_len=16, n_shards=4).toPandas()
+    assert len(out) == 200
+    for shard, grp in out.groupby("shard"):
+        g = grp.sort_values("tok_start")
+        assert g["tok_start"].iloc[0] == 0
+        assert (g["tok_end"].values[:-1] == g["tok_start"].values[1:]).all()
+        assert (g["tok_end"] - g["tok_start"] == g["n_tokens"]).all()
+    assert (out["seq_first"] == out["tok_start"] // 16).all()
+    nonempty = out[out["n_tokens"] > 0]
+    assert (nonempty["seq_last"] == (nonempty["tok_end"] - 1) // 16).all()
+    # determinism: same input, same mapping
+    out2 = pack_sequences(df, seq_len=16, n_shards=4).toPandas()
+    assert out.sort_values("doc_id").reset_index(drop=True).equals(
+        out2.sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def test_mixture_weights_temperature_limits(docs):
+    """temperature=1 reproduces natural shares; temperature=0 is uniform;
+    0<t<1 up-weights the small stratum. mix_prob always sums to 1."""
+    from jvector_spark.pipeline.sampling import mixture_weights
+
+    nat = {r["source"]: r for r in mixture_weights(docs, temperature=1.0).collect()}
+    assert abs(sum(r["mix_prob"] for r in nat.values()) - 1.0) < 1e-6
+    for r in nat.values():
+        assert abs(r["mix_prob"] - r["natural_share"]) < 1e-6
+
+    uni = mixture_weights(docs, temperature=0.0).collect()
+    assert all(abs(r["mix_prob"] - 1.0 / len(uni)) < 1e-6 for r in uni)
+
+    mid = {r["source"]: r for r in mixture_weights(docs, temperature=0.5).collect()}
+    small = min(nat, key=lambda s: nat[s]["natural_share"])
+    assert mid[small]["mix_prob"] > nat[small]["natural_share"]
+    # the dominant stratum keeps everything; others downsample
+    assert max(r["keep_fraction"] for r in mid.values()) == 1.0
+
+
+def test_redact_pii_scrubs_and_counts(spark):
+    from jvector_spark.pipeline.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail me at jane.doe+x@example.org or bob@sub.host.net today"),
+            (1, "server 10.0.255.7 answered, id 123456789012 logged"),
+            (2, "clean text, short number 12345 kept"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert got[0]["n_email"] == 2 and "<EMAIL>" in got[0]["redacted"]
+    assert "@" not in got[0]["redacted"]
+    assert got[1]["n_ip"] == 1 and got[1]["n_idnum"] == 1
+    assert "<IP>" in got[1]["redacted"] and "<NUM>" in got[1]["redacted"]
+    assert got[2]["n_email"] == got[2]["n_ip"] == got[2]["n_idnum"] == 0
+    assert got[2]["redacted"] == "clean text, short number 12345 kept"
