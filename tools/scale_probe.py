@@ -147,6 +147,12 @@ def main() -> None:
         "with --dupes, verifies every injected pair is recovered",
     )
     ap.add_argument("--bulk", action="store_true", help="run corpus-as-queries bulk top-k")
+    ap.add_argument(
+        "--bulk-every", type=int, default=1,
+        help="use every k-th corpus row as a query (deterministic id "
+        "stride) — bounds bulk cost at 10M+ corpora where all-rows "
+        "queries would be quadratic",
+    )
     ap.add_argument("--bulk-np", type=int, default=4)
     ap.add_argument("--bulk-npf", type=int, default=16)
     ap.add_argument("--bulk-oq", type=float, default=8.0)
@@ -260,9 +266,14 @@ def main() -> None:
             pairs.unpersist()
 
         if args.bulk or args.bulk_only:
-            # the flagship bulk shape: every corpus row as a query through
-            # the distributed tile route (semantic-dedup / bulk-join shape)
+            # the flagship bulk shape: every corpus row (or a deterministic
+            # id-stride subset) as a query through the distributed tile
+            # route (semantic-dedup / bulk-join shape)
             qall = corpus.selectExpr("id as qid", "vec")
+            m_q = args.n
+            if args.bulk_every > 1:
+                qall = qall.filter(F.pmod(F.col("qid"), args.bulk_every) == 0)
+                m_q = args.n // args.bulk_every
             tel = None
             if args.prof:
                 from jvector_spark.operators.search import SearchTelemetry
@@ -272,7 +283,7 @@ def main() -> None:
             res = idx.search(
                 qall, 10, n_probe=args.bulk_np, overquery=args.bulk_oq,
                 n_probe_fine=args.bulk_npf,
-                strategy="distributed", m_hint=args.n, telemetry=tel,
+                strategy="distributed", m_hint=m_q, telemetry=tel,
             ).persist()  # the recall slice below must not re-run the search
             n_out = res.count()
             dt = time.perf_counter() - t0
@@ -285,7 +296,8 @@ def main() -> None:
                     visited=tel.visited_rows, reranked=tel.reranked_rows)
             # pin bulk recall on 64 sampled corpus rows vs exact GT
             rng = np.random.default_rng(3)
-            sample_ids = [int(i) for i in rng.choice(args.n, 64, replace=False)]
+            pool = np.arange(0, args.n, args.bulk_every)
+            sample_ids = [int(i) for i in rng.choice(pool, 64, replace=False)]
             sub = res.filter(F.col("qid").isin(sample_ids))
             qsub = corpus.filter(F.col("id").isin(sample_ids)).selectExpr(
                 "id as qid", "vec"
