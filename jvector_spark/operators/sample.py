@@ -57,7 +57,9 @@ def _run_sample_pass(
             take = min(quota, m)
             idx = np.argpartition(bk, take - 1)[:take] if take < m else np.arange(m)
             keys = np.concatenate([keys, bk[idx]])
-            vecs.extend(pdf["vec"].iloc[i] for i in idx)
+            # vectorized object-array take — a per-row .iloc loop here cost
+            # more than the whole downstream k-means at d=1024 (measured)
+            vecs.extend(pdf["vec"].to_numpy()[idx])
             if len(keys) > quota:
                 cut = np.argpartition(keys, quota - 1)[:quota]
                 keys = keys[cut]
@@ -73,12 +75,12 @@ def _run_sample_pass(
             }
         )
 
-    return (
-        df.mapInPandas(
-            sample_count, schema="pid int, cnt long, key double, vec array<float>"
-        )
-        .collect()
-    )
+    # Arrow toPandas, NOT collect(): Row-object deserialization of the
+    # sampled vectors cost ~60 s at 128k x 1024-d (measured) vs seconds
+    # over Arrow; the result stays O(sample_cap) rows either way.
+    return df.mapInPandas(
+        sample_count, schema="pid int, cnt long, key double, vec array<float>"
+    ).toPandas()
 
 
 def sample_and_count(
@@ -95,11 +97,14 @@ def sample_and_count(
             int(math.ceil(sample_cap * 4.0 / max(df.rdd.getNumPartitions(), 1))),
         ),
     )
-    rows = _run_sample_pass(df, base_quota, None, seed)
-    n = int(sum(r["cnt"] for r in rows if r["vec"] is None))
+    pdf = _run_sample_pass(df, base_quota, None, seed)
+    is_cnt = pdf["vec"].isna()
+    n = int(pdf.loc[is_cnt, "cnt"].sum())
     if n == 0:
         raise ValueError("cannot sample an empty DataFrame")
-    counts = {r["pid"]: int(r["cnt"]) for r in rows if r["vec"] is None}
+    counts = dict(
+        zip(pdf.loc[is_cnt, "pid"].astype(int), pdf.loc[is_cnt, "cnt"].astype(int))
+    )
     needed = {
         pid: min(cnt, sample_cap, int(math.ceil(4.0 * sample_cap * cnt / n)))
         for pid, cnt in counts.items()
@@ -108,8 +113,10 @@ def sample_and_count(
         quotas = {
             pid: min(counts[pid], sample_cap, v + 64) for pid, v in needed.items()
         }
-        rows = _run_sample_pass(df, base_quota, quotas, seed)
-    picked = sorted((r for r in rows if r["vec"] is not None), key=lambda r: r["key"])
-    picked = picked[:sample_cap]
-    sample = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in picked])
+        pdf = _run_sample_pass(df, base_quota, quotas, seed)
+        is_cnt = pdf["vec"].isna()
+    picked = pdf.loc[~is_cnt].nsmallest(sample_cap, "key")
+    sample = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in picked["vec"].to_numpy()]
+    )
     return n, sample
