@@ -236,10 +236,16 @@ def main() -> None:
             # recovery MUST be 100% — a correctness gate, not a recall knob.
             tau = args.threshold_bulk
             qall = corpus.selectExpr("id as qid", "vec")
+            m_tq = args.n
+            if args.bulk_every > 1:
+                # strided query subset (10M+ corpora): only pairs whose
+                # SMALLER id is a query remain verifiable after qid < id
+                qall = qall.filter(F.pmod(F.col("qid"), args.bulk_every) == 0)
+                m_tq = args.n // args.bulk_every
             t0 = time.perf_counter()
             pairs = (
                 idx.threshold_search(
-                    qall, tau, strategy="distributed", m_hint=args.n
+                    qall, tau, strategy="distributed", m_hint=m_tq
                 )
                 .filter(F.col("qid") < F.col("id"))
                 .persist()
@@ -249,6 +255,10 @@ def main() -> None:
             log(step="threshold_bulk", tau=tau, pairs=n_pairs, sec=round(dt, 1))
             if os.path.exists(f"{base}/dupe_pairs.parquet"):
                 inj = spark.read.parquet(f"{base}/dupe_pairs.parquet")
+                if args.bulk_every > 1:
+                    inj = inj.filter(
+                        F.pmod(F.col("src_id"), args.bulk_every) == 0
+                    )
                 n_inj = inj.count()
                 n_found = (
                     inj.join(
