@@ -108,6 +108,21 @@ def _load_codec(path: str):
     return ProductQuantizer.load(path)
 
 
+def _unpack_f32(col):
+    """``array<float>`` view of a packed-f32 binary vec column.
+
+    Arrow-batched scalar UDF — the PUBLIC decode surface only
+    (:meth:`IVFIndex.vectors`); every corpus-sized internal path consumes
+    the packed bytes directly (``kernels.as_matrix`` decodes either
+    layout), so this per-row unpack never sits on a hot loop."""
+
+    @F.pandas_udf("array<float>")
+    def unpack(s: pd.Series) -> pd.Series:
+        return s.map(lambda b: np.frombuffer(b, dtype=np.float32))
+
+    return unpack(col)
+
+
 def _write_small_parquet(dir_path: str, table) -> None:
     """Overwrite-write a DRIVER-RESIDENT tiny table (centroids, fine
     centroids, tombstones) as a single-file parquet dir via pyarrow.
@@ -499,6 +514,7 @@ class IVFIndexBuilder:
         bsp=None,
         fine_assign_cells: int = 4,
         pq_residual: bool | str = "auto",
+        vec_format: str = "packed_f32",
     ):
         # X3 SPI: a BuildScoreProvider bundles the construction-scoring
         # choice; explicit kwargs win (ref BuildScoreProvider.java:32-258)
@@ -593,6 +609,18 @@ class IVFIndexBuilder:
         # the corpus variance (see _build_segment); the resolved bool is
         # what the manifest records, so append/compact inherit the decision.
         self.pq_residual = pq_residual if pq_residual == "auto" else bool(pq_residual)
+        # vec_format picks the storage layout of the full-resolution
+        # column (see IndexManifest.vec_format). "packed_f32" stores the
+        # SAME f32 values the list layout stores — one binary cell per row
+        # — so every score is bit-identical; it exists because parquet
+        # byte-array encode beats list<float> rep-level encode ~9x at
+        # d=1024 and the tile shuffle copies flat byte[]s instead of
+        # per-element arrays. "list" keeps the legacy array<float> layout.
+        if vec_format not in ("packed_f32", "list"):
+            raise ValueError(
+                f"vec_format must be 'packed_f32' or 'list', got {vec_format!r}"
+            )
+        self.vec_format = vec_format
         # spill > 1 stores each vector in its `spill` nearest partitions
         # (multi-assignment, cf. SOAR/ScaNN spilling): boundary vectors stop
         # being missed when only their second-closest centroid is probed.
@@ -759,6 +787,7 @@ class IVFIndexBuilder:
 
         spill = max(1, min(self.spill, len(centroids)))
         fa_cells = max(spill, self.fine_assign_cells)
+        packed = self.vec_format == "packed_f32"
 
         def assign_encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from pyspark import TaskContext
@@ -837,9 +866,17 @@ class IVFIndexBuilder:
                     codes = codec.encode_numpy(x)
                     code_bytes = [c.tobytes() for c in codes]
                     codes_rows = [code_bytes[i] for i in rep]
+                if packed:
+                    # pack the f32 values that the list layout would have
+                    # stored (Arrow casts to float on write either way) —
+                    # x32 is already computed for the stats
+                    x32f = x32.astype(np.float32)
+                    vec_rows = pd.Series([x32f[i].tobytes() for i in rep])
+                else:
+                    vec_rows = pdf["vec"].iloc[rep].reset_index(drop=True)
                 out = {
                     "id": pdf["id"].to_numpy(dtype=np.int64)[rep],
-                    "vec": pdf["vec"].iloc[rep].reset_index(drop=True),
+                    "vec": vec_rows,
                     "codes": codes_rows,
                     "part_id": p.astype(np.int32),
                 }
@@ -879,6 +916,8 @@ class IVFIndexBuilder:
             cnt_acc.add({(ctx.partitionId() if ctx else 0): task_counts})
 
         schema = _DATA_SCHEMA
+        if packed:
+            schema = schema.replace("vec array<float>", "vec binary")
         if nvq is not None:
             schema = schema.replace(
                 ", part_id int", ", part_id int, nvq binary, nvq_params array<double>"
@@ -977,6 +1016,7 @@ class IVFIndexBuilder:
                 first_pass=self.first_pass,
                 anisotropic_threshold=self.anisotropic_threshold,
                 pq_residual=residual,
+                vec_format=self.vec_format,
             )
         manifest.segments.append(SegmentInfo(name=seg_name, n_rows=n, n_partitions=int(len(centroids))))
         return manifest
@@ -1173,7 +1213,13 @@ class IVFIndex:
             )
         return info["fine_own_pad"]
 
-    def vectors(self, segment: str | None = None) -> DataFrame:
+    def vectors(self, segment: str | None = None, decode: bool = True) -> DataFrame:
+        """Stored (id, vec) rows. ``decode=True`` (default) presents vec as
+        ``array<float>`` regardless of the storage layout — a scalar
+        Arrow-batched unpack when the index stores packed f32 bytes, a
+        no-op on list segments. ``decode=False`` returns the raw stored
+        column (the corpus-sized internal path: compaction and the fused
+        kernels consume either layout directly)."""
         segs = [segment] if segment else [s.name for s in self.manifest.segments]
         dfs = [self._segment_data(s).select("id", "vec") for s in segs]
         out = dfs[0]
@@ -1181,6 +1227,8 @@ class IVFIndex:
             out = out.unionByName(d)
         if self.manifest.spill > 1:
             out = out.dropDuplicates(["id"])  # spilled copies are identical
+        if decode and self.manifest.vec_format == "packed_f32":
+            out = out.withColumn("vec", _unpack_f32("vec"))
         return out
 
     def tombstones(self) -> DataFrame | None:
@@ -1627,7 +1675,16 @@ class IVFIndex:
         fine = info.get("fine") if fine_npf else None
         npf = int(min(int(fine_npf), len(fine))) if fine is not None else 0
         own_pad = self._fine_own_pad(info) if fine is not None else None
-        schema = "part_id int, qid long, vec array<float>"
+        # query replicas ride the tile shuffle in the INDEX's vec layout so
+        # the corpus/query union is type-uniform; both layouts carry the
+        # same f32 values (this schema always cast to float), so scores are
+        # bit-identical across formats
+        packed = self.manifest.vec_format == "packed_f32"
+        schema = (
+            "part_id int, qid long, vec binary"
+            if packed
+            else "part_id int, qid long, vec array<float>"
+        )
         if fine is not None:
             schema += ", subs array<int>"
         n_live = int(stats["has_rows"].sum())
@@ -1635,11 +1692,11 @@ class IVFIndex:
             return self.spark.createDataFrame([], schema)
         npb = int(max(1, min(n_probe, n_live))) if threshold is None else 0
         bcast = self.spark.sparkContext.broadcast(
-            (stats, npb, metric, threshold, fine, npf, own_pad)
+            (stats, npb, metric, threshold, fine, npf, own_pad, packed)
         )
 
         def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            st, npb_, met, thr, fine_c, npf_, own_pad_ = bcast.value
+            st, npb_, met, thr, fine_c, npf_, own_pad_, packed_ = bcast.value
             cents = st["centroids"]
             live = st["has_rows"]
             cc = np.einsum("ij,ij->i", cents, cents)
@@ -1659,10 +1716,15 @@ class IVFIndex:
                     qi, pi = np.nonzero(bound + 1e-9 >= thr)
                 if len(qi) == 0:
                     continue
+                if packed_:
+                    q32 = qmat.astype(np.float32)
+                    vec_out = pd.Series([q32[i].tobytes() for i in qi])
+                else:
+                    vec_out = pdf["vec"].iloc[qi].reset_index(drop=True)
                 out = {
                     "part_id": pi.astype(np.int32),
                     "qid": pdf["qid"].to_numpy(dtype=np.int64)[qi],
-                    "vec": pdf["vec"].iloc[qi].reset_index(drop=True),
+                    "vec": vec_out,
                 }
                 if fine_c is not None:
                     # hierarchical: top-npf among the fine cells of the
@@ -1874,11 +1936,14 @@ class IVFIndex:
             "codes": "binary", "nvq": "binary", "nvq_params": "array<double>",
             "sub_id": "int", "rsq": "float",
         }
+        vec_type = (
+            "binary" if self.manifest.vec_format == "packed_f32" else "array<float>"
+        )
         c_base = data.select(
             "part_id",
             F.col("id").alias("rid"),
             # NVQ rerank never reads the fp32 column (parquet prunes it)
-            (F.lit(None).cast("array<float>") if use_nvq and threshold is None else F.col("vec")).alias("vec"),
+            (F.lit(None).cast(vec_type) if use_nvq and threshold is None else F.col("vec")).alias("vec"),
             *[F.col(c) for c in extra],
             # query-side-only column: the query's probed fine-sub set
             *([F.lit(None).cast("array<int>").alias("subs")] if n_fine else []),
@@ -2295,6 +2360,7 @@ class IVFIndex:
             first_pass=self.manifest.first_pass,
             anisotropic_threshold=self.manifest.anisotropic_threshold,
             pq_residual=self.manifest.pq_residual,
+            vec_format=self.manifest.vec_format,
         )
         if df.isEmpty():  # limit-1 probe, far cheaper than a count
             return
@@ -2308,7 +2374,10 @@ class IVFIndex:
         """U1: N:1 segment merge — union live vectors, rebuild one segment
         with retrained PQ, drop tombstones (ref OnDiskGraphIndexCompactor.
         compact + PQRetrainer balanced sampling)."""
-        live = self.live_vectors().select("id", "vec")
+        # raw (stored-format) pass-through: the rebuild re-derives every
+        # stored column from the f64 matrix, so packed bytes never need a
+        # decode hop on the corpus-sized path
+        live = self._apply_liveness(self.vectors(decode=False)).select("id", "vec")
         builder = IVFIndexBuilder(
             metric=self.manifest.metric,
             n_partitions=self.manifest.n_partitions,
@@ -2320,6 +2389,7 @@ class IVFIndex:
             first_pass=self.manifest.first_pass,
             anisotropic_threshold=self.manifest.anisotropic_threshold,
             pq_residual=self.manifest.pq_residual,
+            vec_format=self.manifest.vec_format,
         )
         seg_name = f"seg-{self.manifest.version:06d}c"
         fresh = IndexManifest(
@@ -2334,6 +2404,7 @@ class IVFIndex:
             first_pass=self.manifest.first_pass,
             anisotropic_threshold=self.manifest.anisotropic_threshold,
             pq_residual=self.manifest.pq_residual,
+            vec_format=self.manifest.vec_format,
             version=self.manifest.version,
         )
         # warm-start PQ from the largest live segment's codebooks (the

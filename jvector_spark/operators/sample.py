@@ -78,8 +78,11 @@ def _run_sample_pass(
     # Arrow toPandas, NOT collect(): Row-object deserialization of the
     # sampled vectors cost ~60 s at 128k x 1024-d (measured) vs seconds
     # over Arrow; the result stays O(sample_cap) rows either way.
+    # The vec column passes through in the INPUT's layout (packed-f32
+    # binary index storage or array<float>) — as_matrix decodes either.
+    vec_type = "binary" if dict(df.dtypes).get("vec") == "binary" else "array<float>"
     return df.mapInPandas(
-        sample_count, schema="pid int, cnt long, key double, vec array<float>"
+        sample_count, schema=f"pid int, cnt long, key double, vec {vec_type}"
     ).toPandas()
 
 
@@ -116,7 +119,6 @@ def sample_and_count(
         pdf = _run_sample_pass(df, base_quota, quotas, seed)
         is_cnt = pdf["vec"].isna()
     picked = pdf.loc[~is_cnt].nsmallest(sample_cap, "key")
-    sample = np.stack(
-        [np.asarray(v, dtype=np.float64) for v in picked["vec"].to_numpy()]
-    )
-    return n, sample
+    from jvector_spark.functions import kernels
+
+    return n, kernels.as_matrix(picked["vec"])

@@ -52,6 +52,15 @@ class IndexManifest:
     anisotropic_threshold: float | None = None  # ScaNN-style PQ objective
     fine_factor: int = 0  # fine sub-clusters per coarse partition (0 = off)
     pq_residual: bool = False  # PQ codes encode (vec - coarse centroid)
+    # storage layout of the full-resolution vec column:
+    #   "packed_f32": one binary cell of little-endian f32 bytes per row —
+    #     plain byte-array parquet encode/shuffle (no per-element rep
+    #     levels; measured 9x faster Spark parquet write at d=1024) and a
+    #     single frombuffer decode in the Arrow kernels. Values are the
+    #     same f32s the list layout stores, so scores are bit-identical.
+    #   "list": array<float> (legacy segments; pre-r6 manifests load as
+    #     this via the dataclass default).
+    vec_format: str = "list"
     segments: list[SegmentInfo] = field(default_factory=list)
     version: int = 0
     format_version: int = MANIFEST_VERSION
@@ -70,7 +79,7 @@ class IndexManifest:
         out: dict[str, list[str]] = {
             # full-resolution vectors are always stored (compaction /
             # exact fallbacks read them) — the INLINE_VECTORS analog
-            "INLINE_VECTORS": ["data.parquet: vec"],
+            "INLINE_VECTORS": [f"data.parquet: vec ({self.vec_format})"],
         }
         if self.first_pass == "bq":
             out["BQ_CODES"] = ["data.parquet: codes (packed sign words)"]

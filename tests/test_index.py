@@ -721,3 +721,53 @@ def test_residual_auto_resolves_from_corpus(spark, twin_corpus, tmp_path_factory
 
     with pytest.raises(ValueError, match="pq_residual"):
         IVFIndexBuilder(pq_residual="maybe")
+
+
+def test_vec_format_parity_and_decode(spark, corpus_df, queries_df, tmp_path):
+    """packed_f32 stores the same f32 values as the list layout: searches
+    are bit-identical across formats on BOTH routes, vectors() decodes
+    back to the exact float lists, and legacy manifests load as list."""
+    df, mat = corpus_df
+    idx = {}
+    for fmt in ("packed_f32", "list"):
+        b = IVFIndexBuilder(
+            metric="COSINE", n_partitions=16, pq_m=8, vec_format=fmt, spill=2
+        )
+        idx[fmt] = b.fit(df, str(tmp_path / fmt))
+        assert idx[fmt].manifest.vec_format == fmt
+
+    for strategy in ("broadcast", "distributed"):
+        rp = idx["packed_f32"].search(
+            queries_df, K, n_probe=4, overquery=4.0, strategy=strategy
+        ).collect()
+        rl = idx["list"].search(
+            queries_df, K, n_probe=4, overquery=4.0, strategy=strategy
+        ).collect()
+        assert [(r.qid, r.id, r.score) for r in rp] == [
+            (r.qid, r.id, r.score) for r in rl
+        ], strategy
+
+    # threshold route parity (exact scores both formats)
+    tp = idx["packed_f32"].threshold_search(queries_df, 0.95).collect()
+    tl = idx["list"].threshold_search(queries_df, 0.95).collect()
+    assert sorted((r.qid, r.id, r.score) for r in tp) == sorted(
+        (r.qid, r.id, r.score) for r in tl
+    )
+
+    # decode surface: vectors() returns the stored f32 values as lists
+    got = {r.id: np.asarray(r.vec, dtype=np.float32)
+           for r in idx["packed_f32"].vectors().filter("id < 50").collect()}
+    assert len(got) == 50
+    for i, v in got.items():
+        assert np.array_equal(v, mat[i])
+
+    # legacy manifest (no vec_format key) loads as the list layout
+    import json, os
+    mpath = os.path.join(str(tmp_path / "list"), "meta.json")
+    m = json.load(open(mpath))
+    m.pop("vec_format")
+    json.dump(m, open(mpath, "w"))
+    legacy = IVFIndex.load(spark, str(tmp_path / "list"))
+    assert legacy.manifest.vec_format == "list"
+    r = legacy.search(queries_df, K, n_probe=4, overquery=4.0).collect()
+    assert len(r) == len(queries_df.collect()) * K

@@ -163,6 +163,10 @@ def main() -> None:
     )
     ap.add_argument("--skip-grid", action="store_true")
     ap.add_argument("--keep", default=None, help="persistent dir (reuse corpus+index)")
+    ap.add_argument(
+        "--vec-format", default="packed_f32", choices=["packed_f32", "list"],
+        help="vec storage layout A/B (same f32 values, bit-identical scores)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -185,6 +189,7 @@ def main() -> None:
             ("" if args.pq_m == 8 else f"_m{args.pq_m}")
             + ("" if args.rerank == "fp32" else f"_{args.rerank}")
             + ("_res" if args.residual else "")
+            + ("" if args.vec_format == "packed_f32" else f"_{args.vec_format}")
         )
         idx_dir = f"{base}/idx{suffix}"
         if os.path.exists(f"{idx_dir}/meta.json"):
@@ -196,7 +201,7 @@ def main() -> None:
                 metric="COSINE", pq_m=args.pq_m, spill=2,
                 fine_factor=args.fine_factor, n_partitions=args.parts,
                 fine_assign_cells=args.fine_assign_cells, rerank=args.rerank,
-                pq_residual=args.residual,
+                pq_residual=args.residual, vec_format=args.vec_format,
             ).fit(corpus, idx_dir)
             log(
                 step="build", sec=round(time.perf_counter() - t0, 1),
