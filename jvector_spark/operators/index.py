@@ -363,6 +363,7 @@ def _assign_fine_hierarchical(
     late-r6 (``_hier_fine_subs``): selection restricted to the probed
     coarse cells' fine cells, mirroring this assignment rule."""
     n = len(x)
+    fine_cents = fine_cents.astype(x.dtype, copy=False)  # no upcast in the BLAS
     best_d = np.full(n, np.inf)
     best_s = np.full(n, -1, dtype=np.int64)
     for c in np.unique(pm):
@@ -699,10 +700,13 @@ class IVFIndexBuilder:
         residual = self.pq_residual
         if residual == "auto" or residual:
             # nearest-coarse assignment of the sample (the same rule the
-            # encode pass uses for the PRIMARY copy)
-            cc_s = np.einsum("ij,ij->i", centroids, centroids)
-            a = np.argmin(-2.0 * sample @ centroids.T + cc_s[None, :], axis=1)
-            res = sample - centroids[a]
+            # encode pass uses for the PRIMARY copy); f32 throughout — the
+            # sample is f32 storage values, and mixing dtypes would upcast
+            # a full sample-sized copy
+            c_s = centroids.astype(sample.dtype)
+            cc_s = np.einsum("ij,ij->i", c_s, c_s)
+            a = np.argmin(-2.0 * sample @ c_s.T + cc_s[None, :], axis=1)
+            res = sample - c_s[a]
             if residual == "auto":
                 # Residual codes win exactly when the coarse clustering
                 # explains the corpus: codebooks then resolve within-cell
@@ -712,9 +716,11 @@ class IVFIndexBuilder:
                 # below the cut (~0.06 on the r6 zipf probe); isotropic
                 # Gaussian sits near 1.0. first_pass="bq" has no PQ
                 # codebooks, so auto resolves to False there.
-                ctr = sample - sample.mean(axis=0, keepdims=True)
-                evar = float(np.mean(np.einsum("ij,ij->i", res, res)))
-                tvar = float(np.mean(np.einsum("ij,ij->i", ctr, ctr)))
+                ctr = sample - sample.mean(axis=0, keepdims=True, dtype=np.float64).astype(sample.dtype)
+                # per-row norms reduce over d elements (f32-safe); the
+                # across-rows mean accumulates in f64
+                evar = float(np.mean(np.einsum("ij,ij->i", res, res), dtype=np.float64))
+                tvar = float(np.mean(np.einsum("ij,ij->i", ctr, ctr), dtype=np.float64))
                 residual = (
                     self.first_pass != "bq"
                     and evar <= _RESIDUAL_AUTO_RATIO * tvar
@@ -793,14 +799,21 @@ class IVFIndexBuilder:
             from pyspark import TaskContext
 
             cents, codec, nvq_codec, fine_cents, fine_of_ = b.value
+            # candidate selection + codec encode run in f32 (the values
+            # being stored ARE f32, so f32 reads are lossless; BLAS moves
+            # half the bytes). The pruning STATS below stay f64 arithmetic
+            # over the same f32 values — their max/min must cover what
+            # search's f64 kernels later compute, exactly.
+            cents32 = cents.astype(np.float32)
+            cc32 = np.einsum("ij,ij->i", cents32, cents32)
             cc = np.einsum("ij,ij->i", cents, cents)
             cn = np.sqrt(cc)
             task_counts: dict[int, int] = {}
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                x = kernels.as_matrix(pdf["vec"])
-                d = -2.0 * x @ cents.T + cc[None, :]  # dist^2 - ||x||^2 (argmin-safe)
+                x = kernels.as_matrix(pdf["vec"], dtype=np.float32)
+                d = -2.0 * x @ cents32.T + cc32[None, :]  # dist^2 - ||x||^2 (argmin-safe)
                 if spill == 1:
                     pm = np.argmin(d, axis=1)[:, None]
                 else:
@@ -818,7 +831,7 @@ class IVFIndexBuilder:
                 # partition bound covers it, so any row with score >= t is
                 # found there; spilled copies in pruned partitions are the
                 # same rows (search dedups by id).
-                x32 = x.astype(np.float32).astype(np.float64)
+                x32 = x.astype(np.float64)  # x is already the stored f32 values
                 xx = np.einsum("ij,ij->i", x32, x32)
                 xn = np.sqrt(xx)
                 d32 = -2.0 * x32 @ cents.T + cc[None, :]
@@ -857,7 +870,7 @@ class IVFIndexBuilder:
                     # decomposition q·c_p + LUT-gather holds for every
                     # stored copy. rsq = ‖c_p + decode(codes)‖² — the
                     # reconstructed magnitude stage-1 L2/cosine needs.
-                    res = x[rep] - cents[p]
+                    res = x[rep] - cents32[p]
                     rcodes = codec.encode_numpy(res)
                     recon = codec.decode_numpy(rcodes) + cents[p]
                     rsq = np.einsum("ij,ij->i", recon, recon).astype(np.float32)
@@ -867,11 +880,9 @@ class IVFIndexBuilder:
                     code_bytes = [c.tobytes() for c in codes]
                     codes_rows = [code_bytes[i] for i in rep]
                 if packed:
-                    # pack the f32 values that the list layout would have
-                    # stored (Arrow casts to float on write either way) —
-                    # x32 is already computed for the stats
-                    x32f = x32.astype(np.float32)
-                    vec_rows = pd.Series([x32f[i].tobytes() for i in rep])
+                    # x IS the f32 values the list layout would store
+                    # (Arrow casts to float on write either way)
+                    vec_rows = pd.Series([x[i].tobytes() for i in rep])
                 else:
                     vec_rows = pdf["vec"].iloc[rep].reset_index(drop=True)
                 out = {
@@ -903,8 +914,9 @@ class IVFIndexBuilder:
                             x, cand, fine_cents, fine_of_
                         )
                     else:  # fine_assign_cells=0: global argmin
-                        fc = np.einsum("ij,ij->i", fine_cents, fine_cents)
-                        fd = -2.0 * x @ fine_cents.T + fc[None, :]
+                        f32c = fine_cents.astype(x.dtype)
+                        fc = np.einsum("ij,ij->i", f32c, f32c)
+                        fd = -2.0 * x @ f32c.T + fc[None, :]
                         sub = np.argmin(fd, axis=1)
                     out["sub_id"] = sub.astype(np.int32)[rep]
                 if rsq is not None:  # keep column order aligned with schema

@@ -54,6 +54,10 @@ def _kmeans_fast(
 
     n_sub = int(min(n, max(8 * k, 20_000)))
     sub = points if n_sub >= n else points[rng.choice(n, size=n_sub, replace=False)]
+    # distance BLAS runs in the INPUT dtype (f32 training samples halve
+    # the moved bytes; see sample_and_count) — centroid means still
+    # accumulate in f64 (bincount weights), and the returned centroids
+    # are f64 as before
     cent = _init_pp_fast(sub, k, rng)
     pp = np.einsum("ij,ij->i", points, points)
     for _ in range(iterations):
@@ -63,13 +67,13 @@ def _kmeans_fast(
         for j in range(d):
             sums[:, j] = np.bincount(assign, weights=points[:, j], minlength=k)
         nonempty = counts > 0
-        cent[nonempty] = sums[nonempty] / counts[nonempty, None]
+        cent[nonempty] = (sums[nonempty] / counts[nonempty, None]).astype(cent.dtype)
         n_empty = int(k - nonempty.sum())
         if n_empty:
             md = _min_dist_chunked(points, cent, pp)
             far = np.argpartition(md, n - n_empty)[n - n_empty:]
             cent[~nonempty] = points[far]
-    return cent
+    return cent.astype(np.float64)
 
 
 def _init_pp_fast(points: np.ndarray, k: int, rng: np.random.Generator) -> np.ndarray:
@@ -77,7 +81,7 @@ def _init_pp_fast(points: np.ndarray, k: int, rng: np.random.Generator) -> np.nd
     no n×d temporaries) and inverse-CDF sampling."""
     n, d = points.shape
     pp = np.einsum("ij,ij->i", points, points)
-    cent = np.empty((k, d), dtype=np.float64)
+    cent = np.empty((k, d), dtype=points.dtype)
     cent[0] = points[rng.integers(n)]
     d2 = np.full(n, np.inf)
     for j in range(1, k):
@@ -152,7 +156,8 @@ def fine_level(
     n = len(points)
     n_fine = int(min(n_fine, n))
     pp = np.einsum("ij,ij->i", points, points)
-    assign = _nearest_chunked(points, coarse, pp)
+    # match the sample's dtype so the chunked BLAS never upcasts
+    assign = _nearest_chunked(points, coarse.astype(points.dtype), pp)
     counts = np.bincount(assign, minlength=len(coarse))
     nonempty = np.flatnonzero(counts)
     # largest-remainder apportionment, >= 1 per nonempty cell
@@ -182,7 +187,9 @@ def fine_level(
                 kmeans_pp(sub, k_c, iterations, int(rng.integers(2**31)))
             )
         owners.append(np.full(len(out[-1]), cell, dtype=np.int64))
-    return np.concatenate(out, axis=0), np.concatenate(owners)
+    # f64 regardless of training dtype (manifest tables + kernels expect it)
+    fine_cents = np.concatenate(out, axis=0).astype(np.float64)
+    return fine_cents, np.concatenate(owners)
 
 
 # ---------------------------------------------------------------------------

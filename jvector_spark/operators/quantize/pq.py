@@ -100,9 +100,12 @@ class ProductQuantizer(VectorCompressor):
         dim = mat.shape[1]
         if dim % m != 0:
             raise ValueError(f"dim {dim} not divisible by m {m}")
-        gc = mat.mean(axis=0) if center else None
+        # gc is stored f64; the training subtraction stays in the sample's
+        # dtype (an f64 gc minus an f32 sample would upcast a full
+        # sample-sized copy)
+        gc = mat.mean(axis=0, dtype=np.float64) if center else None
         if gc is not None:
-            mat = mat - gc
+            mat = mat - gc.astype(mat.dtype)
         k = min(clusters, len(mat))
         dsub = dim // m
         if anisotropic_threshold is None:
@@ -145,13 +148,16 @@ class ProductQuantizer(VectorCompressor):
     def encode_numpy(self, mat: np.ndarray) -> np.ndarray:
         """(n, d) -> (n, m) uint8/uint16 codes (argmin centroid per subspace)."""
         if self.global_centroid is not None:
-            mat = mat - self.global_centroid
+            mat = mat - self.global_centroid.astype(mat.dtype)
         n = len(mat)
         dtype = np.uint8 if self.clusters <= 256 else np.uint16
         codes = np.empty((n, self.m), dtype=dtype)
+        # run the argmin BLAS in the input dtype (f32 encode passes halve
+        # moved bytes; codebooks stay f64 at rest)
+        books = self.codebooks.astype(mat.dtype, copy=False)
         for i in range(self.m):
             sub = mat[:, i * self.dsub : (i + 1) * self.dsub]
-            book = self.codebooks[i]
+            book = books[i]
             d = (
                 np.einsum("ij,ij->i", sub, sub)[:, None]
                 + np.einsum("ij,ij->i", book, book)[None, :]
@@ -301,7 +307,11 @@ class ProductQuantizer(VectorCompressor):
         """Warm-started codebook fine-tune on new data (ref
         ProductQuantization.refine, ProductQuantization.java:184; used by
         compaction's PQRetrainer)."""
-        x = mat - self.global_centroid if self.global_centroid is not None else mat
+        x = (
+            mat - self.global_centroid.astype(mat.dtype)
+            if self.global_centroid is not None
+            else mat
+        )
         books = self.codebooks.copy()
         for i in range(self.m):
             sub = x[:, i * self.dsub : (i + 1) * self.dsub]
