@@ -687,7 +687,11 @@ class IVFIndexBuilder:
             # most of its wall time on 2 tasks). One round-robin shuffle of
             # (id, vec) buys cores-wide parallelism for both the sample
             # pass and the encode job; at cluster scale inputs have far
-            # more splits than cores and this is a no-op.
+            # more splits than cores and this is a no-op. (Sampling the
+            # PRE-shuffle lineage was tried — contention-normalized wash:
+            # the sample job's cost is Python-side Arrow deserialization
+            # of the vec column, which the exchange parallelizes 32-wide,
+            # not the 400 MB JVM shuffle it adds.)
             df = df.repartition(par)
 
         # ---- job 1: count + sample in one pass ----
