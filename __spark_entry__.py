@@ -659,7 +659,10 @@ def _ann_ivf_fine(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel), and deep overquery reranks the surviving members exactly.
     Gated: per-query recall@10 vs the exact oracle >= 0.5 while visiting
     a small fraction of stored rows (recall 1.0 at 0.6% visited on the
-    100k bench corpus; see BENCH large_recall grid)."""
+    100k bench corpus; see BENCH large_recall grid). Operating point
+    sized to hold the floor at BOTH sf0.01 and sf0.1 (worst query 6/10
+    at sf0.1; the old np=8/npf=32/oq=16 point measured 4/10 there —
+    fine-cell COVERAGE, pre-existing, not a code regression)."""
     import tempfile
 
     from jvector_spark.operators import exact
@@ -672,7 +675,7 @@ def _ann_ivf_fine(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, tmp
     )
     queries = corpus.filter(F.col("id") < 16).selectExpr("id as qid", "vec")
-    res = idx.search(queries, k=10, n_probe=8, overquery=16.0, n_probe_fine=32)
+    res = idx.search(queries, k=10, n_probe=12, overquery=32.0, n_probe_fine=48)
     gt = exact.knn_join(corpus, queries, k=10, metric="COSINE", strategy="numpy")
     return _recall_gate(res, gt, min_hits=5)
 
