@@ -1336,6 +1336,11 @@ def _pipeline_q(spark_fn, oracle: str, *tables: str):
     return run
 
 
+_LINE_DEDUP_BOILER = (
+    "NOTICE: this shared boilerplate header appears in every document"
+)
+
+
 def _register_pipeline() -> None:
     from jvector_spark.pipeline import dedup as D
     from jvector_spark.pipeline import text as T
@@ -1368,6 +1373,27 @@ def _register_pipeline() -> None:
             lambda emb: D.embedding_neardup(emb, threshold=0.35),
             D.embedding_neardup_sql(threshold=0.35),
             ["embeddings"],
+        ),
+        # C4 §2.2 / RefinedWeb / Dolma line-level rule: boilerplate lines
+        # recur across pages — keep each line's FIRST (doc_id, pos)
+        # occurrence corpus-wide, reassemble docs. The synthetic documents
+        # table has no natural line duplication (single-line bags of
+        # words), so the row INJECTS a shared boilerplate header into
+        # every document on BOTH sides — the operator must keep exactly
+        # one copy (doc 0) and strip the other 499, which the oracle
+        # verifies value-exactly.
+        "dedup_lines": (
+            lambda docs: D.line_dedup(
+                docs.withColumn(
+                    "text",
+                    F.concat_ws("\n", F.lit(_LINE_DEDUP_BOILER), F.col("text")),
+                )
+            ),
+            D.line_dedup_sql(
+                src=f"(SELECT doc_id, '{_LINE_DEDUP_BOILER}' || chr(10) || text"
+                " AS text FROM documents)"
+            ),
+            ["documents"],
         ),
         "text_token_count": (lambda docs: T.token_stats(docs), T.token_stats_sql(), ["documents"]),
         # Gopher/MassiveText repetition rules (Rae et al. 2021 A1.1)

@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_winnowing",
+    "dedup_lines",
     "dedup_embedding",
     "text_quality",
     "text_repetition",

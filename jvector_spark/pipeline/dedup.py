@@ -683,3 +683,98 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
 FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}
 """
+
+
+# ---------------------------------------------------------------------------
+# D7: line-level dedup across the corpus (C4 §2.2 / RefinedWeb / Dolma rule:
+# boilerplate lines recur across millions of pages — keep each line's FIRST
+# occurrence, drop the rest, reassemble documents)
+# ---------------------------------------------------------------------------
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_len: int = 20,
+    hash_lines: bool = False,
+) -> DataFrame:
+    """Corpus-wide line-level dedup: split each document into lines, keep
+    every line's FIRST occurrence in (doc_id, line position) order, drop
+    later occurrences, and reassemble each document from its surviving
+    lines (original order). Lines shorter than ``min_len`` are exempt
+    (never treated as duplicates — short/blank lines are structure, not
+    boilerplate), matching the C4-family heuristics.
+
+    Returns (doc_id, text) with the deduplicated text. A document whose
+    EVERY line was a later occurrence drops out entirely (the C4-family
+    pipelines discard emptied documents the same way).
+
+    Scale shape: one groupBy on the line key (map-side partial min, the
+    key + an 8-byte occurrence ordinal cross the exchange), then one
+    equi-join of the exploded lines against the winners and one rebuild
+    groupBy — every shuffle is keyed, no all-pairs stage anywhere.
+    ``hash_lines=True`` is the 100 TB path: group/join on xxhash64(line)
+    so full line text never keys an exchange (C4 itself dedups on
+    hashes); the default groups on raw lines so the result is exactly
+    SQL-replicable (the oracle gate runs this mode).
+    """
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    key = F.xxhash64("line") if hash_lines else F.col("line")
+    eligible = lines.filter(F.length("line") >= min_len)
+    # first occurrence per line: min over a single scalar ordinal —
+    # (doc_id, pos) packed so map-side combine stays a plain min
+    firsts = eligible.groupBy(key.alias("lkey")).agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    kept = lines.join(
+        firsts, key == F.col("lkey"), "left"
+    ).filter(
+        (F.length("line") < min_len)
+        | (
+            (F.col("first.doc_id") == F.col("doc_id"))
+            & (F.col("first.pos") == F.col("pos"))
+        )
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias(text_col)
+    )
+    return rebuilt.orderBy("doc_id")
+
+
+def line_dedup_sql(
+    text_col: str = "text", min_len: int = 20, src: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`line_dedup` (raw-line mode). Parallel
+    ``unnest`` calls zip in DuckDB, giving posexplode semantics; the
+    named-struct MIN picks the same lexicographic (doc_id, pos) first
+    occurrence Spark's ``min(struct(...))`` does."""
+    return f"""
+WITH lines AS (
+  SELECT doc_id,
+         unnest(string_split({text_col}, chr(10))) AS line,
+         unnest(range(0, len(string_split({text_col}, chr(10))))) AS pos
+  FROM {src}
+),
+firsts AS (
+  SELECT line AS lkey, MIN(struct_pack(doc_id := doc_id, pos := pos)) AS first
+  FROM lines WHERE length(line) >= {min_len} GROUP BY line
+),
+kept AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM lines l LEFT JOIN firsts f ON l.line = f.lkey
+  WHERE length(l.line) < {min_len}
+     OR (f.first.doc_id = l.doc_id AND f.first.pos = l.pos)
+)
+SELECT doc_id,
+       string_agg(line, chr(10) ORDER BY pos) AS {text_col}
+FROM kept GROUP BY doc_id ORDER BY doc_id
+"""

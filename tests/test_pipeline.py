@@ -288,3 +288,40 @@ def test_redact_pii_scrubs_and_counts(spark):
     assert "<IP>" in got[1]["redacted"] and "<NUM>" in got[1]["redacted"]
     assert got[2]["n_email"] == got[2]["n_ip"] == got[2]["n_idnum"] == 0
     assert got[2]["redacted"] == "clean text, short number 12345 kept"
+
+
+def test_line_dedup_keeps_first_occurrence_and_short_lines(spark):
+    boiler = "SHARED BOILERPLATE LINE THAT RECURS EVERYWHERE"
+    rows = [
+        (1, boiler + "\nunique content of document one\nzz"),
+        (2, boiler + "\nanother document's unique line"),
+        (3, "third doc leads with its own line\n" + boiler),
+        (4, boiler),  # emptied entirely -> dropped
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text for r in D.line_dedup(docs, min_len=20).collect()}
+    # first (doc_id, pos) occurrence keeps the boilerplate; others lose it
+    assert out[1] == boiler + "\nunique content of document one\nzz"
+    assert out[2] == "another document's unique line"
+    assert out[3] == "third doc leads with its own line"
+    assert 4 not in out  # every line was a later occurrence
+    # short lines are exempt even when duplicated
+    short = spark.createDataFrame(
+        [(1, "zz\nlong distinctive line aaaaaaaaaaaa"), (2, "zz")],
+        "doc_id long, text string",
+    )
+    out2 = {r.doc_id: r.text for r in D.line_dedup(short, min_len=20).collect()}
+    assert out2[2] == "zz"
+
+
+def test_line_dedup_hash_mode_matches_raw_mode(spark):
+    rows = [
+        (i, f"common header line shared by all docs\nbody {i} with words")
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    raw = sorted((r.doc_id, r.text) for r in D.line_dedup(docs).collect())
+    hashed = sorted(
+        (r.doc_id, r.text) for r in D.line_dedup(docs, hash_lines=True).collect()
+    )
+    assert raw == hashed
