@@ -387,6 +387,37 @@ def main() -> None:
                     4,
                 )
                 xres.unpersist()
+
+                # ---- d=1024 build + search: BASELINE.md's own shape ----
+                # The reference's published build number is 26.4 s for
+                # 100k x 1024-d (cohere; 671.testing.md:23) — bench the
+                # SAME shape directly instead of leaving the comparison
+                # to round notes. Our build additionally writes the
+                # partitioned / spill-replicated / fine-celled parquet
+                # index that makes 100 TB search partition-prunable.
+                hd_n = min(100_000, xl_n)
+                with contextlib.redirect_stdout(sys.stderr):
+                    _probe.gen_corpus(f"{xdir}/hd", hd_n, 1024, 100, seed=11)
+                hcorpus = spark.read.parquet(f"{xdir}/hd/corpus.parquet")
+                t0 = time.perf_counter()
+                hidx = IVFIndexBuilder(
+                    metric="COSINE", pq_m=8, spill=2, fine_factor=8,
+                    n_partitions=316,
+                ).fit(hcorpus, f"{xdir}/hd/idx")
+                timings["large_ivf_build_100k_d1024"] = round(
+                    time.perf_counter() - t0, 3
+                )
+                hq = hcorpus.filter(F.col("id") % (hd_n // 64) == 0).selectExpr(
+                    "id as qid", "vec"
+                )
+                t0 = time.perf_counter()
+                hres = hidx.search(
+                    hq, 10, n_probe=8, overquery=64.0, n_probe_fine=16
+                )
+                _materialize(hres)
+                timings["large_search_d1024_64q"] = round(
+                    time.perf_counter() - t0, 3
+                )
             finally:
                 shutil.rmtree(xdir, ignore_errors=True)
         except Exception as e:  # pragma: no cover - bench must always emit JSON
