@@ -675,7 +675,7 @@ def _ann_ivf_fine(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, tmp
     )
     queries = corpus.filter(F.col("id") < 16).selectExpr("id as qid", "vec")
-    res = idx.search(queries, k=10, n_probe=12, overquery=32.0, n_probe_fine=48)
+    res = idx.search(queries, k=10, n_probe=12, overquery=16.0, n_probe_fine=48)
     gt = exact.knn_join(corpus, queries, k=10, metric="COSINE", strategy="numpy")
     return _recall_gate(res, gt, min_hits=5)
 
