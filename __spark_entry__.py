@@ -1395,6 +1395,16 @@ def _register_pipeline() -> None:
             ),
             ["documents"],
         ),
+        # ExactSubstr (Lee et al. 2022) relaxed to word windows: any
+        # 12-word window occurring >1x corpus-wide keeps only its first
+        # occurrence; covered words are cut and docs reassembled. The
+        # near-dup documents in the synthetic corpus share long verbatim
+        # runs, so ~5% of tokens get removed at sf0.01 — non-degenerate.
+        "dedup_spans": (
+            lambda docs: D.span_dedup(docs, span_len=12),
+            D.span_dedup_sql(span_len=12),
+            ["documents"],
+        ),
         "text_token_count": (lambda docs: T.token_stats(docs), T.token_stats_sql(), ["documents"]),
         # Gopher/MassiveText repetition rules (Rae et al. 2021 A1.1)
         "text_repetition": (

@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_winnowing",
     "dedup_lines",
+    "dedup_spans",
     "dedup_embedding",
     "text_quality",
     "text_repetition",

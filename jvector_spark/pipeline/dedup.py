@@ -750,6 +750,134 @@ def line_dedup(
     return rebuilt.orderBy("doc_id")
 
 
+def span_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    span_len: int = 50,
+    hash_windows: bool = False,
+) -> DataFrame:
+    """Exact-substring span dedup (the "ExactSubstr" rule of Lee et al.
+    2022, *Deduplicating Training Data Makes Language Models Better*),
+    relaxed from byte suffix-arrays to word windows so it distributes:
+    every ``span_len``-word window that occurs MORE than once corpus-wide
+    (across documents or repeated within one) keeps only its FIRST
+    occurrence in (doc_id, position) order; every word covered by a
+    later occurrence of a duplicated window is removed, and documents are
+    reassembled from their surviving words. A document whose every word
+    sat inside duplicated spans drops out entirely.
+
+    This is the span-level member of the dedup family: exact/minhash/
+    simhash decide about whole documents, ``line_dedup`` about boilerplate
+    lines — this one removes long verbatim passages (licenses, templated
+    paragraphs, quoted chain-mail) that near-dup scoring under-weights in
+    long documents, which is exactly the case Lee et al. built suffix
+    arrays for.
+
+    Scale shape (no suffix array needed): windows are a map-side
+    ``posexplode`` over each document's own tokens; first occurrences are
+    one groupBy on the window key with a map-side ``min`` over a packed
+    (doc_id, pos) struct; later occurrences come from one equi-join of
+    windows against those winners; cover positions explode only from
+    MARKED windows (bounded by the duplicated fraction, not the corpus);
+    the final removal is a doc_id-co-keyed anti-join. Every exchange is
+    keyed — nothing is all-pairs. ``hash_windows=True`` is the 100 TB
+    mode: exchanges key on ``xxhash64(window)`` so window text never
+    crosses the wire; the default keys on raw windows so the result is
+    exactly SQL-replicable (the oracle gate runs this mode).
+    """
+    n = span_len
+    toks_arr = F.split(F.col(text_col), " ")
+    # windows exist only where a full n-word slice does; sequence() would
+    # count DOWN for shorter docs, so gate it to an empty array instead
+    wins = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size(toks_arr) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks_arr) - F.lit(n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(toks_arr, i, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("wpos", "win"),
+    )
+    key = F.xxhash64("win") if hash_windows else F.col("win")
+    firsts = wins.groupBy(key.alias("wkey")).agg(
+        F.min(F.struct("doc_id", "wpos")).alias("first")
+    )
+    # a count-1 window IS its own first occurrence, so inequality against
+    # the winner marks exactly the duplicated later occurrences
+    marked = wins.join(firsts, key == F.col("wkey")).filter(
+        ~(
+            (F.col("first.doc_id") == F.col("doc_id"))
+            & (F.col("first.wpos") == F.col("wpos"))
+        )
+    )
+    cover = marked.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("wpos"), F.col("wpos") + F.lit(n - 1))
+        ).alias("tpos"),
+    ).distinct()
+    tokens = docs.select(
+        "doc_id", F.posexplode(toks_arr).alias("tpos", "token")
+    )
+    kept = tokens.join(cover, ["doc_id", "tpos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "token"))),
+                lambda s: s["token"],
+            ),
+        ).alias(text_col)
+    )
+    return rebuilt.orderBy("doc_id")
+
+
+def span_dedup_sql(
+    text_col: str = "text", span_len: int = 50, src: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`span_dedup` (raw-window mode). Parallel
+    ``unnest`` calls zip, replicating posexplode; the named-struct MIN
+    picks the same lexicographic (doc_id, wpos) winner."""
+    n = span_len
+    return f"""
+WITH docs AS (SELECT doc_id, string_split({text_col}, ' ') AS toks FROM {src}),
+wins AS (
+  SELECT doc_id,
+         unnest(range(0, greatest(len(toks) - {n - 1}, 0))) AS wpos,
+         unnest(list_transform(range(1, greatest(len(toks) - {n - 1}, 0) + 1),
+                               i -> array_to_string(toks[i:i+{n - 1}], ' '))) AS win
+  FROM docs
+),
+firsts AS (
+  SELECT win AS wkey, MIN(struct_pack(doc_id := doc_id, wpos := wpos)) AS first
+  FROM wins GROUP BY win
+),
+marked AS (
+  SELECT w.doc_id, w.wpos FROM wins w JOIN firsts f ON w.win = f.wkey
+  WHERE NOT (f.first.doc_id = w.doc_id AND f.first.wpos = w.wpos)
+),
+cover AS (
+  SELECT DISTINCT doc_id, tpos FROM (
+    SELECT doc_id, unnest(range(wpos, wpos + {n})) AS tpos FROM marked
+  )
+),
+toks_e AS (
+  SELECT doc_id, unnest(string_split({text_col}, ' ')) AS token,
+         unnest(range(0, len(string_split({text_col}, ' ')))) AS tpos
+  FROM {src}
+),
+kept AS (
+  SELECT t.doc_id, t.tpos, t.token FROM toks_e t
+  ANTI JOIN cover c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+)
+SELECT doc_id, string_agg(token, ' ' ORDER BY tpos) AS {text_col}
+FROM kept GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def line_dedup_sql(
     text_col: str = "text", min_len: int = 20, src: str = "documents"
 ) -> str:

@@ -325,3 +325,45 @@ def test_line_dedup_hash_mode_matches_raw_mode(spark):
         (r.doc_id, r.text) for r in D.line_dedup(docs, hash_lines=True).collect()
     )
     assert raw == hashed
+
+
+def test_span_dedup_removes_later_occurrences_only(spark):
+    phrase = "one two three four five six"  # 6-word duplicated span
+    rows = [
+        (1, f"alpha {phrase} beta"),
+        (2, f"gamma {phrase} delta"),  # later occurrence -> span cut
+        (3, "totally unrelated words here and everywhere"),
+        (4, phrase),  # emptied entirely -> dropped
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text for r in D.span_dedup(docs, span_len=6).collect()}
+    assert out[1] == f"alpha {phrase} beta"  # first occurrence intact
+    assert out[2] == "gamma delta"
+    assert out[3] == "totally unrelated words here and everywhere"
+    assert 4 not in out
+
+
+def test_span_dedup_within_doc_repetition_and_short_docs(spark):
+    # repetition INSIDE one document: second occurrence cut, first kept
+    rows = [
+        (1, "x y z x y z"),
+        (2, "too short"),  # shorter than span_len -> untouched
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text for r in D.span_dedup(docs, span_len=2).collect()}
+    # windows of 2: "x y","y z","z x","x y","y z"; marked = wpos 3,4
+    # -> covered tpos {3,4,5}; survivors "x y z"
+    assert out[1] == "x y z"
+    assert out[2] == "too short"
+
+
+def test_span_dedup_hash_mode_matches_raw_mode(spark):
+    shared = "a long shared verbatim passage of many words repeated across docs"
+    rows = [(i, f"doc {i} prefix {shared} suffix {i}") for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    raw = sorted((r.doc_id, r.text) for r in D.span_dedup(docs, span_len=5).collect())
+    hashed = sorted(
+        (r.doc_id, r.text)
+        for r in D.span_dedup(docs, span_len=5, hash_windows=True).collect()
+    )
+    assert raw == hashed
