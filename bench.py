@@ -282,6 +282,25 @@ def main() -> None:
                     )
                 lgt.unpersist()
 
+                # k=100 operating points — the baseline publishes recall@100
+                # at overquery {1, 2} (671.testing.md:49-50: 0.85 / 0.97);
+                # k=100 needs wider cell coverage than k=10, so probe deeper
+                lgt100 = _exact.knn_join(
+                    lcorpus, lqueries, 100, metric="COSINE", strategy="numpy"
+                ).cache()
+                lgt100.count()
+                for n_probe, npf, oq in [(16, 32, 1.0), (16, 32, 2.0)]:
+                    tag = f"k100_np{n_probe}_npf{npf}_oq{int(oq)}"
+                    t0 = time.perf_counter()
+                    r = lidx.search(
+                        lqueries, 100, n_probe=n_probe, overquery=oq, n_probe_fine=npf
+                    )
+                    recalls[f"large_recall@100_{tag}"] = round(
+                        recall_at_k(r, lgt100, 100), 4
+                    )
+                    timings[f"large_search_{tag}"] = round(time.perf_counter() - t0, 3)
+                lgt100.unpersist()
+
                 # near-dup crossover: exact blocked all-pairs vs the SAME
                 # corpus through the index's bound-pruned threshold search
                 # (the dedup_embedding_ivf shape; index already built above)
