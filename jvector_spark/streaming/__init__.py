@@ -21,15 +21,22 @@ batch sessionizer; ``dedup.streaming_exact_dedup`` (custom keyed state via
 ``neardup.streaming_minhash_neardup`` of the batch MinHash/LSH pair
 operator — band-bucket keyed state, exact-Jaccard verification, pairs
 emitted exactly once from their canonical shared band.
+
+``search.stream_search`` closes the serving loop: a query STREAM answered
+in micro-batches against the index, re-reading the manifest per batch so
+concurrent ingest/compaction becomes visible — the streaming twin of the
+reference's continuous-query serving, at batch cadence.
 """
 
 from jvector_spark.streaming.dedup import streaming_exact_dedup
 from jvector_spark.streaming.ingest import stream_ingest
 from jvector_spark.streaming.neardup import streaming_minhash_neardup
 from jvector_spark.streaming.rollup import session_rollup, windowed_event_rollup
+from jvector_spark.streaming.search import stream_search
 
 __all__ = [
     "stream_ingest",
+    "stream_search",
     "windowed_event_rollup",
     "session_rollup",
     "streaming_exact_dedup",

@@ -309,3 +309,71 @@ def test_streaming_minhash_neardup_matches_batch(spark, tmp_path):
     # cross-batch pairs must exist for the test to mean anything
     assert any(a < 100 <= b for a, b, _ in want)
     assert got == want
+
+
+def test_stream_search_matches_batch_and_sees_appends(spark, rng, tmp_path):
+    from jvector_spark.streaming import stream_search
+
+    idx_path = str(tmp_path / "sidx")
+    in_dir = str(tmp_path / "sin")
+    out_dir = str(tmp_path / "sout")
+    ckpt = str(tmp_path / "sckpt")
+
+    corpus = _mk_batch(spark, rng, 0, 400)
+    idx = IVFIndexBuilder(metric="COSINE", pq_m=4, n_partitions=8).fit(
+        corpus, idx_path
+    )
+
+    # two query files -> two micro-batches (exhaustive knobs => exact,
+    # so streamed answers must equal the batch search bit-for-bit)
+    qmat = rng.uniform(-1.0, 1.0, size=(12, DIM)).astype(np.float32)
+    qdf = spark.createDataFrame(
+        [(i, qmat[i].tolist()) for i in range(12)], "qid long, vec array<float>"
+    )
+    qdf.filter("qid < 6").coalesce(1).write.mode("append").parquet(in_dir)
+    qdf.filter("qid >= 6").coalesce(1).write.mode("append").parquet(in_dir)
+
+    kw = dict(n_probe=8, overquery=400.0)  # every partition, full rerank
+    stream = (
+        spark.readStream.schema("qid long, vec array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    seen = []
+    q = stream_search(
+        stream, idx, out_dir, ckpt, k=5,
+        on_batch=lambda bid, n: seen.append((bid, n)),
+        trigger={"availableNow": True}, **kw,
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sum(n for _, n in seen) == 12
+
+    streamed = {
+        (r.qid, r.rank): r.id
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = {(r.qid, r.rank): r.id for r in idx.search(qdf, 5, **kw).collect()}
+    assert streamed == batch
+
+    # a segment appended between runs is visible to the NEXT batch:
+    # plant a vector identical to query 0 and re-run on a new file
+    planted = spark.createDataFrame(
+        [(9999, qmat[0].tolist())], "id long, vec array<float>"
+    )
+    idx.append(planted, seg_name="seg-planted")
+    qdf.filter("qid = 0").coalesce(1).write.mode("append").parquet(in_dir)
+    q2 = stream_search(
+        stream, idx, out_dir, ckpt, k=5, trigger={"availableNow": True}, **kw
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    # the sink is an append log keyed by batch_id (partition-dir column);
+    # the re-asked query's NEWEST answer ranks the planted twin first,
+    # while batch 0's original answer for qid 0 stays untouched
+    after = spark.read.parquet(out_dir)
+    last = after.agg(F.max("batch_id")).collect()[0][0]
+    top = after.filter(
+        (F.col("batch_id") == last) & F.expr("qid = 0 and rank = 1")
+    ).collect()
+    assert [r.id for r in top] == [9999]
