@@ -438,6 +438,33 @@ def main() -> None:
                 timings["large_search_d1024_64q"] = round(
                     time.perf_counter() - t0, 3
                 )
+
+                # index size on disk — baseline: 115.99 MB for this shape
+                # (671.testing.md:8-13; graph + NVQ ~1-byte/dim inline
+                # vectors). Ours stores the fp32 rerank payload spill-
+                # replicated + PQ codes + pruning stats: different layout,
+                # reported for the honest comparison.
+                idx_bytes = sum(
+                    os.path.getsize(os.path.join(dp, f))
+                    for dp, _, fs in os.walk(f"{xdir}/hd/idx")
+                    for f in fs
+                )
+                recalls["large_index_mb_100k_d1024"] = round(idx_bytes / 1e6, 1)
+
+                # PQ bulk-encode throughput — baseline: 99,685 x 1024-d ->
+                # 13.17 MB of codes in 1.75 s (M=128 k=256,
+                # 671.testing.md:26). Encode-only wall, codec pre-trained
+                # (untimed, as the baseline line is), map-only over the
+                # corpus; count() forces the full mapInPandas pass.
+                from jvector_spark.operators.quantize.pq import ProductQuantizer
+
+                pq128 = ProductQuantizer.fit(hcorpus, m=128, sample_cap=16384)
+                t0 = time.perf_counter()
+                n_codes = pq128.encode(hcorpus).count()
+                timings["large_pq_encode_100k_d1024"] = round(
+                    time.perf_counter() - t0, 3
+                )
+                recalls["large_pq_encode_mb"] = round(n_codes * 128 / 1e6, 2)
             finally:
                 shutil.rmtree(xdir, ignore_errors=True)
         except Exception as e:  # pragma: no cover - bench must always emit JSON
