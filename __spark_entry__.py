@@ -994,6 +994,87 @@ SELECT qid, id, ROUND(_s, 6) AS score, rank FROM r WHERE rank <= 10
 )
 
 
+@_register("stream_search_exact")
+def _stream_search_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SEARCH end-to-end under the full hash oracle — the
+    serving-loop twin of ``stream_ingest_search_exact`` (ref: continuous
+    query serving, GraphSearcher.java:222; SURVEY §2.9 ST2): build an
+    index on the whole corpus, stage 16 queries as two parquet files,
+    answer them with Structured Streaming (file source,
+    maxFilesPerTrigger=1, availableNow) through ``stream_search`` — each
+    micro-batch runs one distributed top-k search, answers land in an
+    exactly-once per-batch parquet sink — then read the sink back.
+    Searches probe every partition with rerank_k = |corpus| (provably
+    exact), so the streamed answers must hash-match DuckDB's exact
+    top-10 AND equal the batch search bit-for-bit."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from jvector_spark.operators.index import IVFIndexBuilder
+    from jvector_spark.streaming.search import stream_search
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    n = corpus.count()
+    tmp = tempfile.mkdtemp(prefix="jvs_entry_ssearch_")
+    idx = IVFIndexBuilder(metric="COSINE", pq_m=8).fit(
+        corpus, os.path.join(tmp, "idx")
+    )
+    queries = corpus.filter(F.col("id") < 16).selectExpr("id as qid", "vec")
+    stage = os.path.join(tmp, "incoming")
+    os.makedirs(stage)
+    for bi, (lo, hi) in enumerate([(0, 8), (8, 16)]):
+        part_dir = os.path.join(tmp, f"qslice{bi}")
+        queries.filter((F.col("qid") >= lo) & (F.col("qid") < hi)).coalesce(
+            1
+        ).write.parquet(part_dir)
+        src = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+        shutil.move(src, os.path.join(stage, f"batch{bi}.parquet"))
+    stream = (
+        spark.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    exhaustive = dict(n_probe=4096, overquery=float(n) / 10.0)
+    out_dir = os.path.join(tmp, "answers")
+    q = stream_search(
+        stream, idx, out_dir, checkpoint_dir=os.path.join(tmp, "ckpt"),
+        k=10, trigger={"availableNow": True}, **exhaustive,
+    )
+    q.awaitTermination()
+    streamed = spark.read.parquet(out_dir)
+    batch = idx.search(queries, k=10, **exhaustive)
+    fmt = lambda df: sorted(
+        (r["qid"], r["id"], round(r["score"], 6), r["rank"]) for r in df.collect()
+    )
+    assert fmt(streamed) == fmt(batch), "streamed answers diverge from batch"
+    return streamed.select(
+        "qid", "id", F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_oracle(
+    "stream_search_exact",
+    f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 16),
+s AS (
+  SELECT q.qid, e.vec_id AS id,
+         {sql_similarity("COSINE", "e.embedding", "q.qvec")} AS _s
+  FROM embeddings e, q
+),
+r AS (
+  SELECT qid, id, _s,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY _s DESC, id ASC) AS BIGINT) AS rank
+  FROM s
+)
+SELECT qid, id, ROUND(_s, 6) AS score, rank FROM r WHERE rank <= 10
+""",
+)
+
+
 @_register("ann_ivf_nvq")
 def _ann_ivf_nvq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search with NVQ stage-2 rerank — the reference's DEFAULT index
