@@ -367,3 +367,46 @@ def test_span_dedup_hash_mode_matches_raw_mode(spark):
         for r in D.span_dedup(docs, span_len=5, hash_windows=True).collect()
     )
     assert raw == hashed
+
+
+def test_span_dedup_matches_reference_impl_on_random_corpora(spark):
+    """Randomized parity against an independent single-process reference:
+    tiny vocab + short windows force dense duplicate/overlap structure
+    (within-doc repeats, cross-doc repeats, whole-doc erasure)."""
+
+    def ref_span_dedup(rows, L):
+        toks = {doc: text.split(" ") for doc, text in rows}
+        first = {}
+        for doc, _ in sorted(rows):
+            t = toks[doc]
+            for p in range(len(t) - L + 1):
+                first.setdefault(tuple(t[p : p + L]), (doc, p))
+        out = {}
+        for doc, _ in rows:
+            t = toks[doc]
+            removed = set()
+            for p in range(len(t) - L + 1):
+                if first[tuple(t[p : p + L])] != (doc, p):
+                    removed.update(range(p, p + L))
+            kept = [tok for i, tok in enumerate(t) if i not in removed]
+            if kept:
+                out[doc] = " ".join(kept)
+        return out
+
+    import random
+
+    for seed in (0, 1, 2):
+        rnd = random.Random(seed)
+        L = rnd.randint(2, 4)
+        rows = [
+            (
+                doc,
+                " ".join(
+                    rnd.choice("abc") for _ in range(rnd.randint(1, 20))
+                ),
+            )
+            for doc in range(15)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r.text for r in D.span_dedup(docs, span_len=L).collect()}
+        assert got == ref_span_dedup(rows, L), f"seed={seed} L={L}"
