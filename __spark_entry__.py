@@ -994,6 +994,47 @@ SELECT qid, id, ROUND(_s, 6) AS score, rank FROM r WHERE rank <= 10
 )
 
 
+@_register("hard_negatives")
+def _hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (SBERT/DPR loop):
+    per query, the top-10 most-similar corpus rows with a DIFFERENT
+    label — the same-label mask runs inside the scoring kernel before
+    the partial top-k, so the result is exact (never an overfetch
+    guess) and self-matches drop out by sharing their own label."""
+    from jvector_spark.operators.exact import hard_negative_join
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.selectExpr("vec_id as id", "embedding as vec", "label")
+    queries = emb.filter(F.col("vec_id") < 16).selectExpr(
+        "vec_id as qid", "embedding as vec", "label"
+    )
+    res = hard_negative_join(corpus, queries, 10, metric="COSINE")
+    return res.select(
+        "qid", "id", F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_oracle(
+    "hard_negatives",
+    f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec, label AS qlab
+           FROM embeddings WHERE vec_id < 16),
+s AS (
+  SELECT q.qid, e.vec_id AS id,
+         {sql_similarity("COSINE", "e.embedding", "q.qvec")} AS _s
+  FROM embeddings e, q WHERE e.label <> q.qlab
+),
+r AS (
+  SELECT qid, id, _s,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY _s DESC, id ASC) AS BIGINT) AS rank
+  FROM s
+)
+SELECT qid, id, ROUND(_s, 6) AS score, rank FROM r WHERE rank <= 10
+""",
+)
+
+
 @_register("stream_search_exact")
 def _stream_search_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SEARCH end-to-end under the full hash oracle — the

@@ -157,13 +157,16 @@ def collect_point_query_batch(
     vec_col: str,
     op: str,
     cap: int = BROADCAST_QUERY_CAP,
+    extra_cols: tuple = (),
 ) -> list:
     """Collect the query side of a point-query-batch operator with the cap
     enforced in the SAME job: ``take(cap + 1)`` both bounds driver memory
     (a corpus-sized query side fails loudly instead of OOMing) and returns
     the rows the operator needs — the query-side plan executes once, not
-    once for a guard count and again for the collect."""
-    rows = queries.select(id_col, vec_col).take(cap + 1)
+    once for a guard count and again for the collect. ``extra_cols`` ride
+    along after (id, vec) for operators that need more per-query state
+    (e.g. the hard-negative label)."""
+    rows = queries.select(id_col, vec_col, *extra_cols).take(cap + 1)
     if len(rows) > cap:
         raise ValueError(
             f"{op} is a point-query-batch operator (query side is broadcast); "
@@ -298,6 +301,75 @@ def _knn_join_numpy(
             )
 
     candidates = corpus.select(id_col, vec_col).mapInPandas(
+        part, schema="qid long, id long, score double"
+    )
+    return _rank_topk(candidates, k)
+
+
+def hard_negative_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    metric: str = "COSINE",
+    id_col: str = "id",
+    vec_col: str = "vec",
+    label_col: str = "label",
+    query_id_col: str = "qid",
+    query_vec_col: str = "vec",
+    query_label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining (the SBERT/DPR contrastive-training op): for
+    every query, its top-k most-similar corpus rows whose ``label_col``
+    DIFFERS from the query's — the nearest wrong-class examples, the ones
+    worth training against.
+
+    Exact by construction: the same-label mask is applied INSIDE the
+    scoring kernel before the per-partition partial top-k, so the result
+    never depends on an overfetch guess (post-filtering a plain k-NN can
+    return < k rows whenever a query's neighborhood is same-label). A
+    query that is itself a corpus row is excluded automatically — it
+    shares its own label. Point-query-batch contract (queries ≪ corpus,
+    broadcast side capped); the 100 TB shape for corpus-sized query sides
+    is IVF search with deep overquery + a label anti-filter — approximate
+    by construction like the production mining loops it mirrors, with
+    this operator as its exact twin and ground-truth oracle.
+
+    Returns (qid, id, score, rank).
+    """
+    from jvector_spark.functions.registry import resolve_kernel
+
+    kernel = resolve_kernel(metric)
+    qrows = collect_point_query_batch(
+        queries, query_id_col, query_vec_col, "exact.hard_negative_join",
+        extra_cols=(query_label_col,),
+    )
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qlab = np.array([r[2] for r in qrows])
+    sc = corpus.sparkSession.sparkContext
+    bq = sc.broadcast((qids, qmat, qlab))
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids, q_mat, q_lab = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            lab = pdf[label_col].to_numpy()
+            x = kernels.as_matrix(pdf[vec_col])
+            scores = kernel(q_mat, x)  # (m, batch)
+            scores = np.where(q_lab[:, None] == lab[None, :], -np.inf, scores)
+            idx, vals = kernels.topk_per_row(scores, k, ids=ids)
+            m, kk = idx.shape
+            qcol = np.repeat(q_ids, kk)
+            icol = ids[idx.ravel()]
+            scol = vals.ravel()
+            keep = np.isfinite(scol)  # partitions with < k foreign-label rows
+            yield pd.DataFrame(
+                {"qid": qcol[keep], "id": icol[keep], "score": scol[keep]}
+            )
+
+    candidates = corpus.select(id_col, vec_col, label_col).mapInPandas(
         part, schema="qid long, id long, score double"
     )
     return _rank_topk(candidates, k)

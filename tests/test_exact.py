@@ -120,3 +120,31 @@ def test_knn_join_auto_routes_large_query_side(random_vectors, spark, monkeypatc
     # blocked output is correct and complete
     assert got.groupBy("qid").count().filter("count != 3").count() == 0
     assert got.count() == 3 * 1000
+
+
+def test_hard_negative_join_masks_same_label_and_self(spark):
+    from jvector_spark.operators.exact import hard_negative_join
+
+    # two tight clusters; labels split WITHIN each cluster so every
+    # query's nearest rows are same-label and must be skipped
+    rows = [
+        (0, [1.0, 0.0], 0), (1, [0.99, 0.01], 0), (2, [0.98, 0.02], 1),
+        (3, [0.0, 1.0], 1), (4, [0.01, 0.99], 1), (5, [0.02, 0.98], 0),
+    ]
+    df = spark.createDataFrame(rows, "id long, vec array<float>, label long")
+    q = df.selectExpr("id as qid", "vec", "label").filter("qid in (0, 3)")
+    got = hard_negative_join(df, q, 2, metric="COSINE").collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append(r.id)
+    # query 0 (label 0): nearest foreign-label is 2 (same cluster), then a
+    # far-cluster label-1 row; its same-label twins 0/1/5 never appear
+    assert by_q[0][0] == 2 and set(by_q[0]).isdisjoint({0, 1, 5})
+    # query 3 (label 1): nearest foreign-label is 5, never 3/4/2
+    assert by_q[3][0] == 5 and set(by_q[3]).isdisjoint({3, 4, 2})
+    # k larger than the foreign-label population: returns what exists
+    got_all = hard_negative_join(df, q, 10, metric="COSINE").collect()
+    counts = {}
+    for r in got_all:
+        counts[r.qid] = counts.get(r.qid, 0) + 1
+    assert counts == {0: 3, 3: 3}  # exactly the 3 foreign-label rows each
