@@ -1035,6 +1035,39 @@ SELECT qid, id, ROUND(_s, 6) AS score, rank FROM r WHERE rank <= 10
 )
 
 
+@_register("hard_negatives_ivf")
+def _hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining through the index — the 100 TB route (ANN
+    overfetch + label anti-filter + re-rank, the production mining-loop
+    shape), recall-gated per query against the exact kernel-masked
+    operator (>= 5 of 10 hits; deep overfetch makes the observed floor
+    comfortably higher)."""
+    import tempfile
+
+    from jvector_spark.operators.exact import hard_negative_join
+    from jvector_spark.operators.index import IVFIndexBuilder
+    from jvector_spark.pipeline.mining import hard_negatives_ivf
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.selectExpr("vec_id as id", "embedding as vec", "label")
+    tmp = tempfile.mkdtemp(prefix="jvs_entry_hneg_")
+    idx = IVFIndexBuilder(metric="COSINE", pq_m=8).fit(
+        corpus.select("id", "vec"), tmp
+    )
+    queries = emb.filter(F.col("vec_id") < 16).selectExpr(
+        "vec_id as qid", "embedding as vec", "label"
+    )
+    res = hard_negatives_ivf(
+        idx, queries, corpus.select("id", "label"), k=10, overfetch=8,
+        n_probe=16, overquery=4.0,
+    )
+    gt = hard_negative_join(corpus, queries, 10, metric="COSINE")
+    return _recall_gate(res, gt, min_hits=5)
+
+
+_oracle("hard_negatives_ivf", _gate_oracle(n_results=10))
+
+
 @_register("stream_search_exact")
 def _stream_search_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SEARCH end-to-end under the full hash oracle — the

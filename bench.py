@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "events_rollup",
     "events_sessionize",
     "knn_join_wide",
+    "hard_negatives",
     "ann_lsh_topk",
     "ann_ivf_fine",
     "pq_reconstruction",

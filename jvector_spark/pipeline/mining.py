@@ -1,0 +1,68 @@
+"""Hard-negative mining for contrastive training (SBERT / DPR loops).
+
+Two routes, one contract — per query, the k most-similar corpus rows with
+a DIFFERENT label:
+
+- ``exact.hard_negative_join`` (operators/exact.py) — the exact route and
+  ground-truth oracle: the same-label mask runs inside the scoring kernel
+  before the partial top-k, so the answer never depends on an overfetch
+  guess. Point-query-batch contract.
+- ``hard_negatives_ivf`` (here) — the 100 TB route: ANN search with an
+  overfetch factor, then a label anti-filter and a re-rank to k. This is
+  exactly how production mining loops run (approximate by construction);
+  the exact operator above is its recall oracle. Works with any query-side
+  size the index search supports (broadcast or distributed strategy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hard_negatives_ivf(
+    index,
+    queries: DataFrame,
+    labels: DataFrame,
+    k: int = 10,
+    overfetch: int = 8,
+    id_col: str = "id",
+    label_col: str = "label",
+    query_label_col: str = "label",
+    **search_kwargs,
+) -> DataFrame:
+    """ANN hard-negative mining: fetch ``k * overfetch`` neighbors through
+    the index, drop same-label rows, keep the top k that remain.
+
+    Args:
+        index: an ``IVFIndex``.
+        queries: (qid, vec, ``query_label_col``) — each query's own label.
+        labels: (``id_col``, ``label_col``) for the corpus — usually the
+            source table itself; the join is a keyed equi-join on id, so
+            at scale it shuffles the (small) fetched candidate set, not
+            the corpus.
+        overfetch: how many same-label rows the fetch can absorb before a
+            query comes back with fewer than k negatives. Raise it (or
+            ``n_probe``/``overquery`` in ``search_kwargs``) for corpora
+            where labels correlate with geometry.
+
+    Returns (qid, id, score, rank) — ranks 1..k per query (fewer only if
+    the fetched set held fewer than k foreign-label rows).
+    """
+    fetched = index.search(
+        queries.select("qid", "vec"), k * overfetch, **search_kwargs
+    )
+    qlab = queries.select("qid", F.col(query_label_col).alias("_qlab"))
+    clab = labels.select(F.col(id_col).alias("id"), F.col(label_col).alias("_clab"))
+    kept = (
+        fetched.join(clab, "id")
+        .join(qlab, "qid")
+        .filter(F.col("_clab") != F.col("_qlab"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        kept.select("qid", "id", "score")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("qid", "rank")
+    )
