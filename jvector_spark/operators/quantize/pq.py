@@ -146,24 +146,27 @@ class ProductQuantizer(VectorCompressor):
         return self.codebooks.shape[2]
 
     def encode_numpy(self, mat: np.ndarray) -> np.ndarray:
-        """(n, d) -> (n, m) uint8/uint16 codes (argmin centroid per subspace)."""
+        """(n, d) -> (n, m) uint8/uint16 codes (argmin centroid per subspace).
+
+        argmin_j ||x - b_j||^2 == argmax_j (x.b_j - ||b_j||^2 / 2): the
+        per-ROW norm is constant within a row, so it never touches the
+        argmin — dropping it removes m strided reduction passes over the
+        input. One up-front (m, n, dsub) transpose makes every subspace
+        GEMM contiguous instead of handing BLAS m strided column slices."""
         if self.global_centroid is not None:
             mat = mat - self.global_centroid.astype(mat.dtype)
         n = len(mat)
         dtype = np.uint8 if self.clusters <= 256 else np.uint16
         codes = np.empty((n, self.m), dtype=dtype)
-        # run the argmin BLAS in the input dtype (f32 encode passes halve
+        # run the scoring BLAS in the input dtype (f32 encode passes halve
         # moved bytes; codebooks stay f64 at rest)
         books = self.codebooks.astype(mat.dtype, copy=False)
+        x = np.ascontiguousarray(mat.reshape(n, self.m, self.dsub).transpose(1, 0, 2))
+        half_bn = 0.5 * np.einsum("mkd,mkd->mk", books, books)
         for i in range(self.m):
-            sub = mat[:, i * self.dsub : (i + 1) * self.dsub]
-            book = books[i]
-            d = (
-                np.einsum("ij,ij->i", sub, sub)[:, None]
-                + np.einsum("ij,ij->i", book, book)[None, :]
-                - 2.0 * sub @ book.T
-            )
-            codes[:, i] = np.argmin(d, axis=1)
+            s = x[i] @ books[i].T
+            s -= half_bn[i][None, :]
+            codes[:, i] = np.argmax(s, axis=1)
         return codes
 
     def encode(
@@ -171,9 +174,14 @@ class ProductQuantizer(VectorCompressor):
         codes_col: str = "codes",
     ) -> DataFrame:
         """Bulk encode (ref encodeAll, ProductQuantization.java:261) —
-        map-only, no shuffle; codes as a BinaryType column (m bytes/row)."""
+        map-only; codes as a BinaryType column (m bytes/row). If the scan
+        under-partitions (one fat parquet row group arrives as one task),
+        spread it first — at real scale this never adds a shuffle."""
         if self.clusters > 256:
             raise ValueError("binary codes column supports <=256 clusters")
+        par = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
         bq = df.sparkSession.sparkContext.broadcast(self)
 
         def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -786,6 +786,7 @@ def span_dedup(
     exactly SQL-replicable (the oracle gate runs this mode).
     """
     n = span_len
+    docs = fan_out(docs)  # window explode is CPU-heavy; don't run it 1-wide
     toks_arr = F.split(F.col(text_col), " ")
     # windows exist only where a full n-word slice does; sequence() would
     # count DOWN for shorter docs, so gate it to an empty array instead

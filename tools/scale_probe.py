@@ -81,7 +81,11 @@ def gen_corpus(
         )
         if writer is None:
             writer = papq.ParquetWriter(f"{dirpath}/corpus.parquet", tbl.schema)
-        writer.write_table(tbl, row_group_size=62_500)
+        # row groups are the parquet SPLIT unit: keep them ~16 MB so wide
+        # rows (d=1024: 4 KB/row) still scan many-way parallel — a fixed
+        # row count gave 256 MB groups at d=1024, capping every downstream
+        # map stage at n/62.5k tasks
+        writer.write_table(tbl, row_group_size=max(4096, 62_500 * 64 // d))
     writer.close()
     if all_pairs:
         pairs = np.concatenate(all_pairs)
