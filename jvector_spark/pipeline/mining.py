@@ -38,9 +38,11 @@ def hard_negatives_ivf(
         index: an ``IVFIndex``.
         queries: (qid, vec, ``query_label_col``) — each query's own label.
         labels: (``id_col``, ``label_col``) for the corpus — usually the
-            source table itself; the join is a keyed equi-join on id, so
-            at scale it shuffles the (small) fetched candidate set, not
-            the corpus.
+            source table itself. The id equi-join's small side is the
+            fetched candidate set (k x overfetch x |queries| rows): while
+            it fits a broadcast (AQE picks this at bench scale) the
+            corpus side streams map-side with no exchange; past that it
+            degrades to a shuffled join keyed on id.
         overfetch: how many same-label rows the fetch can absorb before a
             query comes back with fewer than k negatives. Raise it (or
             ``n_probe``/``overquery`` in ``search_kwargs``) for corpora
