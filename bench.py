@@ -377,6 +377,55 @@ def main() -> None:
             timings["large_error"] = -1.0
             print(f"large-corpus bench failed: {e}", file=sys.stderr)
 
+    # ---- streaming near-dup micro-bench (round 6, verdict item 6) ----
+    # The keyed-state streaming MinHash operator had parity tests but no
+    # number. Drive the documents table through 4 file-source micro-batches
+    # (availableNow) and report end-to-end rows/s plus the emitted pair
+    # count — the first throughput figure for the applyInPandasWithState
+    # design. Skip with SPARK_GRAFT_STREAM_BENCH=0.
+    if os.environ.get("SPARK_GRAFT_STREAM_BENCH", "1") != "0":
+        try:
+            from jvector_spark.streaming.neardup import streaming_minhash_neardup
+
+            sdir = tempfile.mkdtemp(prefix="jvs_bench_stream_")
+            try:
+                docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+                    F.col("doc_id").cast("long").alias("doc_id"), "text"
+                )
+                n_docs = docs.count()
+                for b in range(4):
+                    docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == b).coalesce(
+                        1
+                    ).write.mode("append").parquet(f"{sdir}/in")
+                stream = (
+                    spark.readStream.schema("doc_id long, text string")
+                    .option("maxFilesPerTrigger", "1")
+                    .parquet(f"{sdir}/in")
+                )
+                t0 = time.perf_counter()
+                q = (
+                    streaming_minhash_neardup(stream, threshold=0.5)
+                    .writeStream.format("memory")
+                    .queryName("bench_sneardup")
+                    .outputMode("update")
+                    .option("checkpointLocation", f"{sdir}/ck")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                dt = time.perf_counter() - t0
+                n_pairs = spark.sql("SELECT count(*) c FROM bench_sneardup").collect()[0]["c"]
+                timings["stream_neardup_4batches"] = round(dt, 3)
+                recalls["stream_neardup_rows_per_s"] = round(n_docs / dt, 1)
+                recalls["stream_neardup_pairs"] = float(n_pairs)
+            finally:
+                shutil.rmtree(sdir, ignore_errors=True)
+        except Exception as e:  # pragma: no cover - bench must always emit JSON
+            timings["stream_error"] = -1.0
+            print(f"stream bench failed: {e}", file=sys.stderr)
+
+    # (runs BEFORE the XL section: measured right after the 1M workload
+    # it absorbs that JVM's residual GC pressure — 39 s vs 7-9 s idle)
     # ---- XL: 1M-row build + bulk corpus-as-queries top-k (round 6) ----
     # The flagship 100 TB dedup shape re-measured per round: zipf-skewed
     # 1M x 64-d corpus (hot coarse cells — the hard tile-sizing layout),
@@ -515,53 +564,6 @@ def main() -> None:
         except Exception as e:  # pragma: no cover - bench must always emit JSON
             timings["large_xl_error"] = -1.0
             print(f"xl bench failed: {e}", file=sys.stderr)
-
-    # ---- streaming near-dup micro-bench (round 6, verdict item 6) ----
-    # The keyed-state streaming MinHash operator had parity tests but no
-    # number. Drive the documents table through 4 file-source micro-batches
-    # (availableNow) and report end-to-end rows/s plus the emitted pair
-    # count — the first throughput figure for the applyInPandasWithState
-    # design. Skip with SPARK_GRAFT_STREAM_BENCH=0.
-    if os.environ.get("SPARK_GRAFT_STREAM_BENCH", "1") != "0":
-        try:
-            from jvector_spark.streaming.neardup import streaming_minhash_neardup
-
-            sdir = tempfile.mkdtemp(prefix="jvs_bench_stream_")
-            try:
-                docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-                    F.col("doc_id").cast("long").alias("doc_id"), "text"
-                )
-                n_docs = docs.count()
-                for b in range(4):
-                    docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == b).coalesce(
-                        1
-                    ).write.mode("append").parquet(f"{sdir}/in")
-                stream = (
-                    spark.readStream.schema("doc_id long, text string")
-                    .option("maxFilesPerTrigger", "1")
-                    .parquet(f"{sdir}/in")
-                )
-                t0 = time.perf_counter()
-                q = (
-                    streaming_minhash_neardup(stream, threshold=0.5)
-                    .writeStream.format("memory")
-                    .queryName("bench_sneardup")
-                    .outputMode("update")
-                    .option("checkpointLocation", f"{sdir}/ck")
-                    .trigger(availableNow=True)
-                    .start()
-                )
-                q.awaitTermination()
-                dt = time.perf_counter() - t0
-                n_pairs = spark.sql("SELECT count(*) c FROM bench_sneardup").collect()[0]["c"]
-                timings["stream_neardup_4batches"] = round(dt, 3)
-                recalls["stream_neardup_rows_per_s"] = round(n_docs / dt, 1)
-                recalls["stream_neardup_pairs"] = float(n_pairs)
-            finally:
-                shutil.rmtree(sdir, ignore_errors=True)
-        except Exception as e:  # pragma: no cover - bench must always emit JSON
-            timings["stream_error"] = -1.0
-            print(f"stream bench failed: {e}", file=sys.stderr)
 
     # headline total excludes the large-corpus section so the metric stays
     # comparable across rounds (the large grid is reported per-key)
