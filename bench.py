@@ -553,11 +553,12 @@ def main() -> None:
                 from jvector_spark.operators.quantize.pq import ProductQuantizer
 
                 pq128 = ProductQuantizer.fit(hcorpus, m=128, sample_cap=16384)
-                t0 = time.perf_counter()
-                n_codes = pq128.encode(hcorpus).count()
-                timings["large_pq_encode_100k_d1024"] = round(
-                    time.perf_counter() - t0, 3
-                )
+                walls = []
+                for _ in range(2):  # min-of-2, same rule as the headline list
+                    t0 = time.perf_counter()
+                    n_codes = pq128.encode(hcorpus).count()
+                    walls.append(time.perf_counter() - t0)
+                timings["large_pq_encode_100k_d1024"] = round(min(walls), 3)
                 recalls["large_pq_encode_mb"] = round(n_codes * 128 / 1e6, 2)
             finally:
                 shutil.rmtree(xdir, ignore_errors=True)
