@@ -37,7 +37,7 @@ def log(**kw) -> None:
 
 def gen_corpus(
     dirpath: str, n: int, d: int, n_clusters: int, seed: int,
-    dupe_frac: float = 0.0,
+    dupe_frac: float = 0.0, zipf_s: float = 1.1,
 ) -> None:
     """Write the probe corpus. ``dupe_frac`` > 0 additionally overwrites that
     fraction of rows with EXACT copies of earlier rows (uniform source pick
@@ -51,7 +51,7 @@ def gen_corpus(
     rng = np.random.default_rng(seed)
     centers = rng.normal(size=(n_clusters, d))
     # zipf-skewed cluster populations (hot cells stress tile sizing)
-    w = 1.0 / np.arange(1, n_clusters + 1) ** 1.1
+    w = 1.0 / np.arange(1, n_clusters + 1) ** zipf_s
     w /= w.sum()
     os.makedirs(dirpath, exist_ok=True)
     chunk = 250_000
@@ -166,6 +166,11 @@ def main() -> None:
         help="collect per-stage kernel core-seconds (SearchTelemetry) on the bulk run",
     )
     ap.add_argument("--skip-grid", action="store_true")
+    ap.add_argument(
+        "--zipf", type=float, default=1.1,
+        help="cluster-population zipf exponent (higher = harsher skew; "
+        "1.1 reproduces earlier rounds' corpora byte-identically)",
+    )
     ap.add_argument("--keep", default=None, help="persistent dir (reuse corpus+index)")
     ap.add_argument(
         "--vec-format", default="packed_f32", choices=["packed_f32", "list"],
@@ -185,7 +190,7 @@ def main() -> None:
     try:
         if not os.path.exists(f"{base}/corpus.parquet"):
             gen_corpus(base, args.n, args.d, args.clusters, seed=11,
-                       dupe_frac=args.dupes)
+                       dupe_frac=args.dupes, zipf_s=args.zipf)
         corpus = spark.read.parquet(f"{base}/corpus.parquet")
         queries = spark.read.parquet(f"{base}/queries.parquet")
 
