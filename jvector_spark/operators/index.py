@@ -412,6 +412,7 @@ def _hier_fine_subs(
     fine_c: np.ndarray,
     own_pad: np.ndarray,
     npf: int,
+    probe_valid: np.ndarray | None = None,
 ) -> list[np.ndarray]:
     """Per-query top-``npf`` fine cells among those OWNED by the query's
     probed coarse cells (``probe_cells``: (nq, n_probe) coarse ids) —
@@ -426,9 +427,15 @@ def _hier_fine_subs(
     Returns one int32 array per query (<= npf ids; fewer when the probed
     cells own fewer than npf fine cells). Shared by the broadcast scan,
     the distributed assignment, and probe_io_stats so every route selects
-    identically (bit-parity across routes)."""
+    identically (bit-parity across routes). ``probe_valid`` (same shape
+    as ``probe_cells``) marks probes DROPPED by adaptive probing
+    (probe_ratio): their owned cells are excluded so npf is never spent
+    on cells in partitions the query won't scan."""
     nq = len(qmat)
-    cand = own_pad[probe_cells].reshape(nq, -1)  # (nq, C)
+    cand = own_pad[probe_cells]  # (nq, P, Lmax)
+    if probe_valid is not None:
+        cand = np.where(probe_valid[:, :, None], cand, -1)
+    cand = cand.reshape(nq, -1)  # (nq, C)
     c_w, d = cand.shape[1], fine_c.shape[1]
     out: list[np.ndarray] = []
     # chunk the query axis so the (Qc, C, d) centroid gather stays ~64MB
@@ -1290,8 +1297,21 @@ class IVFIndex:
         strategy: str = "auto",
         m_hint: int | None = None,
         telemetry=None,
+        probe_ratio: float | None = None,
     ) -> DataFrame:
         """Fused two-phase partition-pruned k-NN join over live segments.
+
+        ``probe_ratio`` (optional, >= 1) turns on ADAPTIVE probe depth:
+        a partition is probed only while its centroid distance is within
+        ``probe_ratio`` x the query's nearest centroid distance, with
+        ``n_probe`` as the cap. Fixed-depth probing under-serves queries
+        inside a k-means-split mega-cluster (their true neighbors spread
+        over many near-equidistant partitions) and over-serves isolated
+        queries; the relative rule spends IO where the geometry needs it.
+        ``None`` (default) keeps exact fixed-depth behavior; both routes
+        apply the same rule, and fine-cell selection excludes dropped
+        probes so npf is spent only on scanned partitions.
+        ``probe_io_stats`` models fixed depth only.
 
         ``strategy`` picks the query-side physical plan (the reference has
         no query-count cap — searches are per-thread streams,
@@ -1403,6 +1423,7 @@ class IVFIndex:
                 queries_df, metric, k, rerank_k, n_probe,
                 query_id_col, query_vec_col, predicate, accept_df, rerank, m_hint,
                 n_probe_fine=n_probe_fine, telemetry=telemetry,
+                probe_ratio=probe_ratio,
             )
         if strategy != "broadcast":
             raise ValueError(f"unknown search strategy {strategy!r}")
@@ -1416,6 +1437,7 @@ class IVFIndex:
                 self._segments[seg.name], qids, qmat, metric, k, rerank_k, n_probe,
                 predicate=predicate, accept_df=accept_df, rerank=rerank,
                 n_probe_fine=n_probe_fine, telemetry=telemetry,
+                probe_ratio=probe_ratio,
             )
             for seg in self.manifest.segments
         ]
@@ -1487,6 +1509,7 @@ class IVFIndex:
         rerank: str | None = None,
         n_probe_fine: int | None = None,
         telemetry=None,
+        probe_ratio: float | None = None,
     ) -> DataFrame:
         cents: np.ndarray = info["centroids"]
         pq: ProductQuantizer = info["pq"]
@@ -1501,9 +1524,22 @@ class IVFIndex:
         bound, d2 = _partition_score_bounds(info, qmat, metric)
         d2 = np.where(info["has_rows"][None, :], d2, np.inf)
         probe = np.argsort(d2, axis=1)[:, :n_probe]  # (m, n_probe)
+        probe_valid = None
+        if probe_ratio is not None:
+            # adaptive probe depth (the zipf-1.5 lever): keep only probes
+            # within probe_ratio x the query's nearest centroid distance —
+            # n_probe becomes the CAP. A query inside a k-means-split
+            # mega-cluster sees many near-equidistant centroids and keeps
+            # them all; an isolated query keeps one or two. d2 here is the
+            # true centroid dist^2 (query norm included), so the relative
+            # rule is scale-free; the nearest probe is always kept.
+            dt = np.take_along_axis(d2, probe, axis=1)  # sorted, (m, np)
+            probe_valid = dt <= dt[:, :1] * (probe_ratio**2) + 1e-12
         part_to_queries_raw: dict[int, list[int]] = {}
         for qi in range(len(qids)):
-            for p in probe[qi]:
+            for j, p in enumerate(probe[qi]):
+                if probe_valid is not None and not probe_valid[qi, j]:
+                    continue
                 if np.isfinite(d2[qi, int(p)]):
                     part_to_queries_raw.setdefault(int(p), []).append(qi)
         probed_parts = sorted(part_to_queries_raw)
@@ -1529,7 +1565,8 @@ class IVFIndex:
             # the fine cells OWNED by each query's probed coarse cells,
             # so every selected cell lies in a partition this query scans
             subs_list = _hier_fine_subs(
-                qmat, probe, fine_c, self._fine_own_pad(info), npf
+                qmat, probe, fine_c, self._fine_own_pad(info), npf,
+                probe_valid=probe_valid,
             )
             probed_subs = sorted({int(s) for a in subs_list for s in a})
             data = data.filter(F.col("sub_id").isin(probed_subs))
@@ -1666,6 +1703,7 @@ class IVFIndex:
         metric: str | None = None,
         threshold: float | None = None,
         fine_npf: int | None = None,
+        probe_ratio: float | None = None,
     ) -> DataFrame:
         """Distributed probe assignment: a map-only pass over the query
         DataFrame with the segment's centroids+stats broadcast (the
@@ -1708,11 +1746,13 @@ class IVFIndex:
             return self.spark.createDataFrame([], schema)
         npb = int(max(1, min(n_probe, n_live))) if threshold is None else 0
         bcast = self.spark.sparkContext.broadcast(
-            (stats, npb, metric, threshold, fine, npf, own_pad, packed)
+            (stats, npb, metric, threshold, fine, npf, own_pad, packed,
+             probe_ratio)
         )
 
         def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            st, npb_, met, thr, fine_c, npf_, own_pad_, packed_ = bcast.value
+            (st, npb_, met, thr, fine_c, npf_, own_pad_, packed_,
+             ratio_) = bcast.value
             cents = st["centroids"]
             live = st["has_rows"]
             cc = np.einsum("ij,ij->i", cents, cents)
@@ -1720,13 +1760,32 @@ class IVFIndex:
                 if len(pdf) == 0:
                     continue
                 qmat = kernels.as_matrix(pdf["vec"])
+                probe_valid = None
                 if thr is None:
                     d = -2.0 * qmat @ cents.T + cc[None, :]  # dist^2 - ||q||^2
                     d[:, ~live] = np.inf
                     # probe membership is a set — argpartition, no sort
                     sel = np.argpartition(d, npb_ - 1, axis=1)[:, :npb_]
-                    qi = np.repeat(np.arange(len(pdf)), npb_)
-                    pi = sel.ravel()
+                    if ratio_ is not None:
+                        # adaptive depth, same relative rule as the
+                        # broadcast route: true dist^2 within ratio^2 x
+                        # the query's nearest (npb_ stays the cap; the
+                        # min is over the row — argpartition is unsorted)
+                        qq = np.einsum("ij,ij->i", qmat, qmat)
+                        dt = np.maximum(
+                            np.take_along_axis(d, sel, axis=1)
+                            + qq[:, None],
+                            0.0,
+                        )
+                        probe_valid = (
+                            dt <= dt.min(axis=1, keepdims=True)
+                            * (ratio_**2) + 1e-12
+                        )
+                        qi, jj = np.nonzero(probe_valid)
+                        pi = sel[qi, jj]
+                    else:
+                        qi = np.repeat(np.arange(len(pdf)), npb_)
+                        pi = sel.ravel()
                 else:
                     bound, _ = _partition_score_bounds(st, qmat, met)
                     qi, pi = np.nonzero(bound + 1e-9 >= thr)
@@ -1749,7 +1808,8 @@ class IVFIndex:
                     # n_fine-wide matmul + argpartition this replaces was
                     # >half the 1M corpus-as-queries assignment compute)
                     subs_list = _hier_fine_subs(
-                        qmat, sel, fine_c, own_pad_, npf_
+                        qmat, sel, fine_c, own_pad_, npf_,
+                        probe_valid=probe_valid,
                     )
                     out["subs"] = pd.Series([subs_list[i] for i in qi])
                 yield pd.DataFrame(out)
@@ -1774,6 +1834,7 @@ class IVFIndex:
         m_hint: int | None,
         n_probe_fine: int | None = None,
         telemetry=None,
+        probe_ratio: float | None = None,
     ) -> DataFrame:
         """Uncapped k-NN search: neither side is ever driver-collected.
 
@@ -1820,7 +1881,8 @@ class IVFIndex:
                 or int(m_hint) * int(fine_npf) < 4 * len(info["fine"])
             )
             assigned = self._assign_probes(
-                queries_df, info, npb, qid_col, qvec_col, fine_npf=fine_npf
+                queries_df, info, npb, qid_col, qvec_col, fine_npf=fine_npf,
+                probe_ratio=probe_ratio,
             )
             if m_hint is None or derive_subfilter:
                 assigned = assigned.localCheckpoint(eager=False)

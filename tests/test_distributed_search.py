@@ -280,3 +280,71 @@ def test_fine_pruning_uncapped_query_side(spark, fine_setup):
     res = idx.search(qall, 3, n_probe=4, n_probe_fine=8, m_hint=n).cache()
     assert res.select("qid").distinct().count() == n
     res.unpersist()
+
+
+def test_adaptive_probe_ratio_parity_and_trim(spark, big_setup):
+    """probe_ratio semantics: a huge ratio keeps every capped probe (bit-
+    parity with fixed n_probe on BOTH routes); ratio=1.0 keeps only the
+    (near-tied) nearest partition, i.e. equals n_probe=1 on a tie-free
+    corpus; both routes agree under the same ratio."""
+    corpus, idx, n = big_setup
+    queries = corpus.limit(64).selectExpr("id as qid", "vec")
+    oq = float(n) / 10  # full rerank -> exact over probed subsets
+
+    def rows(df):
+        return sorted(
+            (r["qid"], r["rank"], r["id"], round(r["score"], 9))
+            for r in df.collect()
+        )
+
+    fixed = rows(idx.search(queries, 10, n_probe=4, overquery=oq,
+                            strategy="broadcast"))
+    # huge ratio: nothing trimmed -> identical to fixed depth
+    assert rows(idx.search(queries, 10, n_probe=4, overquery=oq,
+                           strategy="broadcast", probe_ratio=1e9)) == fixed
+    assert rows(idx.search(queries, 10, n_probe=4, overquery=oq,
+                           strategy="distributed", probe_ratio=1e9)) == fixed
+    # ratio=1: only the nearest partition survives == n_probe=1
+    np1 = rows(idx.search(queries, 10, n_probe=1, overquery=oq,
+                          strategy="broadcast"))
+    got1 = rows(idx.search(queries, 10, n_probe=4, overquery=oq,
+                           strategy="broadcast", probe_ratio=1.0))
+    assert got1 == np1
+    # routes agree at an intermediate ratio (same relative rule both sides)
+    ga = rows(idx.search(queries, 10, n_probe=4, overquery=oq,
+                         strategy="broadcast", probe_ratio=1.3))
+    gd = rows(idx.search(queries, 10, n_probe=4, overquery=oq,
+                         strategy="distributed", probe_ratio=1.3))
+    assert ga == gd
+    # intermediate ratio result is between np1 and fixed in probed mass:
+    # every returned (qid,id) at ratio 1.3 also appears at full depth
+    assert {(q, i) for q, _, i, _ in ga} <= {(q, i) for q, _, i, _ in fixed} | {
+        (q, i) for q, _, i, _ in np1
+    }
+
+
+def test_adaptive_probe_ratio_two_level_fine(spark, tmp_path):
+    """Adaptive probing composes with fine-cell masking: dropped probes'
+    owned cells are excluded from npf selection on both routes and the
+    result still matches between routes."""
+    # local generator: the session `rng` fixture is a STATEFUL stream —
+    # consuming it here would shift every later test's random corpus
+    # (recall-floor tests downstream are order-sensitive to that)
+    rng = np.random.default_rng(77)
+    centers = rng.normal(size=(12, DIM))
+    assign = rng.integers(0, 12, size=3000)
+    mat = centers[assign] + 0.1 * rng.normal(size=(3000, DIM))
+    corpus = spark.createDataFrame(
+        [(int(i), [float(x) for x in mat[i]]) for i in range(3000)],
+        "id long, vec array<float>",
+    )
+    idx = IVFIndexBuilder(
+        metric="COSINE", n_partitions=8, pq_m=4, fine_factor=4
+    ).fit(corpus, str(tmp_path / "idx"))
+    queries = corpus.limit(32).selectExpr("id as qid", "vec")
+    kw = dict(n_probe=4, overquery=300.0, n_probe_fine=8, probe_ratio=1.25)
+    a = idx.search(queries, 5, strategy="broadcast", **kw)
+    d = idx.search(queries, 5, strategy="distributed", **kw)
+    ra = sorted((r["qid"], r["rank"], r["id"]) for r in a.collect())
+    rd = sorted((r["qid"], r["rank"], r["id"]) for r in d.collect())
+    assert ra == rd and len(ra) > 0

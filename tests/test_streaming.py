@@ -311,9 +311,12 @@ def test_streaming_minhash_neardup_matches_batch(spark, tmp_path):
     assert got == want
 
 
-def test_stream_search_matches_batch_and_sees_appends(spark, rng, tmp_path):
+def test_stream_search_matches_batch_and_sees_appends(spark, tmp_path):
     from jvector_spark.streaming import stream_search
 
+    # local generator: consuming the stateful session `rng` fixture here
+    # would shift every later test's random corpus (order sensitivity)
+    rng = np.random.default_rng(88)
     idx_path = str(tmp_path / "sidx")
     in_dir = str(tmp_path / "sin")
     out_dir = str(tmp_path / "sout")

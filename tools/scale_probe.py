@@ -160,6 +160,11 @@ def main() -> None:
     ap.add_argument("--bulk-np", type=int, default=4)
     ap.add_argument("--bulk-npf", type=int, default=16)
     ap.add_argument("--bulk-oq", type=float, default=8.0)
+    ap.add_argument(
+        "--bulk-ratio", type=float, default=None,
+        help="adaptive probe depth: probe partitions within this ratio of "
+        "the nearest centroid distance, bulk-np as the cap (skew lever)",
+    )
     ap.add_argument("--bulk-only", action="store_true")
     ap.add_argument(
         "--prof", action="store_true",
@@ -306,7 +311,7 @@ def main() -> None:
             t0 = time.perf_counter()
             res = idx.search(
                 qall, 10, n_probe=args.bulk_np, overquery=args.bulk_oq,
-                n_probe_fine=args.bulk_npf,
+                n_probe_fine=args.bulk_npf, probe_ratio=args.bulk_ratio,
                 strategy="distributed", m_hint=m_q, telemetry=tel,
             ).persist()  # the recall slice below must not re-run the search
             n_out = res.count()
@@ -314,6 +319,7 @@ def main() -> None:
             log(
                 step="bulk_topk", rows=n_out, sec=round(dt, 1),
                 n_probe=args.bulk_np, npf=args.bulk_npf, oq=args.bulk_oq,
+                ratio=args.bulk_ratio,
             )
             if tel is not None:
                 log(step="bulk_prof", core_sec=tel.stage_seconds,
