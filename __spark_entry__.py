@@ -1856,6 +1856,54 @@ _oracle("events_sessionize", _events_sessionize_oracle())
 # Driver contract
 # ---------------------------------------------------------------------------
 
+# The driver's correctness gate checks the FIRST 50 registered queries
+# (insertion order). With 60+ rows registered, whatever sits at the tail
+# never gets a driver row — r5/r6 left the last 10 (including
+# pack_sequences / mixture_weights / redact_pii, which have NEVER had a
+# driver row) unchecked. Rotate coverage: rows with the thinnest driver
+# history go FIRST; rows green in every round since r1 (the simplest,
+# most stable operators) go last and absorb the cap. New rows added in a
+# round belong in _GATE_FIRST until they have a green driver row.
+_GATE_FIRST = [
+    # never driver-checked before r7
+    "pack_sequences",
+    "mixture_weights",
+    "redact_pii",
+    # unchecked in r6 (r5-green only)
+    "decontaminate",
+    "dedup_clusters",
+    "sample_stratified",
+    "pipeline_clean_corpus",
+    "multimodal_features",
+    "events_rollup",
+    "events_sessionize",
+]
+# multi-round-green stable rows rotated out of the 50-row window this
+# round (every one has >= 2 green driver rows + a pytest twin)
+_GATE_LAST = [
+    "knn_topk_euclidean",
+    "knn_topk_dot_product",
+    "vector_arith",
+    "vector_scale_add",
+    "l2_normalize",
+    "bq_hamming",
+    "pq_reconstruction",
+    "fvecs_roundtrip",
+    "ordinal_renumber",
+    "knn_join_wide",
+]
+
+
+def _gate_order(d: dict) -> dict:
+    front = [q for q in _GATE_FIRST if q in d]
+    back = [q for q in _GATE_LAST if q in d]
+    mid = [q for q in d if q not in _GATE_FIRST and q not in _GATE_LAST]
+    return {name: d[name] for name in front + mid + back}
+
+
+_QUERIES = _gate_order(_QUERIES)
+_ORACLES = {name: _ORACLES[name] for name in _QUERIES if name in _ORACLES}
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: exact top-10 cosine k-NN (J1)."""

@@ -1065,10 +1065,14 @@ def _partition_score_bounds(
     cents: np.ndarray = info["centroids"]
     qn = np.linalg.norm(qmat, axis=1)
     cn = np.linalg.norm(cents, axis=1)
+    # association order matters for route bit-parity: the distributed
+    # assignment pass computes (-2*q@c + cc) + qq (it needs the qq-free
+    # matrix for the argmin), so the broadcast path MUST accumulate in the
+    # same order — probe_ratio keeps/drops a boundary probe identically on
+    # both routes only if dist^2 is bit-identical (r6 ADVICE).
     d2 = np.maximum(
-        np.einsum("ij,ij->i", qmat, qmat)[:, None]
-        + np.einsum("ij,ij->i", cents, cents)[None, :]
-        - 2.0 * qmat @ cents.T,
+        (-2.0 * qmat @ cents.T + np.einsum("ij,ij->i", cents, cents)[None, :])
+        + np.einsum("ij,ij->i", qmat, qmat)[:, None],
         0.0,
     )
     if metric == "EUCLIDEAN":
@@ -1311,7 +1315,18 @@ class IVFIndex:
         ``None`` (default) keeps exact fixed-depth behavior; both routes
         apply the same rule, and fine-cell selection excludes dropped
         probes so npf is spent only on scanned partitions.
-        ``probe_io_stats`` models fixed depth only.
+        ``probe_io_stats`` models fixed depth only. Values below 1 would
+        silently drop even the nearest probe (the threshold falls under
+        the nearest distance itself) — rejected with ``ValueError``.
+
+        UNDER-FILLED RESULTS under tight ``probe_ratio``: a query whose
+        kept probes hold fewer than ``k`` live rows returns fewer than
+        ``k`` rows (measured r6: 15 of 1M queries at the zipf cheap
+        point) — by design, the adaptive rule trades those tails for IO.
+        Detect them with
+        :func:`jvector_spark.operators.search.underfilled_queries`
+        (counts per-query result rows against ``k``) and re-run the
+        affected qids with a looser ratio or fixed-depth probing.
 
         ``strategy`` picks the query-side physical plan (the reference has
         no query-count cap — searches are per-thread streams,
@@ -1383,6 +1398,12 @@ class IVFIndex:
           the batch-local top-k, so candidate selection is exact over the
           accepted subset of probed partitions.
         """
+        if probe_ratio is not None and probe_ratio < 1:
+            raise ValueError(
+                f"probe_ratio must be >= 1 (got {probe_ratio}): a ratio below 1 "
+                "puts the keep-threshold under the nearest centroid distance "
+                "itself, silently dropping every probe for affected queries"
+            )
         metric = self.manifest.metric
         rerank = self.manifest.rerank
         if ssp is not None:
@@ -1534,7 +1555,9 @@ class IVFIndex:
             # true centroid dist^2 (query norm included), so the relative
             # rule is scale-free; the nearest probe is always kept.
             dt = np.take_along_axis(d2, probe, axis=1)  # sorted, (m, np)
-            probe_valid = dt <= dt[:, :1] * (probe_ratio**2) + 1e-12
+            # RELATIVE epsilon: an absolute 1e-12 is below one ulp of a
+            # large dist^2, so it could not absorb any rounding at scale
+            probe_valid = dt <= dt[:, :1] * (probe_ratio**2) * (1.0 + 1e-9)
         part_to_queries_raw: dict[int, list[int]] = {}
         for qi in range(len(qids)):
             for j, p in enumerate(probe[qi]):
@@ -1779,7 +1802,7 @@ class IVFIndex:
                         )
                         probe_valid = (
                             dt <= dt.min(axis=1, keepdims=True)
-                            * (ratio_**2) + 1e-12
+                            * (ratio_**2) * (1.0 + 1e-9)
                         )
                         qi, jj = np.nonzero(probe_valid)
                         pi = sel[qi, jj]

@@ -152,7 +152,16 @@ class ProductQuantizer(VectorCompressor):
         per-ROW norm is constant within a row, so it never touches the
         argmin — dropping it removes m strided reduction passes over the
         input. One up-front (m, n, dsub) transpose makes every subspace
-        GEMM contiguous instead of handing BLAS m strided column slices."""
+        GEMM contiguous instead of handing BLAS m strided column slices.
+
+        Cross-version note: the argmax rewrite is exact in real
+        arithmetic but computes a numerically different score than the
+        pre-r6 argmin-distance form, so near-tie centroid assignments can
+        flip for vectors encoded by older builds — appends to a segment
+        encoded before the change may give identical vectors different
+        codes. Acceptable for an approximate codec (ADC scores shift by
+        at most one near-tie cell); do not assume byte-parity of codes
+        across engine versions."""
         if self.global_centroid is not None:
             mat = mat - self.global_centroid.astype(mat.dtype)
         n = len(mat)

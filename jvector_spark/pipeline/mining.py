@@ -29,6 +29,8 @@ def hard_negatives_ivf(
     id_col: str = "id",
     label_col: str = "label",
     query_label_col: str = "label",
+    query_id_col: str = "qid",
+    query_vec_col: str = "vec",
     **search_kwargs,
 ) -> DataFrame:
     """ANN hard-negative mining: fetch ``k * overfetch`` neighbors through
@@ -50,11 +52,21 @@ def hard_negatives_ivf(
 
     Returns (qid, id, score, rank) — ranks 1..k per query (fewer only if
     the fetched set held fewer than k foreign-label rows).
+
+    ``query_id_col`` / ``query_vec_col`` name the query side's id/vector
+    columns (mirroring ``exact.hard_negative_join``); the output always
+    labels the query id ``qid``.
     """
     fetched = index.search(
-        queries.select("qid", "vec"), k * overfetch, **search_kwargs
+        queries.select(
+            F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("vec")
+        ),
+        k * overfetch,
+        **search_kwargs,
     )
-    qlab = queries.select("qid", F.col(query_label_col).alias("_qlab"))
+    qlab = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(query_label_col).alias("_qlab")
+    )
     clab = labels.select(F.col(id_col).alias("id"), F.col(label_col).alias("_clab"))
     kept = (
         fetched.join(clab, "id")

@@ -348,3 +348,66 @@ def test_adaptive_probe_ratio_two_level_fine(spark, tmp_path):
     ra = sorted((r["qid"], r["rank"], r["id"]) for r in a.collect())
     rd = sorted((r["qid"], r["rank"], r["id"]) for r in d.collect())
     assert ra == rd and len(ra) > 0
+
+
+def test_probe_ratio_below_one_rejected(spark, big_setup):
+    """probe_ratio < 1 would put the keep-threshold under the nearest
+    centroid distance and silently drop every probe for affected queries
+    (r6 ADVICE) — must raise, not vanish rows."""
+    import pytest as _pytest
+
+    corpus, idx, n = big_setup
+    queries = corpus.limit(4).selectExpr("id as qid", "vec")
+    with _pytest.raises(ValueError, match="probe_ratio"):
+        idx.search(queries, 10, probe_ratio=0.9)
+
+
+def test_underfilled_queries_detector(spark, big_setup):
+    """underfilled_queries flags exactly the queries whose result came
+    back with fewer than k rows (the tight-probe_ratio tail detector)."""
+    from jvector_spark.operators.search import underfilled_queries
+
+    corpus, idx, n = big_setup
+    queries = corpus.limit(8).selectExpr("id as qid", "vec")
+    # constrain the corpus to 5 accepted rows -> every query underfills
+    # at k=20 with exactly 5 rows
+    accept = [r["id"] for r in corpus.limit(5).collect()]
+    res = idx.search(queries, 20, accept_ids=accept)
+    under = underfilled_queries(res, 20).collect()
+    assert len(under) == 8
+    assert all(r["n_rows"] == 5 for r in under)
+    # and a healthy search flags nothing
+    full = idx.search(queries, 5, n_probe=8, overquery=50.0)
+    assert underfilled_queries(full, 5).count() == 0
+
+
+def test_hard_negatives_ivf_query_col_knobs(spark, big_setup):
+    """hard_negatives_ivf accepts non-default query id/vec column names
+    (r6 ADVICE: the knobs existed for the corpus side only)."""
+    from pyspark.sql import functions as F
+
+    from jvector_spark.pipeline.mining import hard_negatives_ivf
+
+    corpus, idx, n = big_setup
+    labels = corpus.select("id", (F.col("id") % 3).alias("label"))
+    q_default = corpus.limit(6).select(
+        F.col("id").alias("qid"), "vec", (F.col("id") % 3).alias("label")
+    )
+    q_renamed = corpus.limit(6).select(
+        F.col("id").alias("query_key"),
+        F.col("vec").alias("emb"),
+        (F.col("id") % 3).alias("label"),
+    )
+    kw = dict(k=3, overfetch=4, n_probe=8, overquery=20.0)
+    a = sorted(
+        (r["qid"], r["rank"], r["id"])
+        for r in hard_negatives_ivf(idx, q_default, labels, **kw).collect()
+    )
+    b = sorted(
+        (r["qid"], r["rank"], r["id"])
+        for r in hard_negatives_ivf(
+            idx, q_renamed, labels,
+            query_id_col="query_key", query_vec_col="emb", **kw
+        ).collect()
+    )
+    assert a == b and len(a) > 0
