@@ -1178,6 +1178,39 @@ def _ann_ivf_nvq(spark: SparkSession, sf_dir: str) -> DataFrame:
 _oracle("ann_ivf_nvq", _gate_oracle(n_results=10))
 
 
+@_register("ann_ivf_slim")
+def _ann_ivf_slim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slim index storage (store_fp32='none') — the reference's own index
+    economics (FeatureId.java:31-36: the on-disk index carries PQ codes +
+    NVQ bytes, never fp32; 115.99 MB at 100k x 1024 per
+    671.testing.md:8-13, vs 7.3x that when fp32 is spill-replicated).
+    Stage 2 reranks from dequantized NVQ; results are bit-identical to a
+    fat index searched with rerank='nvq'. Recall-gated like ann_ivf_nvq
+    (same floor: NVQ reconstruction error ~1e-3, far below candidate-set
+    margins), and the row additionally asserts the fp32 column is truly
+    absent from the segment files."""
+    import tempfile
+
+    from jvector_spark.operators import exact
+    from jvector_spark.operators.index import IVFIndexBuilder
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    tmp = tempfile.mkdtemp(prefix="jvs_entry_slim_")
+    idx = IVFIndexBuilder(
+        metric="COSINE", pq_m=8, rerank="nvq", store_fp32="none"
+    ).fit(corpus, tmp)
+    assert idx.manifest.store_fp32 == "none"
+    assert "vec" not in idx._segment_data("seg-000000").columns
+    queries = corpus.filter(F.col("id") < 16).selectExpr("id as qid", "vec")
+    res = idx.search(queries, k=10, n_probe=16, overquery=8.0)
+    gt = exact.knn_join(corpus, queries, k=10, metric="COSINE", strategy="numpy")
+    return _recall_gate(res, gt, min_hits=5)
+
+
+_oracle("ann_ivf_slim", _gate_oracle(n_results=10))
+
+
 @_register("ann_ivf_anisotropic")
 def _ann_ivf_anisotropic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search with ANISOTROPIC PQ codebooks on the dot-product corpus
@@ -1866,6 +1899,7 @@ _oracle("events_sessionize", _events_sessionize_oracle())
 # round belong in _GATE_FIRST until they have a green driver row.
 _GATE_FIRST = [
     # never driver-checked before r7
+    "ann_ivf_slim",  # new in r7 (store_fp32='none' slim index)
     "pack_sequences",
     "mixture_weights",
     "redact_pii",
@@ -1879,8 +1913,11 @@ _GATE_FIRST = [
     "events_sessionize",
 ]
 # multi-round-green stable rows rotated out of the 50-row window this
-# round (every one has >= 2 green driver rows + a pytest twin)
+# round (every one has >= 2 green driver rows + a pytest twin; the
+# registry holds 61 rows, so 11 rotate out — all listed explicitly here
+# so the cut is deliberate, not insertion-order accident)
 _GATE_LAST = [
+    "knn_topk_cosine",  # 6 green rounds; entry() still smoke-runs it
     "knn_topk_euclidean",
     "knn_topk_dot_product",
     "vector_arith",

@@ -523,6 +523,7 @@ class IVFIndexBuilder:
         fine_assign_cells: int = 4,
         pq_residual: bool | str = "auto",
         vec_format: str = "packed_f32",
+        store_fp32: str = "all",
     ):
         # X3 SPI: a BuildScoreProvider bundles the construction-scoring
         # choice; explicit kwargs win (ref BuildScoreProvider.java:32-258)
@@ -629,6 +630,26 @@ class IVFIndexBuilder:
                 f"vec_format must be 'packed_f32' or 'list', got {vec_format!r}"
             )
         self.vec_format = vec_format
+        # store_fp32="none" drops the full-resolution column from the index
+        # entirely — the reference's storage economics (its on-disk index
+        # carries PQ codes + NVQ bytes, never fp32: FeatureId.java:31-36;
+        # 115.99 MB at 100k x 1024, 671.testing.md:8-13 — ours was 7.3x
+        # that with fp32 replicated across spill copies). Requires
+        # rerank="nvq": stage 2 must have a payload to rerank from. Search
+        # results are bit-identical to a fat index searched with
+        # rerank="nvq" (identical codes/bytes/kernels — the fp32 column is
+        # simply never read on that path); exact-score surfaces
+        # (threshold_search, rerank="fp32") are refused at call time.
+        if store_fp32 not in ("all", "none"):
+            raise ValueError(
+                f"store_fp32 must be 'all' or 'none', got {store_fp32!r}"
+            )
+        if store_fp32 == "none" and rerank != "nvq":
+            raise ValueError(
+                "store_fp32='none' requires rerank='nvq' — without the fp32 "
+                "column, NVQ bytes are the only stage-2 payload"
+            )
+        self.store_fp32 = store_fp32
         # spill > 1 stores each vector in its `spill` nearest partitions
         # (multi-assignment, cf. SOAR/ScaNN spilling): boundary vectors stop
         # being missed when only their second-closest centroid is probed.
@@ -805,6 +826,7 @@ class IVFIndexBuilder:
         spill = max(1, min(self.spill, len(centroids)))
         fa_cells = max(spill, self.fine_assign_cells)
         packed = self.vec_format == "packed_f32"
+        slim = self.store_fp32 == "none"  # no fp32 column written at all
 
         def assign_encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from pyspark import TaskContext
@@ -890,18 +912,18 @@ class IVFIndexBuilder:
                     codes = codec.encode_numpy(x)
                     code_bytes = [c.tobytes() for c in codes]
                     codes_rows = [code_bytes[i] for i in rep]
-                if packed:
-                    # x IS the f32 values the list layout would store
-                    # (Arrow casts to float on write either way)
-                    vec_rows = pd.Series([x[i].tobytes() for i in rep])
-                else:
-                    vec_rows = pdf["vec"].iloc[rep].reset_index(drop=True)
-                out = {
-                    "id": pdf["id"].to_numpy(dtype=np.int64)[rep],
-                    "vec": vec_rows,
-                    "codes": codes_rows,
-                    "part_id": p.astype(np.int32),
-                }
+                # dict order MUST mirror the output schema (mapInPandas
+                # matches columns positionally)
+                out = {"id": pdf["id"].to_numpy(dtype=np.int64)[rep]}
+                if not slim:
+                    if packed:
+                        # x IS the f32 values the list layout would store
+                        # (Arrow casts to float on write either way)
+                        out["vec"] = pd.Series([x[i].tobytes() for i in rep])
+                    else:
+                        out["vec"] = pdf["vec"].iloc[rep].reset_index(drop=True)
+                out["codes"] = codes_rows
+                out["part_id"] = p.astype(np.int32)
                 if nvq_codec is not None:
                     nvq_codes, nvq_params = nvq_codec.encode_numpy(x)
                     nvq_bytes = [c.tobytes() for c in nvq_codes]
@@ -941,6 +963,10 @@ class IVFIndexBuilder:
         schema = _DATA_SCHEMA
         if packed:
             schema = schema.replace("vec array<float>", "vec binary")
+        if slim:
+            schema = schema.replace("vec binary, ", "").replace(
+                "vec array<float>, ", ""
+            )
         if nvq is not None:
             schema = schema.replace(
                 ", part_id int", ", part_id int, nvq binary, nvq_params array<double>"
@@ -954,7 +980,11 @@ class IVFIndexBuilder:
         # task per ~128 MB of (vec + codes) payload. At sf0.1 that is ONE
         # task (tiny index builds stop paying 32-task × 44-dir small-file
         # overhead); at 100 TB it is thousands, all clustered by part_id.
-        est_bytes = n * spill * (4 * dim + self.pq_m + 24)
+        est_bytes = n * spill * (
+            (0 if slim else 4 * dim)
+            + (dim + 64 if nvq is not None else 0)  # NVQ bytes + params
+            + self.pq_m + 24
+        )
         n_write_tasks = int(min(max(1, est_bytes // (128 << 20) + 1), 4096))
         # A single task writing hundreds of part_id dirs serializes on file
         # open/commit (measured: ~60 s of a 100k-row build). Once the
@@ -1040,6 +1070,7 @@ class IVFIndexBuilder:
                 anisotropic_threshold=self.anisotropic_threshold,
                 pq_residual=residual,
                 vec_format=self.vec_format,
+                store_fp32=self.store_fp32,
             )
         manifest.segments.append(SegmentInfo(name=seg_name, n_rows=n, n_partitions=int(len(centroids))))
         return manifest
@@ -1176,6 +1207,12 @@ class IVFIndex:
         return cls(spark, path, IndexManifest.load(path))
 
     # ----------------------------------------------------------------- state
+    @property
+    def _slim(self) -> bool:
+        """True when the index stores NO fp32 column (store_fp32='none' —
+        NVQ bytes are the highest-resolution stored payload)."""
+        return getattr(self.manifest, "store_fp32", "all") == "none"
+
     def _segment_data(self, seg_name: str) -> DataFrame:
         return self.spark.read.parquet(
             os.path.join(self._segments[seg_name]["dir"], "data.parquet")
@@ -1246,15 +1283,60 @@ class IVFIndex:
         Arrow-batched unpack when the index stores packed f32 bytes, a
         no-op on list segments. ``decode=False`` returns the raw stored
         column (the corpus-sized internal path: compaction and the fused
-        kernels consume either layout directly)."""
+        kernels consume either layout directly).
+
+        On a slim index (``store_fp32='none'``) the returned vectors are
+        DEQUANTIZED NVQ reconstructions — the highest-resolution payload
+        the index stores (~1e-3 relative error; the reference's index has
+        exactly the same property, FeatureId.java:31-36: full fp32 lives
+        in the source dataset, not the index). Compaction re-encodes from
+        these, so codes can drift by near-tie cells across a compact —
+        the same contract as the reference rebuilding from its stored
+        features."""
         segs = [segment] if segment else [s.name for s in self.manifest.segments]
-        dfs = [self._segment_data(s).select("id", "vec") for s in segs]
+        if self._slim:
+            from jvector_spark.operators.quantize.nvq import NVQuantizer
+
+            codec = NVQuantizer(dim=self.manifest.dim)
+            packed = self.manifest.vec_format == "packed_f32"
+            b = self.spark.sparkContext.broadcast((codec, packed and not decode))
+
+            def dq(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                cdc, as_bytes = b.value
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    codes = np.frombuffer(
+                        b"".join(pdf["nvq"]), dtype=np.uint8
+                    ).reshape(len(pdf), cdc.dim)
+                    params = np.stack(
+                        [np.asarray(p, dtype=np.float64) for p in pdf["nvq_params"]]
+                    )
+                    mat = cdc.decode_numpy(codes, params).astype(np.float32)
+                    vec = (
+                        pd.Series([mat[i].tobytes() for i in range(len(mat))])
+                        if as_bytes
+                        else pd.Series(list(mat))
+                    )
+                    yield pd.DataFrame(
+                        {"id": pdf["id"].to_numpy(dtype=np.int64), "vec": vec}
+                    )
+
+            vtype = "binary" if packed and not decode else "array<float>"
+            dfs = [
+                self._segment_data(s)
+                .select("id", "nvq", "nvq_params")
+                .mapInPandas(dq, schema=f"id long, vec {vtype}")
+                for s in segs
+            ]
+        else:
+            dfs = [self._segment_data(s).select("id", "vec") for s in segs]
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
         if self.manifest.spill > 1:
             out = out.dropDuplicates(["id"])  # spilled copies are identical
-        if decode and self.manifest.vec_format == "packed_f32":
+        if decode and not self._slim and self.manifest.vec_format == "packed_f32":
             out = out.withColumn("vec", _unpack_f32("vec"))
         return out
 
@@ -1416,6 +1498,12 @@ class IVFIndex:
         if rerank == "nvq" and self.manifest.rerank != "nvq":
             raise ValueError(
                 "rerank='nvq' requires an index built with IVFIndexBuilder(rerank='nvq')"
+            )
+        if rerank != "nvq" and self._slim:
+            raise ValueError(
+                "this index stores no fp32 column (store_fp32='none'); "
+                "rerank='fp32' is unavailable — search with rerank='nvq' "
+                "(the manifest default) or rebuild with store_fp32='all'"
             )
         accept_df = None
         if accept_ids is not None and not isinstance(accept_ids, DataFrame):
@@ -2318,6 +2406,13 @@ class IVFIndex:
           COSINE:      angle(q,x) >= max(0, angle(q,c) - theta)
           DOT_PRODUCT: dot(q,x) <= ||q|| * M * cos(max(0, angle(q,c)-theta))
         """
+        if self._slim:
+            raise ValueError(
+                "threshold_search requires the stored fp32 column (its "
+                "results are contractually EXACT); this index was built "
+                "with store_fp32='none' — rebuild with store_fp32='all' "
+                "or run the threshold query against the source table"
+            )
         from jvector_spark.operators.exact import collect_point_query_batch
 
         metric = self.manifest.metric
@@ -2462,6 +2557,7 @@ class IVFIndex:
             anisotropic_threshold=self.manifest.anisotropic_threshold,
             pq_residual=self.manifest.pq_residual,
             vec_format=self.manifest.vec_format,
+            store_fp32=getattr(self.manifest, "store_fp32", "all"),
         )
         if df.isEmpty():  # limit-1 probe, far cheaper than a count
             return
@@ -2491,6 +2587,7 @@ class IVFIndex:
             anisotropic_threshold=self.manifest.anisotropic_threshold,
             pq_residual=self.manifest.pq_residual,
             vec_format=self.manifest.vec_format,
+            store_fp32=getattr(self.manifest, "store_fp32", "all"),
         )
         seg_name = f"seg-{self.manifest.version:06d}c"
         fresh = IndexManifest(
@@ -2506,6 +2603,7 @@ class IVFIndex:
             anisotropic_threshold=self.manifest.anisotropic_threshold,
             pq_residual=self.manifest.pq_residual,
             vec_format=self.manifest.vec_format,
+            store_fp32=getattr(self.manifest, "store_fp32", "all"),
             version=self.manifest.version,
         )
         # warm-start PQ from the largest live segment's codebooks (the

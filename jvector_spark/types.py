@@ -61,6 +61,18 @@ class IndexManifest:
     #   "list": array<float> (legacy segments; pre-r6 manifests load as
     #     this via the dataclass default).
     vec_format: str = "list"
+    # which stored copies carry the full-resolution fp32 column:
+    #   "all": every copy (legacy/default) — exact rerank and exact
+    #     threshold search everywhere, at 4*dim bytes x spill per row.
+    #   "none": NO fp32 column at all (requires rerank="nvq") — the
+    #     reference's own storage economics (its index carries PQ codes +
+    #     NVQ bytes, never fp32: FeatureId.java:31-36, 115.99 MB at
+    #     100k x 1024 per 671.testing.md:8-13). Stage 2 reranks from
+    #     dequantized NVQ (~1 byte/dim); searches are bit-identical to a
+    #     fat index searched with rerank="nvq" (same codes, same kernels).
+    #     Exact-score surfaces are refused: threshold_search and
+    #     rerank="fp32" raise; vectors() returns dequantized NVQ.
+    store_fp32: str = "all"
     segments: list[SegmentInfo] = field(default_factory=list)
     version: int = 0
     format_version: int = MANIFEST_VERSION
@@ -76,11 +88,11 @@ class IndexManifest:
         loader) dispatch the same way — this accessor is the introspection
         surface that keeps the mapping explicit and testable.
         """
-        out: dict[str, list[str]] = {
-            # full-resolution vectors are always stored (compaction /
-            # exact fallbacks read them) — the INLINE_VECTORS analog
-            "INLINE_VECTORS": [f"data.parquet: vec ({self.vec_format})"],
-        }
+        out: dict[str, list[str]] = {}
+        if self.store_fp32 != "none":
+            # full-resolution vectors stored (compaction / exact fallbacks
+            # read them) — the INLINE_VECTORS analog
+            out["INLINE_VECTORS"] = [f"data.parquet: vec ({self.vec_format})"]
         if self.first_pass == "bq":
             out["BQ_CODES"] = ["data.parquet: codes (packed sign words)"]
         elif self.pq_residual:

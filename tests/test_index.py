@@ -771,3 +771,105 @@ def test_vec_format_parity_and_decode(spark, corpus_df, queries_df, tmp_path):
     assert legacy.manifest.vec_format == "list"
     r = legacy.search(queries_df, K, n_probe=4, overquery=4.0).collect()
     assert len(r) == len(queries_df.collect()) * K
+
+
+def test_slim_store_bit_parity_and_errors(spark, corpus_df, queries_df, tmp_path_factory):
+    """store_fp32='none' (the reference's index storage economics —
+    FeatureId.java:31-36: PQ codes + NVQ bytes, never fp32): searches are
+    BIT-IDENTICAL to a fat index searched with rerank='nvq' (identical
+    codes/bytes/kernels; the fp32 column was simply never read on that
+    path), the data files shrink by ~the fp32 payload, and the
+    exact-score surfaces refuse with clear errors."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from jvector_spark.operators.search import SearchScoreProvider
+
+    df, _ = corpus_df
+    p_fat = str(tmp_path_factory.mktemp("ivf_fat") / "index")
+    p_slim = str(tmp_path_factory.mktemp("ivf_slim") / "index")
+    kw = dict(metric="COSINE", n_partitions=16, pq_m=8, rerank="nvq")
+    idx_fat = IVFIndexBuilder(**kw).fit(df, p_fat)
+    idx_slim = IVFIndexBuilder(**kw, store_fp32="none").fit(df, p_slim)
+    assert idx_slim.manifest.store_fp32 == "none"
+    assert "INLINE_VECTORS" not in idx_slim.manifest.features()
+    assert "vec" not in idx_slim._segment_data("seg-000000").columns
+
+    def rows(df_):
+        return sorted(
+            (r["qid"], r["rank"], r["id"], round(r["score"], 12))
+            for r in df_.collect()
+        )
+
+    for strat in ("broadcast", "distributed"):
+        a = rows(idx_fat.search(queries_df, K, n_probe=8, overquery=4.0,
+                                strategy=strat))
+        b = rows(idx_slim.search(queries_df, K, n_probe=8, overquery=4.0,
+                                 strategy=strat))
+        assert a == b, f"slim/fat divergence on {strat}"
+
+    # footprint: the slim data dir drops the fp32 payload (4*DIM bytes x
+    # spill x N ~ 1 MB here vs nvq ~0.26 MB) — assert a real reduction
+    def dir_bytes(p):
+        return sum(
+            _os.path.getsize(_os.path.join(r, f))
+            for r, _, fs in _os.walk(p)
+            for f in fs
+        )
+
+    assert dir_bytes(p_slim) < 0.62 * dir_bytes(p_fat)
+
+    # exact-score surfaces refuse
+    with _pytest.raises(ValueError, match="store_fp32"):
+        idx_slim.search(
+            queries_df, K, ssp=SearchScoreProvider(rerank="fp32")
+        )
+    with _pytest.raises(ValueError, match="store_fp32"):
+        idx_slim.threshold_search(queries_df, 0.9)
+    with _pytest.raises(ValueError, match="store_fp32"):
+        IVFIndexBuilder(metric="COSINE", store_fp32="none")  # fp32 rerank
+
+    # vectors(): dequantized NVQ reconstruction, ~1e-3 relative error
+    got = {r["id"]: np.asarray(r["vec"]) for r in idx_slim.vectors().collect()}
+    want = {r["id"]: np.asarray(r["vec"]) for r in df.collect()}
+    assert set(got) == set(want)
+    errs = [
+        np.linalg.norm(got[i] - want[i]) / max(np.linalg.norm(want[i]), 1e-9)
+        for i in want
+    ]
+    assert max(errs) < 0.02, f"max NVQ recon error {max(errs)}"
+
+
+def test_slim_store_append_compact_lifecycle(spark, corpus_df, tmp_path_factory):
+    """Slim indexes keep the full mutation lifecycle: append adds a slim
+    segment, delete tombstones, compact rebuilds ONE slim segment from
+    dequantized-NVQ reconstructions (documented near-tie code drift) and
+    search still clears the recall bar."""
+    df, mat = corpus_df
+    p = str(tmp_path_factory.mktemp("ivf_slim_lc") / "index")
+    half1 = df.filter("id < 2000")
+    half2 = df.filter("id >= 2000")
+    idx = IVFIndexBuilder(
+        metric="COSINE", n_partitions=16, pq_m=8, rerank="nvq",
+        store_fp32="none",
+    ).fit(half1, p)
+    idx.append(half2)
+    assert all(
+        "vec" not in idx._segment_data(s.name).columns
+        for s in idx.manifest.segments
+    )
+    idx.delete([0, 1, 2, 3])
+    idx2 = idx.compact()
+    assert len(idx2.manifest.segments) == 1
+    assert idx2.manifest.store_fp32 == "none"
+    assert "vec" not in idx2._segment_data(
+        idx2.manifest.segments[0].name
+    ).columns
+    queries = df.filter("id % 500 = 7").selectExpr("id as qid", "vec")
+    got = idx2.search(queries, K, n_probe=16, overquery=8.0)
+    ids = {r["id"] for r in got.collect()}
+    assert ids.isdisjoint({0, 1, 2, 3})
+    live = df.filter("id >= 4")
+    gt = exact.knn_join(live, queries, K, metric="COSINE", strategy="numpy")
+    assert recall_at_k(got, gt, K) >= 0.85
