@@ -245,3 +245,245 @@ def streaming_minhash_neardup(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch throughput variant (r7)
+# ---------------------------------------------------------------------------
+
+
+def stream_neardup_foreachbatch(
+    stream_docs: DataFrame,
+    state_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    n_hashes: int = 16,
+    bands: int = 4,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    compact_every: int = 16,
+    trigger: dict | None = None,
+    on_batch=None,
+):
+    """Streaming MinHash near-dup as a ``foreachBatch`` JOIN against a
+    compacted parquet state table — the THROUGHPUT path (the keyed-state
+    operator above is the per-record-latency path; measured r6, its
+    per-group ``applyInPandasWithState`` round-trip costs ~15x the
+    Jaccard compute, capping it at ~700 rows/s on local[32]).
+
+    Same contract as :func:`streaming_minhash_neardup` / the batch
+    ``minhash_lsh_pairs``: every verified pair (doc_a < doc_b,
+    jaccard >= threshold) lands in ``pairs_dir`` EXACTLY ONCE across the
+    life of the stream, as soon as its second member arrives. Per
+    micro-batch — all JVM-side expressions, no Python in the hot path,
+    and the batch operator's own two-table shape (slim band rows drive
+    candidate generation; shingle arrays only ever move for verified
+    candidates):
+
+    - state is ONE parquet table of (doc_id, shh, bands) — one row per
+      document (the shingle-hash array is NOT replicated per band; the
+      first r7 cut stored exploded band rows and the 4x shh copies
+      dominated both the delta writes and the join shuffle);
+    - band rows (doc_id, bkey) are DERIVED on read with ``explode`` —
+      in-plan, never on disk;
+    - candidates = batch band rows vs (state ∪ batch) band rows on
+      ``bkey`` (ordered ids for batch-vs-batch so each unordered pair
+      forms once), then ``least/greatest + distinct`` — the batch
+      operator's dedup, cheap because candidate rows are two longs;
+    - verification joins the candidate ids back to the doc tables for
+      their shh arrays: ``array_intersect`` Jaccard in codegen, exactly
+      the batch operator's verify join (AQE broadcasts the small side).
+
+    Exactly-once under replays (the ``stream_ingest`` segment pattern):
+    batch ``e`` first anti-joins its docs against state (a re-delivered
+    doc never re-enters), writes its state delta to ``state_dir/delta=e``
+    (overwrite — this is also the batch's one materialization of the
+    signature expressions; the pair join reads it back columnar), then
+    its pairs to ``pairs_dir/batch=e`` (overwrite). The state read
+    EXCLUDES the running epoch's delta, and compaction (every
+    ``compact_every`` deltas, folded into ``state_dir/compact-<e>``)
+    only ever includes epochs STRICTLY BEFORE the running one — so a
+    replayed epoch recomputes identical pairs and overwrites its own
+    files, never seeing its own rows as "old".
+
+    Scale shape: the candidate join is one keyed exchange on ``bkey``
+    carrying (doc_id, bkey) rows only; shingle arrays move in the
+    verify join, O(candidate pairs), exactly like the batch operator at
+    100 TB. State is a plain parquet table — size O(corpus), rewritten
+    only at compaction (size-tiered-ish: deltas fold into one compact
+    table); each batch SCANS state (anti-join + band explode + verify
+    sides), so per-batch cost is O(state) — bound it with periodic
+    resets or route unbounded streams to the keyed-state operator,
+    whose ``state_ttl_ms`` gives windowed retention (not implemented
+    here).
+
+    Measured (r7, local[32], sf0.1 documents, 4 micro-batches): 877
+    rows/s at 1,250 docs/batch (parity with the keyed-state op — fixed
+    per-trigger cost dominates tiny batches) and 3,738 rows/s at 40k
+    docs/batch, 5.1x the keyed-state path, pairs identical to the batch
+    operator both times. The remaining gap to signature-compute bound
+    (~12k rows/s) is per-STAGE scheduling latency on small shuffles
+    (~8-9 stages/batch x ~0.3 s); it amortizes with batch size, so
+    sustained-throughput deployments should trigger on larger batches.
+    A cross-batch persisted state cache was tried and REVERTED: its
+    per-batch materialization job cost more than the parquet re-read
+    it saved (43.8 s -> 45.9 s on the 32x micro-bench).
+    """
+    import os as _os
+
+    rows_per_band = n_hashes // bands
+    state_schema = "doc_id long, shh array<long>, bands array<string>"
+
+    def _docs_table(docs: DataFrame) -> DataFrame:
+        toks = docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.split(norm_text(text_col), " ").alias("_tk"),
+        )
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("_tk") - F.lit(n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_tk"), i, n)),
+        )
+        sh = toks.select(
+            "doc_id", F.array_sort(F.array_distinct(grams)).alias("_sh")
+        )
+        sig = sh.withColumn("_base", base_hashes(F.col("_sh"))).withColumn(
+            "_sig", minhash_signature(F.col("_base"), n_hashes)
+        )
+        return sig.select(
+            "doc_id",
+            # verification set: sorted distinct per-shingle base hashes —
+            # the same values the keyed-state kernel intersects; Jaccard
+            # over them equals string-set Jaccard absent 61-bit collisions
+            F.array_sort(F.array_distinct(F.col("_base"))).alias("shh"),
+            _band_keys(F.col("_sig"), bands, rows_per_band).alias("bands"),
+        )
+
+    def _bands_of(docs_tbl: DataFrame) -> DataFrame:
+        return docs_tbl.select("doc_id", F.explode("bands").alias("bkey"))
+
+    def _state_paths(current_epoch: int) -> list[str]:
+        if not _os.path.isdir(state_dir):
+            return []
+        out = []
+        for name in sorted(_os.listdir(state_dir)):
+            p = _os.path.join(state_dir, name)
+            if name.startswith("compact-") and not name.endswith(".tmp"):
+                # .tmp = compaction crashed before its atomic rename;
+                # the source deltas/compacts are all still present
+                out.append(p)
+            elif name.startswith("delta="):
+                if int(name.split("=", 1)[1]) != current_epoch:
+                    out.append(p)
+        return out
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        paths = _state_paths(epoch_id)
+        old = (
+            spark.read.schema(state_schema).parquet(*paths)
+            if paths
+            else spark.createDataFrame([], state_schema)
+        )
+        # crash window between a compaction's dir-rename and its delta
+        # deletes can leave a doc in BOTH a compact table and a delta —
+        # dedup on the state key so it cannot double pair rows. The
+        # overlap is DETECTABLE from dir names alone (compaction folds
+        # every delta with epoch < its own and deletes them, so a delta
+        # older than the newest compact table exists only after such a
+        # crash) — the healthy path skips the corpus-wide shuffle.
+        delta_es = [
+            int(_os.path.basename(p).split("=", 1)[1])
+            for p in paths
+            if _os.path.basename(p).startswith("delta=")
+        ]
+        compact_es = [
+            int(_os.path.basename(p).split("-", 1)[1])
+            for p in paths
+            if _os.path.basename(p).startswith("compact-")
+        ]
+        if delta_es and compact_es and min(delta_es) < max(compact_es):
+            old = old.dropDuplicates(["doc_id"])
+        new = _docs_table(batch_df)
+        # a replayed / re-delivered doc_id already in state never
+        # re-enters (the keyed-state `seen` contract)
+        new = new.join(old.select("doc_id"), "doc_id", "left_anti")
+        # ONE materialization of the signature expressions: write the
+        # delta, read it back columnar for everything downstream
+        new.write.mode("overwrite").parquet(f"{state_dir}/delta={epoch_id}")
+        new = spark.read.schema(state_schema).parquet(
+            f"{state_dir}/delta={epoch_id}"
+        )
+        nb, ob = _bands_of(new), _bands_of(old)
+        l = nb.alias("l")
+        r = (
+            ob.withColumn("_new", F.lit(0))
+            .unionByName(nb.withColumn("_new", F.lit(1)))
+            .alias("r")
+        )
+        cand = (
+            l.join(
+                r,
+                (F.col("l.bkey") == F.col("r.bkey"))
+                & (
+                    (F.col("r._new") == 0)
+                    | (F.col("r.doc_id") < F.col("l.doc_id"))
+                )
+                & (F.col("l.doc_id") != F.col("r.doc_id")),
+            )
+            .select(
+                F.least(F.col("l.doc_id"), F.col("r.doc_id")).alias("doc_a"),
+                F.greatest(F.col("l.doc_id"), F.col("r.doc_id")).alias("doc_b"),
+            )
+            .distinct()
+        )
+        both = new.unionByName(old)
+        sa = both.select(F.col("doc_id").alias("doc_a"), F.col("shh").alias("sh_a"))
+        sb = both.select(F.col("doc_id").alias("doc_b"), F.col("shh").alias("sh_b"))
+        inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        pairs = (
+            cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(inter / union.cast("double"), 6).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+        pairs.coalesce(1).write.mode("overwrite").parquet(
+            f"{pairs_dir}/batch={epoch_id}"
+        )
+        # size-tiered-ish state compaction: fold accumulated deltas
+        # (epochs < e only — replay safety) into one compact table
+        deltas = [
+            p for p in _state_paths(epoch_id)
+            if _os.path.basename(p).startswith("delta=")
+        ]
+        if len(deltas) >= compact_every:
+            compacts = [
+                _os.path.join(state_dir, d)
+                for d in _os.listdir(state_dir)
+                if d.startswith("compact-") and not d.endswith(".tmp")
+            ]
+            merged = spark.read.schema(state_schema).parquet(*(deltas + compacts))
+            tmp = f"{state_dir}/compact-{epoch_id}.tmp"
+            merged.write.mode("overwrite").parquet(tmp)
+            _os.replace(tmp, f"{state_dir}/compact-{epoch_id}")
+            import shutil as _shutil
+
+            for p in deltas + compacts:
+                _shutil.rmtree(p, ignore_errors=True)
+        if on_batch is not None:
+            # count from the durable output (one tiny file), not a second
+            # evaluation of the candidate join
+            n_pairs = spark.read.parquet(f"{pairs_dir}/batch={epoch_id}").count()
+            on_batch(int(epoch_id), int(n_pairs))
+
+    writer = stream_docs.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    trigger = trigger or {"availableNow": True}
+    return writer.trigger(**trigger).start()

@@ -380,3 +380,64 @@ def test_stream_search_matches_batch_and_sees_appends(spark, tmp_path):
         (F.col("batch_id") == last) & F.expr("qid = 0 and rank = 1")
     ).collect()
     assert [r.id for r in top] == [9999]
+
+
+def test_stream_neardup_foreachbatch_matches_batch(spark, tmp_path):
+    """foreachBatch near-dup (the r7 throughput path): union of pairs
+    across micro-batches == batch minhash_lsh_pairs, exactly once,
+    including cross-batch pairs; state deltas compact into one table."""
+    from jvector_spark.pipeline.dedup import minhash_lsh_pairs
+    from jvector_spark.streaming.neardup import stream_neardup_foreachbatch
+
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again ok",
+        "pack my box with five dozen liquor jugs before noon arrives today",
+        "sphinx of black quartz judge my vow said the old teacher slowly",
+    ]
+    docs1 = [(i, base[i % 3] + f" tail{i % 2}") for i in range(12)]
+    docs2 = [(100 + i, base[i % 3] + f" tail{i % 2}") for i in range(6)]
+    docs3 = [(200 + i, base[i % 3] + f" tail{i % 2}") for i in range(6)]
+    in_dir = str(tmp_path / "in")
+    for chunk in (docs1, docs2, docs3):
+        spark.createDataFrame(chunk, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    seen = []
+    q = stream_neardup_foreachbatch(
+        stream,
+        state_dir=str(tmp_path / "state"),
+        pairs_dir=str(tmp_path / "pairs"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        threshold=0.7,
+        compact_every=2,  # force a compaction on the 2nd batch
+        on_batch=lambda e, n: seen.append((e, n)),
+    )
+    q.awaitTermination(240)
+    got_rows = spark.read.parquet(str(tmp_path / "pairs")).collect()
+    got = sorted((r["doc_a"], r["doc_b"], r["jaccard"]) for r in got_rows)
+    assert len(got) == len(set(got)), "a pair was emitted more than once"
+
+    batch = spark.createDataFrame(
+        docs1 + docs2 + docs3, "doc_id long, text string"
+    )
+    want = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(batch, threshold=0.7).collect()
+    )
+    assert len(want) > 0
+    assert any(a < 100 <= b for a, b, _ in want)  # cross-batch pairs exist
+    assert got == want
+    assert len(seen) == 3 and sum(n for _, n in seen) == len(want)
+    # the 3rd batch saw compact_every=2 prior deltas and folded them; its
+    # own delta (written before the fold, excluded from it) remains
+    import os as _os
+
+    names = sorted(_os.listdir(str(tmp_path / "state")))
+    assert any(s.startswith("compact-") for s in names)
+    assert [s for s in names if s.startswith("delta=")] == ["delta=2"]
