@@ -1211,6 +1211,36 @@ def _ann_ivf_slim(spark: SparkSession, sf_dir: str) -> DataFrame:
 _oracle("ann_ivf_slim", _gate_oracle(n_results=10))
 
 
+@_register("ann_ivf_pqm_auto")
+def _ann_ivf_pqm_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pq_m='auto' end-to-end (the reference picks its PQ shape per
+    dataset too — its published encode point is M=dim/8 at d=1024,
+    671.testing.md:26): the builder resolves the subquantizer count from
+    the training sample by the reconstruction-error doubling rule,
+    records the int in the manifest, and the search is recall-gated like
+    ann_ivf_topk. The row also asserts the resolved m is a valid divisor
+    of dim."""
+    import tempfile
+
+    from jvector_spark.operators import exact
+    from jvector_spark.operators.index import IVFIndexBuilder
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    tmp = tempfile.mkdtemp(prefix="jvs_entry_pqm_")
+    idx = IVFIndexBuilder(metric="COSINE", pq_m="auto").fit(corpus, tmp)
+    m = idx.manifest.pq_m
+    dim = idx.manifest.dim
+    assert isinstance(m, int) and m >= 1 and dim % m == 0, (m, dim)
+    queries = corpus.filter(F.col("id") < 16).selectExpr("id as qid", "vec")
+    res = idx.search(queries, k=10, n_probe=16, overquery=8.0)
+    gt = exact.knn_join(corpus, queries, k=10, metric="COSINE", strategy="numpy")
+    return _recall_gate(res, gt, min_hits=5)
+
+
+_oracle("ann_ivf_pqm_auto", _gate_oracle(n_results=10))
+
+
 @_register("ann_ivf_anisotropic")
 def _ann_ivf_anisotropic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search with ANISOTROPIC PQ codebooks on the dot-product corpus
@@ -1900,6 +1930,7 @@ _oracle("events_sessionize", _events_sessionize_oracle())
 _GATE_FIRST = [
     # never driver-checked before r7
     "ann_ivf_slim",  # new in r7 (store_fp32='none' slim index)
+    "ann_ivf_pqm_auto",  # new in r7 (pq_m='auto' resolution)
     "pack_sequences",
     "mixture_weights",
     "redact_pii",
@@ -1918,6 +1949,7 @@ _GATE_FIRST = [
 # so the cut is deliberate, not insertion-order accident)
 _GATE_LAST = [
     "knn_topk_cosine",  # 6 green rounds; entry() still smoke-runs it
+    "vector_centroids",  # 6 green rounds
     "knn_topk_euclidean",
     "knn_topk_dot_product",
     "vector_arith",

@@ -307,13 +307,18 @@ def main() -> None:
                 # top-100. Finer codes (pq_m=16 on d=64) clear the
                 # baseline's own numbers at both published points
                 # (0.9086/0.9980 vs 0.85/0.97) for 2x stage-1 bytes.
+                # r7: built via pq_m="auto" — the reconstruction-error rule
+                # must land on m16 here (this corpus family is what the
+                # threshold was calibrated on); the resolved value is
+                # recorded so a drift fails loudly in the bench diff.
                 t0 = time.perf_counter()
                 lidx16 = IVFIndexBuilder(
-                    metric="COSINE", pq_m=16, spill=2, fine_factor=8
+                    metric="COSINE", pq_m="auto", spill=2, fine_factor=8
                 ).fit(lcorpus, f"{ldir}/idx16")
                 timings["large_ivf_build_100k_m16"] = round(
                     time.perf_counter() - t0, 3
                 )
+                recalls["large_pqm_auto_resolved"] = float(lidx16.manifest.pq_m)
                 for oq in (1.0, 2.0):
                     tag = f"k100_m16_np16_npf32_oq{int(oq)}"
                     t0 = time.perf_counter()

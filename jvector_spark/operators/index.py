@@ -83,6 +83,29 @@ _Q_TILE_IVF = 16384
 # variance around the global mean). Clustered corpora measure ~0.06; an
 # isotropic Gaussian measures ~0.94 even after k-means (k = sqrt(n)).
 _RESIDUAL_AUTO_RATIO = 0.5
+# pq_m="auto": accept the first m whose sample reconstruction MSE is at or
+# under this fraction of the training-set variance; otherwise double m
+# (while it divides dim and stays within caps). Calibrated r7 on the bench
+# corpus family: m=dim/8 leaves ~0.15 relative error on a 200-Gaussian
+# clustered d=64 corpus in residual space (where the r6 recall@100 grid
+# measured m16 >> m8), m=dim/4 reaches ~0.07; 0.10 separates them.
+_PQM_AUTO_RELERR = 0.10
+# driver-side codec-training rows (PQ fit, residual/auto stats) — a uniform
+# prefix of the key-sorted sample; 256 codes/subspace saturate well below it
+_CODEC_TRAIN_CAP = 65536
+
+
+def _pqm_auto_start(dim: int) -> int:
+    """Starting subquantizer count for pq_m='auto': the divisor of dim
+    nearest to dim/8 (log-scale; ties prefer larger), clamped to
+    [2, 128]. dim/8 = 8-dim subspaces is the reference's own default
+    shape (its published M=128 encode point at d=1024 is exactly this,
+    671.testing.md:26)."""
+    target = max(2, dim // 8)
+    divs = [m for m in range(2, min(dim, 128) + 1) if dim % m == 0]
+    if not divs:
+        return 1
+    return min(divs, key=lambda m: (abs(math.log(m / target)), -m))
 
 _DATA_SCHEMA = "id long, vec array<float>, codes binary, part_id int"
 
@@ -545,6 +568,12 @@ class IVFIndexBuilder:
             )
         self.metric = metric
         self.n_partitions = n_partitions
+        # pq_m="auto" resolves the subquantizer count from the training
+        # sample at fit() time (reconstruction-error rule, see
+        # _build_segment); the manifest records the resolved int so
+        # append/compact inherit the decision.
+        if pq_m != "auto" and (not isinstance(pq_m, int) or pq_m < 1):
+            raise ValueError(f"pq_m must be a positive int or 'auto', got {pq_m!r}")
         self.pq_m = pq_m
         self.pq_clusters = pq_clusters
         self.sample_cap = sample_cap
@@ -728,17 +757,25 @@ class IVFIndexBuilder:
         n_parts = self.n_partitions or max(1, min(MAX_CENTROIDS, int(math.sqrt(max(n, 1)))))
 
         centroids = kmeans_pp(sample, n_parts, self.kmeans_iterations, self.seed)
-        train_mat = sample
+        # Codec-training view of the sample: the sample is sorted by its
+        # uniform bottom-k key (operators/sample.py), so a PREFIX is itself
+        # an exact-uniform subsample — 64k rows bound the driver-side PQ
+        # fit and the residual/auto statistics (256 codes per subspace
+        # saturate long before that; r7: the full-128k passes were ~13 s
+        # of the d=1024 build for no measurable codebook quality change,
+        # and kmeans_pp caps its own Lloyd's set the same way).
+        s_t = sample[: min(len(sample), _CODEC_TRAIN_CAP)]
+        train_mat = s_t
         residual = self.pq_residual
         if residual == "auto" or residual:
             # nearest-coarse assignment of the sample (the same rule the
             # encode pass uses for the PRIMARY copy); f32 throughout — the
             # sample is f32 storage values, and mixing dtypes would upcast
             # a full sample-sized copy
-            c_s = centroids.astype(sample.dtype)
+            c_s = centroids.astype(s_t.dtype)
             cc_s = np.einsum("ij,ij->i", c_s, c_s)
-            a = np.argmin(-2.0 * sample @ c_s.T + cc_s[None, :], axis=1)
-            res = sample - c_s[a]
+            a = np.argmin(-2.0 * s_t @ c_s.T + cc_s[None, :], axis=1)
+            res = s_t - c_s[a]
             if residual == "auto":
                 # Residual codes win exactly when the coarse clustering
                 # explains the corpus: codebooks then resolve within-cell
@@ -748,7 +785,7 @@ class IVFIndexBuilder:
                 # below the cut (~0.06 on the r6 zipf probe); isotropic
                 # Gaussian sits near 1.0. first_pass="bq" has no PQ
                 # codebooks, so auto resolves to False there.
-                ctr = sample - sample.mean(axis=0, keepdims=True, dtype=np.float64).astype(sample.dtype)
+                ctr = s_t - s_t.mean(axis=0, keepdims=True, dtype=np.float64).astype(s_t.dtype)
                 # per-row norms reduce over d elements (f32-safe); the
                 # across-rows mean accumulates in f64
                 evar = float(np.mean(np.einsum("ij,ij->i", res, res), dtype=np.float64))
@@ -772,7 +809,7 @@ class IVFIndexBuilder:
             warm_pq is not None
             and isinstance(warm_pq, ProductQuantizer)
             and warm_pq.dim == dim
-            and warm_pq.m == self.pq_m
+            and self.pq_m in ("auto", warm_pq.m)
         ):
             # PQRetrainer analog (ref PQRetrainer.java:42-89): fine-tune the
             # existing codebooks on the fresh sample instead of retraining
@@ -780,12 +817,50 @@ class IVFIndexBuilder:
             # compactions.
             pq = warm_pq.refine(train_mat, iterations=2, seed=self.seed)
         else:
-            pq = ProductQuantizer.fit_numpy(
-                train_mat, m=self.pq_m, clusters=self.pq_clusters,
+            fit_kw = dict(
+                clusters=self.pq_clusters,
                 center=(self.metric == "EUCLIDEAN" and not residual),
                 iterations=self.kmeans_iterations, seed=self.seed,
                 anisotropic_threshold=self.anisotropic_threshold,
             )
+            if self.pq_m == "auto":
+                # resolve m from the training sample the way
+                # pq_residual="auto" resolves (data-driven, recorded as a
+                # plain int in the manifest so append/compact inherit it):
+                # start at the divisor of dim nearest dim/8 and DOUBLE
+                # while the sample reconstruction error stays above
+                # _PQM_AUTO_RELERR x the training variance — finer codes
+                # exactly where the corpus geometry defeats coarse ones
+                # (r6 measured m16 clearing the published recall@100
+                # points where m8 plateaued, on this rule's decision
+                # boundary). Cost: the trial fits run on the driver-side
+                # sample only; the accepted fit IS the codebook used.
+                m = _pqm_auto_start(dim)
+                ctr = train_mat - train_mat.mean(
+                    axis=0, keepdims=True, dtype=np.float64
+                ).astype(train_mat.dtype)
+                tvar = float(
+                    np.mean(np.einsum("ij,ij->i", ctr, ctr), dtype=np.float64)
+                )
+                while True:
+                    pq = ProductQuantizer.fit_numpy(train_mat, m=m, **fit_kw)
+                    err = train_mat - pq.decode_numpy(
+                        pq.encode_numpy(train_mat)
+                    ).astype(train_mat.dtype)
+                    mse = float(
+                        np.mean(np.einsum("ij,ij->i", err, err), dtype=np.float64)
+                    )
+                    if (
+                        mse <= _PQM_AUTO_RELERR * max(tvar, 1e-30)
+                        or 2 * m > min(128, dim // 2)
+                        or dim % (2 * m) != 0
+                    ):
+                        break
+                    m *= 2
+            else:
+                pq = ProductQuantizer.fit_numpy(
+                    train_mat, m=self.pq_m, **fit_kw
+                )
 
         seg_dir = os.path.join(path, "segments", seg_name)
         os.makedirs(seg_dir, exist_ok=True)
@@ -804,9 +879,14 @@ class IVFIndexBuilder:
                 min(self.fine_factor * n_parts, 65536, max(16, len(sample) // 4))
             )
             # hierarchical per-cell training (see fine_level); the owner map
-            # makes row assignment hierarchical too (below)
+            # makes row assignment hierarchically too (below). Trained on a
+            # uniform prefix of the key-sorted sample — >= 16 rows per fine
+            # centroid (floor 20k); the full-sample pass was ~7 s of the
+            # d=1024 build for no quality change (per-cell means saturate)
+            f_cap = min(len(sample), max(16 * n_fine, 20_000))
             fine, fine_owner = fine_level(
-                sample, centroids, n_fine, self.kmeans_iterations, self.seed + 1
+                sample[:f_cap], centroids, n_fine,
+                self.kmeans_iterations, self.seed + 1,
             )
             # per-coarse-cell fine-centroid index lists for hierarchical
             # assignment (ragged; cells unseen in the sample get an empty
@@ -983,7 +1063,7 @@ class IVFIndexBuilder:
         est_bytes = n * spill * (
             (0 if slim else 4 * dim)
             + (dim + 64 if nvq is not None else 0)  # NVQ bytes + params
-            + self.pq_m + 24
+            + (pq.m if isinstance(pq, ProductQuantizer) else pq.words * 8) + 24
         )
         n_write_tasks = int(min(max(1, est_bytes // (128 << 20) + 1), 4096))
         # A single task writing hundreds of part_id dirs serializes on file
@@ -1063,7 +1143,12 @@ class IVFIndexBuilder:
 
         if manifest is None:
             manifest = IndexManifest(
-                dim=dim, metric=self.metric, pq_m=self.pq_m,
+                dim=dim, metric=self.metric,
+                pq_m=(
+                    pq.m
+                    if isinstance(pq, ProductQuantizer)
+                    else (self.pq_m if isinstance(self.pq_m, int) else _pqm_auto_start(dim))
+                ),
                 pq_clusters=self.pq_clusters, n_partitions=self.n_partitions,
                 spill=self.spill, rerank=self.rerank, fine_factor=self.fine_factor,
                 first_pass=self.first_pass,
@@ -1074,6 +1159,26 @@ class IVFIndexBuilder:
             )
         manifest.segments.append(SegmentInfo(name=seg_name, n_rows=n, n_partitions=int(len(centroids))))
         return manifest
+
+
+def _persist_assignment(assigned: DataFrame) -> DataFrame:
+    """Materialize-once storage for a distributed probe-assignment pass.
+
+    Replaces ``localCheckpoint(eager=False)`` (r7, the 10M driver-heap
+    lever): localCheckpoint stores the RDD's deserialized Java row
+    objects, so a zipf-hot assignment block inflates to many times its
+    on-wire size and a 10M-row threshold dedup OOMed a 16 GB driver
+    (r6 measurement; needed 64 GB). DataFrame ``persist`` instead caches
+    Tungsten COLUMNAR COMPRESSED batches with disk spill
+    (MEMORY_AND_DISK), built incrementally per partition — the same
+    evaluate-once guarantee for the downstream sizing count / sub-union
+    / tile join, at a fraction of the heap, and lineage is retained so
+    an evicted block recomputes instead of failing the query (on a real
+    cluster, executor loss no longer kills the search). Blocks are
+    freed with the usual cache lifecycle (unpersist / session end)."""
+    from pyspark.storagelevel import StorageLevel
+
+    return assigned.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def _partition_score_bounds(
@@ -1956,11 +2061,13 @@ class IVFIndex:
         broadcast path's (same argument as the Arrow-batch-local rerank).
 
         Tile sizing never re-runs the query lineage: the assignment output
-        is localCheckpoint-ed whenever anything downstream would evaluate
-        it more than once (no ``m_hint`` -> the sizing count; fine pruning
-        -> the sub-union distinct) — the map pass runs exactly ONCE either
-        way. With ``m_hint`` and no fine pruning, nothing re-reads the
-        assignment before the tile join, so no checkpoint is needed.
+        is persisted (columnar compressed, disk-spilling — see
+        ``_persist_assignment``) whenever anything downstream would
+        evaluate it more than once (no ``m_hint`` -> the sizing count;
+        fine pruning -> the sub-union distinct) — the map pass runs
+        exactly ONCE either way. With ``m_hint`` and no fine pruning,
+        nothing re-reads the assignment before the tile join, so no
+        materialization is needed.
 
         On a two-level index the probed fine-sub union (the pushed
         ``sub_id IN (...)`` scan filter) is derived from the ``subs``
@@ -1996,7 +2103,7 @@ class IVFIndex:
                 probe_ratio=probe_ratio,
             )
             if m_hint is None or derive_subfilter:
-                assigned = assigned.localCheckpoint(eager=False)
+                assigned = _persist_assignment(assigned)
             rows_p = self._part_counts(seg.name)
             if m_hint is not None:
                 # no sizing job: per-partition query load approximated as
@@ -2346,7 +2453,8 @@ class IVFIndex:
             assigned = self._assign_probes(
                 queries_df, info, 0, qid_col, qvec_col,
                 metric=metric, threshold=threshold,
-            ).localCheckpoint(eager=False)
+            )
+            assigned = _persist_assignment(assigned)
             # The assignment distribution is bound-dependent (not knowable
             # a priori), so ONE pass materializes the checkpoint and sizes
             # the tiles per partition; the tile join reads the checkpoint —

@@ -51,21 +51,38 @@ def _kmeans_fast(
 ) -> np.ndarray:
     n, d = points.shape
 
-
+    # Cap the LLOYD'S training set too, not just the seeding (r7: at
+    # d=1024 the full-128k-sample rounds were ~16 s of the build wall):
+    # >= 128 points per centroid is comfortably past the estimation
+    # noise floor for cluster means, and the bottom-k-by-hash sample the
+    # builder passes is uniform, so a random subset of it is uniform.
+    # Quality is regression-gated (test_kmeans_fast_mse_within_tolerance
+    # _of_full_lloyds; the r6 1M A/B showed recall is insensitive to
+    # trainer-detail changes of this kind).
+    n_fit = int(min(n, max(128 * k, 20_000)))
+    if n_fit < n:
+        points = points[rng.choice(n, size=n_fit, replace=False)]
+        n = n_fit
     n_sub = int(min(n, max(8 * k, 20_000)))
     sub = points if n_sub >= n else points[rng.choice(n, size=n_sub, replace=False)]
     # distance BLAS runs in the INPUT dtype (f32 training samples halve
     # the moved bytes; see sample_and_count) — centroid means still
-    # accumulate in f64 (bincount weights), and the returned centroids
-    # are f64 as before
+    # accumulate in f64, and the returned centroids are f64 as before
     cent = _init_pp_fast(sub, k, rng)
     pp = np.einsum("ij,ij->i", points, points)
     for _ in range(iterations):
         assign = _nearest_chunked(points, cent, pp)
         counts = np.bincount(assign, minlength=k)
-        sums = np.empty((k, d), dtype=np.float64)
-        for j in range(d):
-            sums[:, j] = np.bincount(assign, weights=points[:, j], minlength=k)
+        # segment-sum via sort + reduceat (ONE pass over the matrix)
+        # instead of d separate bincount passes — the d-iteration Python
+        # loop was ~1 s/round at d=1024
+        order = np.argsort(assign, kind="stable")
+        sorted_pts = points[order].astype(np.float64, copy=False)
+        a_sorted = assign[order]
+        starts = np.flatnonzero(np.r_[True, a_sorted[1:] != a_sorted[:-1]])
+        seg_sums = np.add.reduceat(sorted_pts, starts, axis=0)
+        sums = np.zeros((k, d), dtype=np.float64)
+        sums[a_sorted[starts]] = seg_sums
         nonempty = counts > 0
         cent[nonempty] = (sums[nonempty] / counts[nonempty, None]).astype(cent.dtype)
         n_empty = int(k - nonempty.sum())

@@ -873,3 +873,36 @@ def test_slim_store_append_compact_lifecycle(spark, corpus_df, tmp_path_factory)
     live = df.filter("id >= 4")
     gt = exact.knn_join(live, queries, K, metric="COSINE", strategy="numpy")
     assert recall_at_k(got, gt, K) >= 0.85
+
+
+def test_pq_m_auto_resolves_and_persists(spark, corpus_df, queries_df, tmp_path_factory):
+    """pq_m='auto' resolves the subquantizer count from the training
+    sample (reconstruction-error doubling rule) and records a plain int
+    in the manifest; on this uniform d=32 corpus the dim/8-divisor start
+    (m=4, 8-dim subspaces) reconstructs poorly and auto must double at
+    least once. Search quality matches an explicit build at the resolved
+    m exactly (same seeds, same codebooks)."""
+    df, _ = corpus_df
+    p_auto = str(tmp_path_factory.mktemp("ivf_mauto") / "index")
+    idx = IVFIndexBuilder(metric="COSINE", n_partitions=16, pq_m="auto").fit(df, p_auto)
+    resolved = idx.manifest.pq_m
+    assert isinstance(resolved, int) and resolved > 4, resolved
+    assert 32 % resolved == 0
+    p_explicit = str(tmp_path_factory.mktemp("ivf_mexp") / "index")
+    idx_e = IVFIndexBuilder(
+        metric="COSINE", n_partitions=16, pq_m=resolved
+    ).fit(df, p_explicit)
+
+    def rows(d):
+        return sorted(
+            (r["qid"], r["rank"], r["id"], round(r["score"], 9))
+            for r in d.collect()
+        )
+
+    a = rows(idx.search(queries_df, K, n_probe=8, overquery=4.0))
+    assert a == rows(idx_e.search(queries_df, K, n_probe=8, overquery=4.0))
+    # append inherits the resolved int (manifest-driven builder)
+    idx.append(df.selectExpr("id + 10000 as id", "vec"))
+    assert idx.manifest.pq_m == resolved
+    with pytest.raises(ValueError, match="pq_m"):
+        IVFIndexBuilder(pq_m="sixteen")
