@@ -2675,14 +2675,44 @@ class IVFIndex:
         self.manifest.save(self.path)
         self._load_segment_meta(seg_name)
 
-    def compact(self) -> "IVFIndex":
+    def compact(self, segments: list[str] | None = None) -> "IVFIndex":
         """U1: N:1 segment merge — union live vectors, rebuild one segment
         with retrained PQ, drop tombstones (ref OnDiskGraphIndexCompactor.
-        compact + PQRetrainer balanced sampling)."""
+        compact + PQRetrainer balanced sampling; the reference's compactor
+        also takes an explicit SOURCE LIST — OnDiskGraphIndexCompactor
+        merges the sources you hand it, docs/compaction.md).
+
+        ``segments`` (optional) selects a SUBSET to merge — the
+        size-tiered building block (see :meth:`maybe_compact`): only the
+        named segments are unioned into the new one; the rest keep their
+        files and manifest entries untouched. With a subset, the
+        tombstone table is RETAINED (ids deleted from an untouched
+        segment must stay tombstoned); a full compact physically removes
+        tombstones as before."""
         # raw (stored-format) pass-through: the rebuild re-derives every
         # stored column from the f64 matrix, so packed bytes never need a
         # decode hop on the corpus-sized path
-        live = self._apply_liveness(self.vectors(decode=False)).select("id", "vec")
+        all_names = [s.name for s in self.manifest.segments]
+        if segments is None:
+            sel = all_names
+        else:
+            sel = list(segments)
+            unknown = set(sel) - set(all_names)
+            if unknown:
+                raise ValueError(f"unknown segments: {sorted(unknown)}")
+            if len(sel) < 2:
+                raise ValueError("subset compaction needs >= 2 segments")
+        full = set(sel) == set(all_names)
+        live_all = [
+            self._apply_liveness(self.vectors(segment=s, decode=False))
+            .select("id", "vec")
+            for s in sel
+        ]
+        live = live_all[0]
+        for d_ in live_all[1:]:
+            live = live.unionByName(d_)
+        if self.manifest.spill > 1 and len(sel) > 1:
+            live = live.dropDuplicates(["id"])
         builder = IVFIndexBuilder(
             metric=self.manifest.metric,
             n_partitions=self.manifest.n_partitions,
@@ -2714,18 +2744,26 @@ class IVFIndex:
             store_fp32=getattr(self.manifest, "store_fp32", "all"),
             version=self.manifest.version,
         )
-        # warm-start PQ from the largest live segment's codebooks (the
+        # subset compaction: untouched segments keep their entries (and
+        # their files — GC below only sweeps what the manifest dropped)
+        fresh.segments = [
+            s for s in self.manifest.segments if s.name not in set(sel)
+        ]
+        # warm-start PQ from the largest MERGED segment's codebooks (the
         # balanced-sample retrain of ref PQRetrainer, not a from-scratch fit)
-        largest = max(self.manifest.segments, key=lambda s: s.n_rows)
+        largest = max(
+            (s for s in self.manifest.segments if s.name in set(sel)),
+            key=lambda s: s.n_rows,
+        )
         fresh = builder._build_segment(
             live, self.path, seg_name, "id", "vec", manifest=fresh,
             warm_pq=self._segments[largest.name]["pq"],
         )
-        # drop tombstones: physically removed now
         import shutil
 
         t = os.path.join(self.path, "tombstones.parquet")
-        if os.path.exists(t):
+        if full and os.path.exists(t):
+            # full compact: tombstoned rows are physically gone everywhere
             shutil.rmtree(t)
         fresh.save(self.path)
         # GC superseded segment dirs AFTER the manifest swap (atomic-manifest-
@@ -2736,7 +2774,41 @@ class IVFIndex:
         for name in os.listdir(seg_root):
             if name not in keep:
                 shutil.rmtree(os.path.join(seg_root, name), ignore_errors=True)
-        return IVFIndex.load(self.spark, self.path)
+        out = IVFIndex.load(self.spark, self.path)
+        # refresh SELF too: callers holding this object (streaming ingest's
+        # foreachBatch closure, the IPC API) would otherwise keep a manifest
+        # pointing at the GC'd segment dirs — an append after a dropped
+        # compact() return value would resurrect deleted entries (r7 fix)
+        self.manifest = out.manifest
+        self._segments = out._segments
+        return out
+
+    def maybe_compact(
+        self, min_segments: int = 4, tier_factor: int = 4
+    ) -> "IVFIndex":
+        """Size-tiered compaction policy (the LSM rule, applied to index
+        segments; ref docs/compaction.md:3-9 — small segments accumulate
+        from streaming ingest and get periodically merged): segments are
+        grouped into size tiers (``floor(log_{tier_factor}(n_rows))``),
+        and whenever a tier holds ``min_segments`` members, that tier is
+        merged into ONE segment via :meth:`compact` (smallest tier first;
+        the merged segment may cascade into the next tier, so the check
+        loops to a fixpoint). Merge cost stays proportional to the data
+        merged — each row is rewritten O(log_total) times over its
+        lifetime instead of once per compaction like the all-segments
+        rule. No-op (returns self) when every tier is under the limit."""
+        while True:
+            tiers: dict[int, list] = {}
+            for s in self.manifest.segments:
+                tiers.setdefault(
+                    int(math.log(max(s.n_rows, 1), tier_factor)), []
+                ).append(s.name)
+            ripe = sorted(t for t, names in tiers.items() if len(names) >= min_segments)
+            if not ripe:
+                return self
+            # compact() refreshes SELF in place, so the loop (and every
+            # caller holding this object) sees the post-merge manifest
+            self.compact(segments=tiers[ripe[0]])
 
     # ----------------------------------------------------------------- stats
     def probe_io_stats(

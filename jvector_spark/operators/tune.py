@@ -45,6 +45,7 @@ def tune_search(
     n_probe_grid: list[int] | None = None,
     n_probe_fine_grid: list[int | None] | None = None,
     overquery_grid: list[float] | None = None,
+    probe_ratio_grid: list[float | None] | None = None,
     max_evals: int = 48,
 ) -> dict:
     """Find the cheapest (n_probe, n_probe_fine, overquery) meeting
@@ -101,6 +102,14 @@ def tune_search(
         n_probe_fine_grid = [None, 8, 16, 32] if has_fine else [None]
     if overquery_grid is None:
         overquery_grid = [1.0, 4.0, 16.0, 64.0]
+    # probe_ratio (adaptive probe depth, the skew lever) joins the lattice
+    # as a per-shape dimension: ratios only ever DROP probes relative to
+    # the fixed-depth shape, so the fixed-depth IO model upper-bounds each
+    # adaptive point and tighter ratios are ordered first within a shape
+    # (cheapest-first walk preserved). Default sweeps the r6-measured
+    # useful band plus fixed depth; pass [None] to disable.
+    if probe_ratio_grid is None:
+        probe_ratio_grid = [1.2, 1.5, None]
 
     # IO model once per (n_probe, n_probe_fine) shape; the cell histogram
     # behind it is cached on the segment, so this is driver arithmetic.
@@ -110,9 +119,10 @@ def tune_search(
         for npf in n_probe_fine_grid
     }
     shapes = sorted(
-        ((io_frac[(np_, npf)], np_, npf)
-         for np_ in n_probe_grid for npf in n_probe_fine_grid),
-        key=lambda t: t[0],
+        ((io_frac[(np_, npf)], np_, npf, ratio)
+         for np_ in n_probe_grid for npf in n_probe_fine_grid
+         for ratio in probe_ratio_grid),
+        key=lambda t: (t[0], t[3] if t[3] is not None else float("inf")),
     )
     ladder = sorted(overquery_grid)
 
@@ -129,7 +139,7 @@ def tune_search(
     # budget before the walk reaches a shape that can pass.
     plateau_eps = 0.005
     done = False
-    for frac, np_, npf in shapes:
+    for frac, np_, npf, ratio in shapes:
         if done:
             break
         prev_rec: float | None = None
@@ -146,13 +156,15 @@ def tune_search(
                     break  # coverage-bounded shape: can't reach the target
             t0 = time.perf_counter()
             res = index.search(
-                qdf, k, n_probe=np_, overquery=oq, n_probe_fine=npf
+                qdf, k, n_probe=np_, overquery=oq, n_probe_fine=npf,
+                probe_ratio=ratio,
             )
             rec = recall_at_k(res, gt, k)
             point = {
                 "n_probe": np_,
                 "n_probe_fine": npf,
                 "overquery": oq,
+                "probe_ratio": ratio,
                 "recall": round(rec, 4),
                 "visited_fraction": round(frac, 6),
                 "wall_s": round(time.perf_counter() - t0, 3),

@@ -34,6 +34,7 @@ def stream_ingest(
     id_col: str = "id",
     vec_col: str = "vec",
     compact_every: int | None = None,
+    tiered_min_segments: int | None = None,
     on_batch: Callable[[int, int], None] | None = None,
     trigger: dict | None = None,
 ) -> StreamingQuery:
@@ -45,7 +46,15 @@ def stream_ingest(
         checkpoint_dir: Structured Streaming checkpoint location (exactly-
             once segment append: a replayed batch overwrites its own segment
             dir and the manifest add is idempotent by segment name).
-        compact_every: if set, run index.compact() after every N batches.
+        compact_every: if set, run index.compact() after every N batches
+            (the blunt count rule — every compaction rewrites the WHOLE
+            index).
+        tiered_min_segments: if set, run the size-tiered policy
+            (``index.maybe_compact(min_segments=...)``) after every
+            batch — segments merge only when enough of a similar size
+            accumulate, so each row is rewritten O(log n) times over its
+            lifetime (ref docs/compaction.md segment-accumulation
+            workload). Mutually exclusive with ``compact_every``.
         on_batch: optional callback (batch_id, appended_rows) for tests.
         trigger: e.g. {"availableNow": True} or {"processingTime": "10 seconds"}.
     """
@@ -59,7 +68,9 @@ def stream_ingest(
             )
         state["batches"] += 1
         if compact_every and state["batches"] % compact_every == 0:
-            index.compact()
+            index.compact()  # refreshes `index` in place (r7)
+        elif tiered_min_segments:
+            index.maybe_compact(min_segments=tiered_min_segments)
         if on_batch is not None:
             on_batch(batch_id, n)
 

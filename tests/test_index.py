@@ -906,3 +906,89 @@ def test_pq_m_auto_resolves_and_persists(spark, corpus_df, queries_df, tmp_path_
     assert idx.manifest.pq_m == resolved
     with pytest.raises(ValueError, match="pq_m"):
         IVFIndexBuilder(pq_m="sixteen")
+
+
+def test_subset_compact_and_size_tiered_policy(spark, corpus_df, tmp_path_factory):
+    """Subset compaction (the reference compactor's explicit source list,
+    docs/compaction.md) + the size-tiered policy: similar-size segments
+    merge when min_segments accumulate; untouched segments keep their
+    files; tombstones survive a subset compact (an id deleted from an
+    untouched segment must stay deleted); results equal a fresh index on
+    the live set."""
+    df, _ = corpus_df
+    p = str(tmp_path_factory.mktemp("ivf_tier") / "index")
+    big = df.filter("id < 2800")  # one big segment (out-of-tier)
+    idx = IVFIndexBuilder(metric="COSINE", n_partitions=16, pq_m=8).fit(big, p)
+    # four similar small segments -> one tier
+    for j in range(4):
+        idx.append(
+            df.filter(f"id >= {2800 + j * 300} and id < {2800 + (j + 1) * 300}"),
+            seg_name=f"seg-small{j}",
+        )
+    # wait: corpus has 4000 rows; last slice is 3700..4000
+    assert len(idx.manifest.segments) == 5
+    idx.delete([5])  # tombstone in the BIG (untouched) segment
+    out = idx.maybe_compact(min_segments=4)
+    # the four small segments merged; big one untouched; self refreshed
+    assert len(out.manifest.segments) == 2
+    assert len(idx.manifest.segments) == 2
+    assert {s.name for s in out.manifest.segments} >= {"seg-000000"}
+    assert out.tombstones() is not None, "subset compact must retain tombstones"
+    queries = df.filter("id % 700 = 5").selectExpr("id as qid", "vec")
+    got = out.search(queries, K, n_probe=16, overquery=16.0)
+    assert 5 not in {r["id"] for r in got.collect()}
+    gt = exact.knn_join(
+        df.filter("id <> 5"), queries, K, metric="COSINE", strategy="numpy"
+    )
+    assert recall_at_k(got, gt, K) >= 0.85
+    # policy is a no-op at fixpoint
+    assert idx.maybe_compact(min_segments=4) is idx
+
+
+def test_stream_ingest_tiered_compaction(spark, rng, tmp_path):
+    """tiered_min_segments on stream_ingest: micro-batch segments
+    auto-merge when enough similar-size ones accumulate, and the caller's
+    index object sees the post-merge manifest (the r7 in-place refresh);
+    post-compaction search finds streamed rows."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from jvector_spark.streaming import stream_ingest
+
+    idx_path, in_dir, ckpt = (
+        str(tmp_path / "idx"), str(tmp_path / "in"), str(tmp_path / "ck")
+    )
+    mat = rng.uniform(-1, 1, size=(900, 16)).astype(np.float32)
+
+    def batch(lo, n):
+        return spark.createDataFrame(
+            [(lo + i, mat[(lo + i) % 900].tolist()) for i in range(n)],
+            "id long, vec array<float>",
+        )
+
+    idx = IVFIndexBuilder(metric="COSINE", pq_m=4, n_partitions=8).fit(
+        batch(0, 300), idx_path
+    )
+    for j in range(3):
+        batch(1000 + j * 100, 80).coalesce(1).write.mode("append").parquet(in_dir)
+    stream = (
+        spark.readStream.schema("id long, vec array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    q = stream_ingest(
+        stream, idx, ckpt, tiered_min_segments=3, trigger={"availableNow": True}
+    )
+    q.processAllAvailable()
+    q.stop()
+    # 3 streamed 80-row segments hit the tier rule and merged into one;
+    # the caller's object reflects it without reloading
+    assert len(idx.manifest.segments) == 2
+    reloaded = IVFIndex.load(spark, idx_path)
+    assert len(reloaded.manifest.segments) == 2
+    assert reloaded.vectors().count() == 300 + 240
+    tgt = reloaded.vectors().filter(F.col("id") == 1205).collect()[0]
+    qdf = spark.createDataFrame(
+        [(0, list(tgt.vec))], "qid long, vec array<float>"
+    )
+    assert reloaded.search(qdf, 3, n_probe=8, overquery=8.0).collect()[0].id == 1205

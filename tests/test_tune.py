@@ -84,3 +84,35 @@ def test_tune_best_config_holds_on_heldout_queries(tuned_index, spark):
         n_probe_fine=best["n_probe_fine"],
     )
     assert recall_at_k(r, gt, 10) >= 0.85 - 0.15  # generalization tolerance
+
+
+def test_tune_sweeps_probe_ratio(spark, tmp_path):
+    """probe_ratio is a lattice dimension (r7): every evaluated point
+    carries it, a custom grid is respected, and within one (np, npf)
+    shape tighter ratios are walked before fixed depth (cheaper IO
+    first)."""
+    import numpy as np
+
+    from jvector_spark.operators.index import IVFIndexBuilder
+
+    rng = np.random.default_rng(17)
+    centers = rng.normal(size=(16, 16))
+    asg = rng.integers(0, 16, size=1500)
+    mat = (centers[asg] + 0.2 * rng.normal(size=(1500, 16))).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(1500)], "id long, vec array<float>"
+    )
+    idx = IVFIndexBuilder(metric="COSINE", n_partitions=16, pq_m=4).fit(
+        df, str(tmp_path / "idx")
+    )
+    out = idx.tune(
+        k=5, target_recall=0.95, sample=16,
+        n_probe_grid=[4], n_probe_fine_grid=[None],
+        overquery_grid=[8.0], probe_ratio_grid=[1.3, None],
+        max_evals=8,
+    )
+    pts = out["evaluated"]
+    assert pts and all("probe_ratio" in p for p in pts)
+    assert {p["probe_ratio"] for p in pts} <= {1.3, None}
+    # tighter ratio evaluated first within the single shape
+    assert pts[0]["probe_ratio"] == 1.3
