@@ -436,6 +436,7 @@ def _hier_fine_subs(
     own_pad: np.ndarray,
     npf: int,
     probe_valid: np.ndarray | None = None,
+    per_probe: bool = False,
 ) -> list[np.ndarray]:
     """Per-query top-``npf`` fine cells among those OWNED by the query's
     probed coarse cells (``probe_cells``: (nq, n_probe) coarse ids) —
@@ -453,14 +454,35 @@ def _hier_fine_subs(
     identically (bit-parity across routes). ``probe_valid`` (same shape
     as ``probe_cells``) marks probes DROPPED by adaptive probing
     (probe_ratio): their owned cells are excluded so npf is never spent
-    on cells in partitions the query won't scan."""
+    on cells in partitions the query won't scan.
+
+    ``per_probe=True`` makes ``npf`` a PER-KEPT-PROBE budget: each
+    query selects its top ``npf x n_kept_probes`` cells instead of a
+    flat total (the harsh-skew lever, r7). Under adaptive probing a
+    mega-cluster query keeps many near-tied probes, and a flat npf
+    spreads ~npf/n_kept cells per partition — the fine mask then caps
+    recall exactly for the queries adaptive probing was meant to serve
+    (measured r6: zipf-1.5 saturated at 0.48/0.625 'rerank-bounded' —
+    actually mask-bounded). Per-probe budgets hold the per-partition
+    visited fraction (npf / fine_factor) CONSTANT per query, like
+    probe_ratio holds relative probe depth constant."""
     nq = len(qmat)
     cand = own_pad[probe_cells]  # (nq, P, Lmax)
     if probe_valid is not None:
         cand = np.where(probe_valid[:, :, None], cand, -1)
+    kept = (
+        probe_valid.sum(axis=1)
+        if probe_valid is not None
+        else np.full(nq, probe_cells.shape[1], dtype=np.int64)
+    )
     cand = cand.reshape(nq, -1)  # (nq, C)
     c_w, d = cand.shape[1], fine_c.shape[1]
-    out: list[np.ndarray] = []
+    npf_q = (
+        np.minimum(np.maximum(kept, 1) * npf, c_w)
+        if per_probe
+        else np.full(nq, min(npf, c_w), dtype=np.int64)
+    )
+    out_arr: list = [None] * nq
     # chunk the query axis so the (Qc, C, d) centroid gather stays ~64MB
     # (a skew-heavy owner table can make C = n_probe x Lmax large)
     qc = max(1, int((64 << 20) // max(c_w * d * 8, 1)))
@@ -473,14 +495,19 @@ def _hier_fine_subs(
             "qd,qcd->qc", qmat[lo:hi], fc
         )
         d2[~valid] = np.inf
-        if npf < c_w:
-            sel = np.argpartition(d2, npf - 1, axis=1)[:, :npf]
-            subs = np.take_along_axis(cd, sel, axis=1)
-            keep = np.isfinite(np.take_along_axis(d2, sel, axis=1))
-        else:
-            subs, keep = cd, valid
-        out.extend(subs[i][keep[i]].astype(np.int32) for i in range(hi - lo))
-    return out
+        # rows share one argpartition per distinct budget (<= n_probe_cap
+        # distinct values under per_probe; exactly one otherwise)
+        for b in np.unique(npf_q[lo:hi]):
+            ridx = np.flatnonzero(npf_q[lo:hi] == b)
+            if b < c_w:
+                sel = np.argpartition(d2[ridx], b - 1, axis=1)[:, :b]
+                subs = np.take_along_axis(cd[ridx], sel, axis=1)
+                keep_m = np.isfinite(np.take_along_axis(d2[ridx], sel, axis=1))
+            else:
+                subs, keep_m = cd[ridx], valid[ridx]
+            for j, i in enumerate(ridx):
+                out_arr[lo + i] = subs[j][keep_m[j]].astype(np.int32)
+    return out_arr
 
 
 class _PartStatsParam(AccumulatorParam):
@@ -1489,6 +1516,7 @@ class IVFIndex:
         m_hint: int | None = None,
         telemetry=None,
         probe_ratio: float | None = None,
+        npf_per_probe: bool = False,
     ) -> DataFrame:
         """Fused two-phase partition-pruned k-NN join over live segments.
 
@@ -1505,6 +1533,15 @@ class IVFIndex:
         ``probe_io_stats`` models fixed depth only. Values below 1 would
         silently drop even the nearest probe (the threshold falls under
         the nearest distance itself) — rejected with ``ValueError``.
+
+        ``npf_per_probe=True`` makes ``n_probe_fine`` a PER-KEPT-PROBE
+        budget instead of a flat per-query total: each query's fine-cell
+        allowance scales with how many probes it kept, holding the
+        per-partition visited fraction constant. This is ``probe_ratio``'s
+        natural companion on skewed corpora — a mega-cluster query that
+        keeps many near-tied probes would otherwise spread a flat npf
+        over all of them and get masked down to ~nothing per partition
+        (the r6 zipf-1.5 'saturation'). Both routes apply it identically.
 
         UNDER-FILLED RESULTS under tight ``probe_ratio``: a query whose
         kept probes hold fewer than ``k`` live rows returns fewer than
@@ -1637,7 +1674,7 @@ class IVFIndex:
                 queries_df, metric, k, rerank_k, n_probe,
                 query_id_col, query_vec_col, predicate, accept_df, rerank, m_hint,
                 n_probe_fine=n_probe_fine, telemetry=telemetry,
-                probe_ratio=probe_ratio,
+                probe_ratio=probe_ratio, npf_per_probe=npf_per_probe,
             )
         if strategy != "broadcast":
             raise ValueError(f"unknown search strategy {strategy!r}")
@@ -1651,7 +1688,7 @@ class IVFIndex:
                 self._segments[seg.name], qids, qmat, metric, k, rerank_k, n_probe,
                 predicate=predicate, accept_df=accept_df, rerank=rerank,
                 n_probe_fine=n_probe_fine, telemetry=telemetry,
-                probe_ratio=probe_ratio,
+                probe_ratio=probe_ratio, npf_per_probe=npf_per_probe,
             )
             for seg in self.manifest.segments
         ]
@@ -1724,6 +1761,7 @@ class IVFIndex:
         n_probe_fine: int | None = None,
         telemetry=None,
         probe_ratio: float | None = None,
+        npf_per_probe: bool = False,
     ) -> DataFrame:
         cents: np.ndarray = info["centroids"]
         pq: ProductQuantizer = info["pq"]
@@ -1782,7 +1820,7 @@ class IVFIndex:
             # so every selected cell lies in a partition this query scans
             subs_list = _hier_fine_subs(
                 qmat, probe, fine_c, self._fine_own_pad(info), npf,
-                probe_valid=probe_valid,
+                probe_valid=probe_valid, per_probe=npf_per_probe,
             )
             probed_subs = sorted({int(s) for a in subs_list for s in a})
             data = data.filter(F.col("sub_id").isin(probed_subs))
@@ -1920,6 +1958,7 @@ class IVFIndex:
         threshold: float | None = None,
         fine_npf: int | None = None,
         probe_ratio: float | None = None,
+        npf_per_probe: bool = False,
     ) -> DataFrame:
         """Distributed probe assignment: a map-only pass over the query
         DataFrame with the segment's centroids+stats broadcast (the
@@ -1963,12 +2002,12 @@ class IVFIndex:
         npb = int(max(1, min(n_probe, n_live))) if threshold is None else 0
         bcast = self.spark.sparkContext.broadcast(
             (stats, npb, metric, threshold, fine, npf, own_pad, packed,
-             probe_ratio)
+             probe_ratio, npf_per_probe)
         )
 
         def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             (st, npb_, met, thr, fine_c, npf_, own_pad_, packed_,
-             ratio_) = bcast.value
+             ratio_, npf_pp_) = bcast.value
             cents = st["centroids"]
             live = st["has_rows"]
             cc = np.einsum("ij,ij->i", cents, cents)
@@ -2025,7 +2064,7 @@ class IVFIndex:
                     # >half the 1M corpus-as-queries assignment compute)
                     subs_list = _hier_fine_subs(
                         qmat, sel, fine_c, own_pad_, npf_,
-                        probe_valid=probe_valid,
+                        probe_valid=probe_valid, per_probe=npf_pp_,
                     )
                     out["subs"] = pd.Series([subs_list[i] for i in qi])
                 yield pd.DataFrame(out)
@@ -2051,6 +2090,7 @@ class IVFIndex:
         n_probe_fine: int | None = None,
         telemetry=None,
         probe_ratio: float | None = None,
+        npf_per_probe: bool = False,
     ) -> DataFrame:
         """Uncapped k-NN search: neither side is ever driver-collected.
 
@@ -2100,7 +2140,7 @@ class IVFIndex:
             )
             assigned = self._assign_probes(
                 queries_df, info, npb, qid_col, qvec_col, fine_npf=fine_npf,
-                probe_ratio=probe_ratio,
+                probe_ratio=probe_ratio, npf_per_probe=npf_per_probe,
             )
             if m_hint is None or derive_subfilter:
                 assigned = _persist_assignment(assigned)

@@ -411,3 +411,47 @@ def test_hard_negatives_ivf_query_col_knobs(spark, big_setup):
         ).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_npf_per_probe_routes_agree_and_superset(spark, tmp_path):
+    """npf_per_probe: routes agree bit-for-bit, and the per-probe budget
+    (a superset of flat npf's selected cells for multi-probe queries)
+    never loses recall vs the flat mask at identical probes."""
+    import numpy as np
+
+    from jvector_spark.operators.index import IVFIndexBuilder
+
+    rng = np.random.default_rng(31)
+    centers = rng.normal(size=(24, 16))
+    asg = rng.integers(0, 24, size=4000)
+    mat = (centers[asg] + 0.3 * rng.normal(size=(4000, 16))).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(4000)], "id long, vec array<float>"
+    )
+    idx = IVFIndexBuilder(
+        metric="COSINE", n_partitions=24, pq_m=4, fine_factor=8
+    ).fit(df, str(tmp_path / "idx"))
+    queries = df.limit(48).selectExpr("id as qid", "vec")
+
+    def rows(d):
+        return sorted(
+            (r["qid"], r["rank"], r["id"], round(r["score"], 9))
+            for r in d.collect()
+        )
+
+    kw = dict(n_probe=6, overquery=50.0, n_probe_fine=4,
+              probe_ratio=1.3, npf_per_probe=True)
+    a = rows(idx.search(queries, 10, strategy="broadcast", **kw))
+    b = rows(idx.search(queries, 10, strategy="distributed", **kw))
+    assert a == b
+    # per-probe budget >= flat budget per query -> per-query hit sets
+    # against exact GT can only grow
+    from jvector_spark.metrics import recall_at_k
+    from jvector_spark.operators import exact
+
+    gt = exact.knn_join(df, queries, 10, metric="COSINE", strategy="numpy")
+    flat = idx.search(queries, 10, n_probe=6, overquery=50.0,
+                      n_probe_fine=4, probe_ratio=1.3)
+    r_pp = recall_at_k(idx.search(queries, 10, **kw), gt, 10)
+    r_flat = recall_at_k(flat, gt, 10)
+    assert r_pp >= r_flat - 1e-9, (r_pp, r_flat)
