@@ -165,6 +165,11 @@ def main() -> None:
         help="adaptive probe depth: probe partitions within this ratio of "
         "the nearest centroid distance, bulk-np as the cap (skew lever)",
     )
+    ap.add_argument(
+        "--bulk-npf-per-probe", action="store_true",
+        help="bulk-npf is a PER-KEPT-PROBE fine-cell budget (r7 skew "
+        "lever) instead of a flat per-query total",
+    )
     ap.add_argument("--bulk-only", action="store_true")
     ap.add_argument(
         "--prof", action="store_true",
@@ -312,6 +317,7 @@ def main() -> None:
             res = idx.search(
                 qall, 10, n_probe=args.bulk_np, overquery=args.bulk_oq,
                 n_probe_fine=args.bulk_npf, probe_ratio=args.bulk_ratio,
+                npf_per_probe=args.bulk_npf_per_probe,
                 strategy="distributed", m_hint=m_q, telemetry=tel,
             ).persist()  # the recall slice below must not re-run the search
             n_out = res.count()
@@ -319,7 +325,7 @@ def main() -> None:
             log(
                 step="bulk_topk", rows=n_out, sec=round(dt, 1),
                 n_probe=args.bulk_np, npf=args.bulk_npf, oq=args.bulk_oq,
-                ratio=args.bulk_ratio,
+                ratio=args.bulk_ratio, npf_per_probe=args.bulk_npf_per_probe,
             )
             if tel is not None:
                 log(step="bulk_prof", core_sec=tel.stage_seconds,
