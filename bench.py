@@ -86,6 +86,23 @@ def _materialize(df) -> int:
     )
 
 
+
+def _section_reset(spark) -> None:
+    """Drop every cached/persisted block between bench sections so one
+    section's debris (e.g. probe-assignment persists, tune-sweep caches)
+    cannot inflate the next section's walls — measured r7: the full-run
+    `large_dedup_exact_100k` read 103.8 s vs 32.2 s in an isolated run
+    with identical code. All cross-section state is parquet-backed, so
+    clearing the cache never changes results."""
+    try:
+        spark.catalog.clearCache()
+    except Exception:
+        pass
+    import gc
+
+    gc.collect()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
@@ -218,6 +235,7 @@ def main() -> None:
     # (IVFIndex.probe_io_stats), plus the exact-vs-indexed near-dup
     # crossover. Skip with SPARK_GRAFT_LARGE=0.
     if os.environ.get("SPARK_GRAFT_LARGE", "1") != "0":
+        _section_reset(spark)
         try:
             import numpy as np
             import pyarrow as pa
@@ -389,6 +407,9 @@ def main() -> None:
                             b["n_probe_fine"] or 0
                         )
                         recalls["large_tune_overquery"] = float(b["overquery"])
+                        recalls["large_tune_probe_ratio"] = float(
+                            b.get("probe_ratio") or 0
+                        )
 
                 # near-dup crossover: exact blocked all-pairs vs the SAME
                 # corpus through the index's bound-pruned threshold search
@@ -428,6 +449,7 @@ def main() -> None:
     # count — the first throughput figure for the applyInPandasWithState
     # design. Skip with SPARK_GRAFT_STREAM_BENCH=0.
     if os.environ.get("SPARK_GRAFT_STREAM_BENCH", "1") != "0":
+        _section_reset(spark)
         try:
             from jvector_spark.streaming.neardup import streaming_minhash_neardup
 
@@ -537,6 +559,7 @@ def main() -> None:
     # vectorized rerank + per-partition tiles are what it measures now.
     # Skip with SPARK_GRAFT_XL=0; shrink with SPARK_GRAFT_XL_N.
     if os.environ.get("SPARK_GRAFT_XL", "1") != "0":
+        _section_reset(spark)
         try:
             import importlib.util as _ilu
 
@@ -636,14 +659,18 @@ def main() -> None:
                 hq = hcorpus.filter(F.col("id") % (hd_n // 64) == 0).selectExpr(
                     "id as qid", "vec"
                 )
-                t0 = time.perf_counter()
-                hres = hidx.search(
-                    hq, 10, n_probe=8, overquery=64.0, n_probe_fine=16
-                )
-                _materialize(hres)
-                timings["large_search_d1024_64q"] = round(
-                    time.perf_counter() - t0, 3
-                )
+                # min-of-2 like the headline list: this point lands right
+                # after the 1M workload's GC tail and a single shot read
+                # 12.3 s vs 2.7 s warm in back-to-back r7 full runs
+                hwalls = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    hres = hidx.search(
+                        hq, 10, n_probe=8, overquery=64.0, n_probe_fine=16
+                    )
+                    _materialize(hres)
+                    hwalls.append(time.perf_counter() - t0)
+                timings["large_search_d1024_64q"] = round(min(hwalls), 3)
                 hgt = _exact.knn_join(
                     hcorpus, hq, 10, metric="COSINE", strategy="numpy"
                 )
