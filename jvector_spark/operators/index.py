@@ -2858,6 +2858,8 @@ class IVFIndex:
         n_probe_fine: int | None = None,
         query_id_col: str = "qid",
         query_vec_col: str = "vec",
+        probe_ratio: float | None = None,
+        npf_per_probe: bool = False,
     ) -> dict:
         """A10 diagnostic: the per-query point-search IO model — how many
         STORED rows a single query's probed partitions contain (∩ its own
@@ -2867,7 +2869,13 @@ class IVFIndex:
         docs/release notes/4.0.0-RC.9/671.testing.md:41) and the number the
         recall-per-IO grid reports. Driver-side probe math over collected
         queries (point-query batch, capped) + one small partition-size agg
-        per segment."""
+        per segment.
+
+        ``probe_ratio`` / ``npf_per_probe`` (r7) model ADAPTIVE probing
+        with the same keep rule and the same fine-cell selector the
+        search routes use, so the IO model predicts what an adaptive
+        search actually scans (tune()'s cheapest-first ordering of
+        adaptive lattice points uses this)."""
         from jvector_spark.operators.exact import collect_point_query_batch
 
         qrows = collect_point_query_batch(
@@ -2881,13 +2889,18 @@ class IVFIndex:
             info = self._segments[seg.name]
             cents = info["centroids"]
             npb = min(n_probe, len(cents))
+            # same association order as the search routes (route parity)
             d2 = (
-                np.einsum("ij,ij->i", qmat, qmat)[:, None]
+                -2.0 * qmat @ cents.T
                 + np.einsum("ij,ij->i", cents, cents)[None, :]
-                - 2.0 * qmat @ cents.T
-            )
+            ) + np.einsum("ij,ij->i", qmat, qmat)[:, None]
+            d2 = np.maximum(d2, 0.0)
             d2[:, ~info["has_rows"]] = np.inf
             probe = np.argsort(d2, axis=1)[:, :npb]
+            probe_valid = None
+            if probe_ratio is not None:
+                dt = np.take_along_axis(d2, probe, axis=1)  # sorted
+                probe_valid = dt <= dt[:, :1] * (probe_ratio**2) * (1.0 + 1e-9)
             if n_probe_fine and info.get("fine") is not None:
                 fine_c = info["fine"]
                 npf = min(int(n_probe_fine), len(fine_c))
@@ -2898,12 +2911,15 @@ class IVFIndex:
                 # same hierarchical selection as the search routes, so the
                 # IO model predicts what the search actually scans
                 subs_list = _hier_fine_subs(
-                    qmat, probe, fine_c, self._fine_own_pad(info), npf
+                    qmat, probe, fine_c, self._fine_own_pad(info), npf,
+                    probe_valid=probe_valid, per_probe=npf_per_probe,
                 )
                 for q in range(nq):
                     subs_q = np.asarray(subs_list[q], dtype=np.int32)
                     v = 0
-                    for p in probe[q]:
+                    for j, p in enumerate(probe[q]):
+                        if probe_valid is not None and not probe_valid[q, j]:
+                            continue  # dropped by adaptive depth
                         entry = cellmap.get(int(p))
                         if entry is None:
                             continue
@@ -2913,7 +2929,10 @@ class IVFIndex:
             else:
                 rows = self._part_counts(seg.name)
                 stored += int(rows.sum())
-                visited += rows[probe].sum(axis=1)
+                pr = rows[probe]
+                if probe_valid is not None:
+                    pr = np.where(probe_valid, pr, 0)
+                visited += pr.sum(axis=1)
         return {
             "n_queries": nq,
             "stored_rows": stored,

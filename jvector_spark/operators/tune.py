@@ -111,15 +111,21 @@ def tune_search(
     if probe_ratio_grid is None:
         probe_ratio_grid = [1.2, 1.5, None]
 
-    # IO model once per (n_probe, n_probe_fine) shape; the cell histogram
-    # behind it is cached on the segment, so this is driver arithmetic.
+    # IO model once per (n_probe, n_probe_fine, probe_ratio) shape; the
+    # cell histogram behind it is cached on the segment, so this is
+    # driver arithmetic. Adaptive shapes are modeled with the SAME keep
+    # rule the search applies (r7), so the cheapest-first walk orders
+    # them by their true predicted IO, not the fixed-depth upper bound.
     io_frac = {
-        (np_, npf): index.probe_io_stats(qdf, np_, npf)["visited_fraction"]
+        (np_, npf, ratio): index.probe_io_stats(
+            qdf, np_, npf, probe_ratio=ratio
+        )["visited_fraction"]
         for np_ in n_probe_grid
         for npf in n_probe_fine_grid
+        for ratio in probe_ratio_grid
     }
     shapes = sorted(
-        ((io_frac[(np_, npf)], np_, npf, ratio)
+        ((io_frac[(np_, npf, ratio)], np_, npf, ratio)
          for np_ in n_probe_grid for npf in n_probe_fine_grid
          for ratio in probe_ratio_grid),
         key=lambda t: (t[0], t[3] if t[3] is not None else float("inf")),

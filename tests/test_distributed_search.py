@@ -455,3 +455,37 @@ def test_npf_per_probe_routes_agree_and_superset(spark, tmp_path):
     r_pp = recall_at_k(idx.search(queries, 10, **kw), gt, 10)
     r_flat = recall_at_k(flat, gt, 10)
     assert r_pp >= r_flat - 1e-9, (r_pp, r_flat)
+
+
+def test_probe_io_stats_models_adaptive(spark, tmp_path):
+    """probe_io_stats with probe_ratio/npf_per_probe predicts what the
+    adaptive search scans: a huge ratio equals the fixed-depth model; a
+    tight ratio never predicts MORE IO; per-probe budgets never predict
+    less than the flat budget at the same ratio."""
+    import numpy as np
+
+    from jvector_spark.operators.index import IVFIndexBuilder
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(20, 16))
+    asg = rng.integers(0, 20, size=3000)
+    mat = (centers[asg] + 0.3 * rng.normal(size=(3000, 16))).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(3000)], "id long, vec array<float>"
+    )
+    idx = IVFIndexBuilder(
+        metric="COSINE", n_partitions=20, pq_m=4, fine_factor=8
+    ).fit(df, str(tmp_path / "idx"))
+    q = df.limit(32).selectExpr("id as qid", "vec")
+    fixed = idx.probe_io_stats(q, 6, 8)
+    huge = idx.probe_io_stats(q, 6, 8, probe_ratio=1e9)
+    tight = idx.probe_io_stats(q, 6, 8, probe_ratio=1.1)
+    assert huge["mean_visited_rows"] == fixed["mean_visited_rows"]
+    assert tight["mean_visited_rows"] <= fixed["mean_visited_rows"]
+    pp = idx.probe_io_stats(q, 6, 2, probe_ratio=1.3, npf_per_probe=True)
+    flat = idx.probe_io_stats(q, 6, 2, probe_ratio=1.3)
+    assert pp["mean_visited_rows"] >= flat["mean_visited_rows"]
+    # coarse-only branch too
+    c_fixed = idx.probe_io_stats(q, 6)
+    c_tight = idx.probe_io_stats(q, 6, probe_ratio=1.1)
+    assert c_tight["mean_visited_rows"] <= c_fixed["mean_visited_rows"]
