@@ -1730,6 +1730,50 @@ def _redact_pii_oracle() -> str:
 _oracle("redact_pii", _redact_pii_oracle())
 
 
+@_register("split_by_key")
+def _split_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-safe train/val/test assignment BY KEY (r7): all rows
+    of a key (domain / URL host / doc family) land in one split, so
+    near-duplicates within a key never straddle train and eval.
+    Deterministic key-hash map-only CASE — no shuffle at any scale."""
+    from jvector_spark.pipeline.sampling import split_by_key
+
+    docs = _docs(spark, sf_dir)
+    return split_by_key(
+        docs, val_fraction=0.2, test_fraction=0.2, key_col="source"
+    ).select("doc_id", "source", "split")
+
+
+def _split_by_key_oracle() -> str:
+    from jvector_spark.pipeline.sampling import split_by_key_sql
+
+    return split_by_key_sql(val_fraction=0.2, test_fraction=0.2, key_col="source")
+
+
+_oracle("split_by_key", _split_by_key_oracle())
+
+
+@_register("shuffle_corpus")
+def _shuffle_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle (r7): reproducible
+    hash-keyed permutation with balanced shard assignment, ranked via the
+    bucketed prefix-sum (operators/ordinal.py) — no single-partition
+    window at any scale."""
+    from jvector_spark.pipeline.sampling import shuffle_corpus
+
+    docs = _docs(spark, sf_dir)
+    return shuffle_corpus(docs, n_shards=8).select("doc_id", "shuffle_rank", "shard")
+
+
+def _shuffle_corpus_oracle() -> str:
+    from jvector_spark.pipeline.sampling import shuffle_corpus_sql
+
+    return shuffle_corpus_sql(n_shards=8)
+
+
+_oracle("shuffle_corpus", _shuffle_corpus_oracle())
+
+
 @_register("decontaminate")
 def _decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3 Appendix C / Gopher n-gram overlap
@@ -1961,6 +2005,8 @@ _GATE_FIRST = [
     "ann_ivf_slim",  # new in r7 (store_fp32='none' slim index)
     "ann_ivf_pqm_auto",  # new in r7 (pq_m='auto' resolution)
     "ann_ivf_adaptive",  # new in r7 (probe_ratio + npf_per_probe)
+    "split_by_key",  # new in r7
+    "shuffle_corpus",  # new in r7
     "pack_sequences",
     "mixture_weights",
     "redact_pii",
@@ -1981,6 +2027,8 @@ _GATE_LAST = [
     "knn_topk_cosine",  # 6 green rounds; entry() still smoke-runs it
     "vector_centroids",  # 6 green rounds
     "knn_filtered",  # 6 green rounds (knn_filtered_ivf stays in-window)
+    "threshold_search",  # 6 green rounds (threshold_search_ivf* stay in-window)
+    "knn_paginated",  # 6 green rounds (knn_paginated_ivf stays in-window)
     "knn_topk_euclidean",
     "knn_topk_dot_product",
     "vector_arith",

@@ -131,3 +131,116 @@ def stratified_sample_sql(
         f"WHERE {bucket} < CASE {strata_col} {cases} "
         f"ELSE {int(round(default_fraction * _M))} END"
     )
+
+
+def split_by_key(
+    df: DataFrame,
+    val_fraction: float = 0.05,
+    test_fraction: float = 0.05,
+    key_col: str = "source",
+    salt: str = "split",
+) -> DataFrame:
+    """Contamination-safe train/val/test assignment BY KEY (r7): every row
+    sharing ``key_col`` (a domain, URL host, document family...) lands in
+    the SAME split, so near-duplicates within a key can never straddle
+    train and eval — the leakage mode row-level random splits are famous
+    for. Deterministic in the key hash (stable across runs, engines and
+    repartitioning; change ``salt`` for an independent assignment) and
+    map-only: the split is a per-row CASE over ``hash(key)``, no shuffle
+    at any scale.
+
+    Returns the input plus a ``split`` column ('train' | 'val' | 'test');
+    fractions apportion KEYS, so split sizes match them only in
+    expectation over keys (exactly the contract key-level splitting
+    implies)."""
+    if val_fraction < 0 or test_fraction < 0 or val_fraction + test_fraction >= 1:
+        raise ValueError("val/test fractions must be >= 0 and sum below 1")
+    b = _bucket(key_col, salt)
+    v_hi = int(round(val_fraction * _M))
+    t_hi = v_hi + int(round(test_fraction * _M))
+    return df.withColumn(
+        "split",
+        F.when(b < v_hi, F.lit("val"))
+        .when(b < t_hi, F.lit("test"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def split_by_key_sql(
+    val_fraction: float = 0.05,
+    test_fraction: float = 0.05,
+    key_col: str = "source",
+    salt: str = "split",
+    table: str = "documents",
+    select: str = "doc_id, source",
+) -> str:
+    """DuckDB twin of :func:`split_by_key`."""
+    salted = f"'{salt}:' || CAST({key_col} AS VARCHAR)"
+    bucket = f"{sql_h64(salted)} % {_M}"
+    v_hi = int(round(val_fraction * _M))
+    t_hi = v_hi + int(round(test_fraction * _M))
+    return (
+        f"SELECT {select}, CASE WHEN {bucket} < {v_hi} THEN 'val' "
+        f"WHEN {bucket} < {t_hi} THEN 'test' ELSE 'train' END AS split "
+        f"FROM {table}"
+    )
+
+
+def shuffle_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle for training-order randomization (r7):
+    rows are ordered by ``hash(salt, id)`` — a reproducible permutation
+    (same order every run/engine; a new ``salt`` is a fresh epoch's
+    permutation) with none of the clumping a sort on ingestion order
+    carries. Emits ``shuffle_rank`` (0-based position) and, with
+    ``n_shards``, a balanced ``shard`` assignment (rank mod n_shards —
+    contiguous ranks round-robin across shards, so every shard sees a
+    uniform slice of the permutation; write with ``partitionBy('shard')``
+    for the training-reader layout).
+
+    Scale shape: the rank is computed with the bucketed prefix-sum from
+    ``operators.ordinal.dense_ordinals`` (hash keys spread uniformly, so
+    uniform-width buckets balance) — each bucket ranks independently and
+    a broadcast prefix-sum of <= n_buckets counts globalizes, never a
+    single-partition window. At 100 TB write the output sharded
+    (``partitionBy('shard')``) and read shards sequentially — the
+    permutation lives in the layout, not re-sorted per epoch."""
+    from jvector_spark.operators.ordinal import dense_ordinals
+
+    key = h64(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    # rank on the hash key via the distributed prefix-sum (dense_ordinals
+    # gives duplicate keys distinct, deterministic ranks)
+    keyed = df.withColumn("_skey", key)
+    ranked = dense_ordinals(keyed, id_col="_skey", ordinal_col="shuffle_rank")
+    out = ranked.drop("_skey")
+    if n_shards:
+        out = out.withColumn(
+            "shard", F.pmod(F.col("shuffle_rank"), F.lit(int(n_shards))).cast("int")
+        )
+    return out
+
+
+def shuffle_corpus_sql(
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+    n_shards: int | None = None,
+    table: str = "documents",
+    select: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`shuffle_corpus`."""
+    salted = f"'{salt}:' || CAST({id_col} AS VARCHAR)"
+    key = sql_h64(salted)
+    shard = (
+        f", CAST((ROW_NUMBER() OVER (ORDER BY {key} ASC, {id_col} ASC) - 1) "
+        f"% {int(n_shards)} AS INT) AS shard"
+        if n_shards
+        else ""
+    )
+    return (
+        f"SELECT {select}, CAST(ROW_NUMBER() OVER (ORDER BY {key} ASC, {id_col} ASC) "
+        f"- 1 AS BIGINT) AS shuffle_rank{shard} FROM {table}"
+    )

@@ -410,3 +410,70 @@ def test_span_dedup_matches_reference_impl_on_random_corpora(spark):
         docs = spark.createDataFrame(rows, "doc_id long, text string")
         got = {r.doc_id: r.text for r in D.span_dedup(docs, span_len=L).collect()}
         assert got == ref_span_dedup(rows, L), f"seed={seed} L={L}"
+
+
+def test_split_by_key_contamination_safe(spark, documents):
+    """Every key's rows share one split; fractions apportion keys; the
+    assignment is deterministic and salt-independent draws differ."""
+    from pyspark.sql import functions as F
+
+    from jvector_spark.pipeline.sampling import split_by_key
+
+    out = split_by_key(documents, 0.25, 0.25, key_col="source").cache()
+    per_key = out.groupBy("source").agg(
+        F.count_distinct("split").alias("n_splits")
+    )
+    assert all(r["n_splits"] == 1 for r in per_key.collect())
+    a = sorted((r["doc_id"], r["split"]) for r in out.select("doc_id", "split").collect())
+    b = sorted(
+        (r["doc_id"], r["split"])
+        for r in split_by_key(documents, 0.25, 0.25, key_col="source")
+        .select("doc_id", "split").collect()
+    )
+    assert a == b  # deterministic
+    c = split_by_key(documents, 0.25, 0.25, key_col="source", salt="other")
+    assert sorted(
+        (r["doc_id"], r["split"]) for r in c.select("doc_id", "split").collect()
+    ) != a  # independent draw
+    out.unpersist()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        split_by_key(documents, 0.6, 0.5)
+
+
+def test_shuffle_corpus_permutation_and_shards(spark, documents):
+    """shuffle_rank is a dense 0..n-1 permutation, deterministic per salt,
+    different across salts, shards balanced round-robin; the plan never
+    funnels through a single-partition global window (bucketed
+    prefix-sum)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from jvector_spark.pipeline.sampling import shuffle_corpus
+
+    n = documents.count()
+    out = shuffle_corpus(documents, n_shards=4).cache()
+    ranks = [r["shuffle_rank"] for r in out.select("shuffle_rank").collect()]
+    assert sorted(ranks) == list(range(n))
+    shard_counts = {
+        r["shard"]: r["count"]
+        for r in out.groupBy("shard").count().collect()
+    }
+    assert max(shard_counts.values()) - min(shard_counts.values()) <= 1
+    again = shuffle_corpus(documents, n_shards=4)
+    assert sorted(
+        (r["doc_id"], r["shuffle_rank"]) for r in again.select("doc_id", "shuffle_rank").collect()
+    ) == sorted((r["doc_id"], r["shuffle_rank"]) for r in out.select("doc_id", "shuffle_rank").collect())
+    other = shuffle_corpus(documents, salt="epoch2")
+    assert sorted(
+        (r["doc_id"], r["shuffle_rank"]) for r in other.select("doc_id", "shuffle_rank").collect()
+    ) != sorted((r["doc_id"], r["shuffle_rank"]) for r in out.select("doc_id", "shuffle_rank").collect())
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    # the rank window is partitioned by bucket, never a global sort
+    assert "Window" not in buf.getvalue() or "_b" in buf.getvalue()
+    out.unpersist()
