@@ -186,6 +186,11 @@ def main() -> None:
         "--vec-format", default="packed_f32", choices=["packed_f32", "list"],
         help="vec storage layout A/B (same f32 values, bit-identical scores)",
     )
+    ap.add_argument(
+        "--store-fp32", default="all", choices=["all", "none"],
+        help="'none' = slim index (PQ codes + NVQ payload, no fp32 column; "
+        "requires --rerank nvq) — the reference's storage economics (r7)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -209,6 +214,7 @@ def main() -> None:
             + ("" if args.rerank == "fp32" else f"_{args.rerank}")
             + ("_res" if args.residual else "")
             + ("" if args.vec_format == "packed_f32" else f"_{args.vec_format}")
+            + ("_slim" if args.store_fp32 == "none" else "")
         )
         idx_dir = f"{base}/idx{suffix}"
         if os.path.exists(f"{idx_dir}/meta.json"):
@@ -221,6 +227,7 @@ def main() -> None:
                 fine_factor=args.fine_factor, n_partitions=args.parts,
                 fine_assign_cells=args.fine_assign_cells, rerank=args.rerank,
                 pq_residual=args.residual, vec_format=args.vec_format,
+                store_fp32=args.store_fp32,
             ).fit(corpus, idx_dir)
             log(
                 step="build", sec=round(time.perf_counter() - t0, 1),
