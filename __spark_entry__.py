@@ -1270,6 +1270,35 @@ def _ann_ivf_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
 _oracle("ann_ivf_adaptive", _gate_oracle(n_results=10))
 
 
+@_register("ann_ivf_graph")
+def _ann_ivf_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition Vamana graph traversal end-to-end (M3/M4, new r7):
+    RobustPrune diversity + backlink/enforceDegree build
+    (graph/diversity/VamanaDiversityProvider.java:45-99,
+    graph/ConcurrentNeighborMap.java:56-223) inside every coarse
+    partition, then batched best-first beam search with exact fp32 rerank
+    (graph/GraphSearcher.java:222-507). Recall-gated like ann_ivf_topk:
+    per-query recall@10 vs the exact oracle >= 0.5 — the traversal visits
+    O(ef x degree) rows per probed partition instead of scanning it."""
+    import tempfile
+
+    from jvector_spark.operators import exact
+    from jvector_spark.operators.index import IVFIndexBuilder
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    tmp = tempfile.mkdtemp(prefix="jvs_entry_graph_")
+    idx = IVFIndexBuilder(metric="COSINE", pq_m=8).fit(corpus, tmp)
+    idx.build_graph(degree=16, ef_construction=32)
+    queries = corpus.filter(F.col("id") < 16).selectExpr("id as qid", "vec")
+    res = idx.search_graph(queries, k=10, n_probe=16, ef_search=64)
+    gt = exact.knn_join(corpus, queries, k=10, metric="COSINE", strategy="numpy")
+    return _recall_gate(res, gt, min_hits=5)
+
+
+_oracle("ann_ivf_graph", _gate_oracle(n_results=10))
+
+
 @_register("ann_ivf_anisotropic")
 def _ann_ivf_anisotropic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search with ANISOTROPIC PQ codebooks on the dot-product corpus
@@ -2002,6 +2031,7 @@ _oracle("events_sessionize", _events_sessionize_oracle())
 # round belong in _GATE_FIRST until they have a green driver row.
 _GATE_FIRST = [
     # never driver-checked before r7
+    "ann_ivf_graph",  # new in r7 (per-partition Vamana traversal, M3/M4)
     "ann_ivf_slim",  # new in r7 (store_fp32='none' slim index)
     "ann_ivf_pqm_auto",  # new in r7 (pq_m='auto' resolution)
     "ann_ivf_adaptive",  # new in r7 (probe_ratio + npf_per_probe)
@@ -2021,9 +2051,10 @@ _GATE_FIRST = [
 ]
 # multi-round-green stable rows rotated out of the 50-row window this
 # round (every one has >= 2 green driver rows + a pytest twin; the
-# registry holds 61 rows, so 11 rotate out — all listed explicitly here
+# registry holds 66 rows, so 16 rotate out — all listed explicitly here
 # so the cut is deliberate, not insertion-order accident)
 _GATE_LAST = [
+    "knn_join",  # 6 green rounds (knn_join_wide's sibling; test_exact twin)
     "knn_topk_cosine",  # 6 green rounds; entry() still smoke-runs it
     "vector_centroids",  # 6 green rounds
     "knn_filtered",  # 6 green rounds (knn_filtered_ivf stays in-window)

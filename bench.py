@@ -299,6 +299,28 @@ def main() -> None:
                     recalls[f"large_visited_frac_{tag}"] = round(
                         io["visited_fraction"], 5
                     )
+
+                # per-partition Vamana graph route (M3/M4, r7): the
+                # traversal visits O(ef x degree) rows per probed partition
+                # instead of the fine-mask's fraction — the low-latency
+                # point-query path
+                t0 = time.perf_counter()
+                lidx.build_graph(degree=32, ef_construction=64)
+                timings["large_graph_build_100k"] = round(
+                    time.perf_counter() - t0, 3
+                )
+                for n_probe, ef in [(8, 40), (8, 100)]:
+                    tag = f"graph_np{n_probe}_ef{ef}"
+                    t0 = time.perf_counter()
+                    r = lidx.search_graph(
+                        lqueries, 10, n_probe=n_probe, ef_search=ef
+                    )
+                    recalls[f"large_recall@10_{tag}"] = round(
+                        recall_at_k(r, lgt, 10), 4
+                    )
+                    timings[f"large_search_{tag}"] = round(
+                        time.perf_counter() - t0, 3
+                    )
                 lgt.unpersist()
 
                 # k=100 operating points — the baseline publishes recall@100

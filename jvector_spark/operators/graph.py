@@ -1,0 +1,750 @@
+"""Per-partition Vamana graph micro-index (M3/M4) over an IVF index.
+
+The reference IS a graph engine: every partition-level recall knob we ship
+(fine cells, spill, adaptive probes) replaces what jvector gets from Vamana
+graph traversal (``graph/GraphIndexBuilder.java:436`` build,
+``graph/GraphSearcher.java:222-507`` beam search). This module closes the
+last two coverage rows by building the REAL thing *inside* each coarse
+partition — the natural Spark placement: partitions are the unit of
+parallel build (one ``applyInPandas`` group each) and the unit of probed IO
+at search (a beam visits ``O(ef x degree)`` rows of a partition instead of
+the fine-cell mask's ``npf/fine_factor`` fraction).
+
+Build semantics (per partition, vectorized numpy, faithful to the ref):
+
+- candidate lists: exact top-``ef_construction`` neighbors per node by the
+  index metric (blocked matmuls; the O(n_p^2 / block) within-partition
+  contract — partitions are ~sqrt(N) rows at default sizing, and the
+  builder's ``n_partitions`` knob bounds n_p explicitly at any scale).
+- diversity (M3): RobustPrune with the reference's exact alpha-sweep
+  semantics (``graph/diversity/VamanaDiversityProvider.java:45-99``):
+  alpha walks 1.0 -> alpha in 0.2 steps; at each step a candidate (score
+  order) is kept iff no already-selected neighbor is closer to IT than
+  ``alpha x`` its score to the owner; stop at ``degree`` kept.
+- backlink + overflow (M4): every forward edge u->v backlinks v->u
+  (``graph/ConcurrentNeighborMap.java:158-164``); a node's merged list is
+  capped at ``degree x overflow`` by score (insert-overflow analog,
+  ConcurrentNeighborMap.java:156) and nodes over ``degree`` are re-pruned
+  with the same diversity rule (``enforceDegree``,
+  ConcurrentNeighborMap.java:215-223). Nodes at or under ``degree`` keep
+  every edge — the reference never diversity-filters an under-full list.
+- entry point: the partition medoid (nearest row to the partition mean) —
+  the single-layer analog of the hierarchy entry
+  (``graph/GraphIndexBuilder.java`` entry maintenance).
+
+Storage: ``segments/<seg>/graph/edges.parquet`` partitioned by ``part_id``
+with rows ``(id, neighbors array<long>, entry)`` — neighbors are GLOBAL
+ids (stable across file re-reads; local ordinals are resolved by
+searchsorted at search time) — plus ``graph/meta.json`` (degree / alpha /
+overflow / ef_construction). A compact() or append() creates graph-less
+segments; re-run :func:`build_graph` (the reference rebuilds its graph at
+compaction too, OnDiskGraphIndexCompactor.java:296).
+
+Search (``GraphSearcher.java:222-507`` beam semantics, batched): queries
+probe their ``n_probe`` nearest centroids exactly like IVF search (the
+hierarchical-descent analog), then ONE cogrouped pass over the probed
+partitions runs a vectorized multi-query best-first beam search per
+partition — ADC/hamming approximate scores steer the traversal (the
+reference's compressed-first-pass search), and the surviving beam reranks
+through the same fused exact-scoring kernel every other route uses, so
+reported scores carry identical semantics (fp32-exact or dequantized-NVQ).
+Tombstoned rows are traversed but filtered from RESULTS (the reference's
+two-phase delete: deleted nodes keep routing until cleanup,
+GraphIndexBuilder.java markDeleted -> removeDeletedNodes).
+
+Scale shape: the searcher holds ONE partition's (codes + adjacency)
+resident per task — exactly DiskANN's memory contract, bounded by the
+builder's partition sizing, and visits ``O(ef x degree)`` rows per
+(query, partition) independent of partition size: the graph route is the
+low-latency point-query path where even fine-cell masks read too much.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from jvector_spark.functions import kernels
+from jvector_spark.operators.exact import collect_point_query_batch
+
+__all__ = ["build_graph", "graph_search"]
+
+_ALPHA_STEP = 0.2  # VamanaDiversityProvider.java:78 (currentAlpha += 0.2f)
+
+
+# --------------------------------------------------------------- numpy core
+def _pair_sims(met: str, v: np.ndarray) -> np.ndarray:
+    """(B, C, d) candidate vectors -> (B, C, C) pairwise similarity in the
+    engine's normalized (0,1] score space (kernels.similarity semantics)."""
+    dots = np.einsum("bcd,bed->bce", v, v)
+    if met == "DOT_PRODUCT":
+        return (1.0 + dots) / 2.0
+    nn = np.einsum("bcd,bcd->bc", v, v)
+    if met == "EUCLIDEAN":
+        d2 = np.maximum(nn[:, :, None] + nn[:, None, :] - 2.0 * dots, 0.0)
+        return 1.0 / (1.0 + d2)
+    nrm = np.sqrt(np.maximum(nn, 1e-30))
+    return (1.0 + dots / (nrm[:, :, None] * nrm[:, None, :])) / 2.0
+
+
+def _retain_diverse_batch(
+    sims: np.ndarray,
+    cand_sc: np.ndarray,
+    valid: np.ndarray,
+    max_degree: int,
+    alpha: float,
+) -> np.ndarray:
+    """Batched RobustPrune (M3; VamanaDiversityProvider.retainDiverse
+    semantics exactly, vectorized over the NODE axis).
+
+    ``sims`` (B, C, C): pairwise candidate similarities; ``cand_sc``
+    (B, C): candidate->owner scores, sorted desc per row; ``valid``: real
+    (non-pad) candidates. Returns the selected mask (B, C). The sequential
+    dependence is over candidate RANK (tiny: C <= degree x overflow), so
+    each rank step is one vectorized pass over all nodes."""
+    b, c = cand_sc.shape
+    selected = np.zeros((b, c), dtype=bool)
+    nsel = np.zeros(b, dtype=np.int64)
+    a = 1.0
+    while a <= alpha + 1e-6:
+        for r in range(c):
+            col_valid = valid[:, r] & ~selected[:, r] & (nsel < max_degree)
+            if not col_valid.any():
+                continue
+            # diverse iff NO selected neighbor is closer to the candidate
+            # than alpha x its owner score (isDiverse, java:85-99)
+            viol = np.any(
+                selected & (sims[:, r, :] > cand_sc[:, r : r + 1] * a), axis=1
+            )
+            take = col_valid & ~viol
+            selected[:, r] |= take
+            nsel += take
+        if np.all(nsel >= np.minimum(max_degree, valid.sum(axis=1))):
+            break
+        a = round(a + _ALPHA_STEP, 10)
+    return selected
+
+
+def _knn_candidates(
+    x: np.ndarray, ef: int, met: str, block: int = 2048
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact within-partition candidate lists: (n, ef) neighbor local
+    ordinals + scores, sorted score desc / ordinal asc. Blocked matmuls —
+    the documented O(n_p^2 / block) build contract."""
+    n = len(x)
+    ef = min(ef, n - 1) if n > 1 else 0
+    idx = np.zeros((n, max(ef, 0)), dtype=np.int64)
+    sc = np.zeros((n, max(ef, 0)), dtype=np.float32)
+    if ef == 0:
+        return idx, sc
+    nn_all = np.einsum("ij,ij->i", x, x)
+    for lo in range(0, n, block):
+        hi = min(lo + block, n)
+        dots = x[lo:hi] @ x.T
+        if met == "DOT_PRODUCT":
+            s = (1.0 + dots) / 2.0
+        elif met == "EUCLIDEAN":
+            d2 = np.maximum(nn_all[lo:hi, None] + nn_all[None, :] - 2.0 * dots, 0.0)
+            s = 1.0 / (1.0 + d2)
+        else:
+            nrm = np.sqrt(np.maximum(nn_all, 1e-30))
+            s = (1.0 + dots / (nrm[lo:hi, None] * nrm[None, :])) / 2.0
+        s[np.arange(hi - lo), np.arange(lo, hi)] = -np.inf  # self-exclusion
+        ii, vv = kernels.topk_per_row(s, ef)
+        idx[lo:hi] = ii
+        sc[lo:hi] = vv
+    return idx, sc
+
+
+def _build_partition_graph(
+    x: np.ndarray,
+    degree: int,
+    alpha: float,
+    overflow: float,
+    ef_c: int,
+    met: str,
+    diversity_block: int = 4096,
+) -> tuple[list[np.ndarray], int]:
+    """One partition's Vamana graph: per-node neighbor local-ordinal arrays
+    (score-desc order, <= degree each) + the entry (medoid) ordinal."""
+    n = len(x)
+    if n <= 1:
+        return [np.empty(0, dtype=np.int64) for _ in range(n)], 0
+    cand_idx, cand_sc = _knn_candidates(x, ef_c, met)
+
+    def prune(idx: np.ndarray, sc: np.ndarray, valid: np.ndarray) -> np.ndarray:
+        sel = np.zeros_like(valid)
+        for lo in range(0, len(idx), diversity_block):
+            hi = min(lo + diversity_block, len(idx))
+            v = x[np.maximum(idx[lo:hi], 0)]
+            sel[lo:hi] = _retain_diverse_batch(
+                _pair_sims(met, v), sc[lo:hi], valid[lo:hi], degree, alpha
+            )
+        return sel
+
+    # pass 1 (M3): diverse forward edges from the candidate lists
+    fwd_sel = prune(cand_idx, cand_sc, np.ones_like(cand_idx, dtype=bool))
+    src = np.repeat(np.arange(n, dtype=np.int64), fwd_sel.sum(axis=1))
+    dst = cand_idx[fwd_sel]
+    esc = cand_sc[fwd_sel]
+    # pass 2 (M4): backlink every edge, merge per node, cap at
+    # degree x overflow by score, enforceDegree on over-full nodes
+    all_src = np.concatenate([src, dst])
+    all_dst = np.concatenate([dst, src])
+    all_sc = np.concatenate([esc, esc])  # similarity is symmetric
+    # dedup (u, v) pairs (u's forward edge to v + v's backlink of u->v)
+    key = all_src * n + all_dst
+    _, uniq_i = np.unique(key, return_index=True)
+    all_src, all_dst, all_sc = all_src[uniq_i], all_dst[uniq_i], all_sc[uniq_i]
+    # per-node score-desc order (ordinal asc on ties — T4 determinism)
+    order = np.lexsort((all_dst, -all_sc.astype(np.float64), all_src))
+    all_src, all_dst, all_sc = all_src[order], all_dst[order], all_sc[order]
+    starts = np.searchsorted(all_src, np.arange(n))
+    ends = np.searchsorted(all_src, np.arange(n) + 1)
+    counts = ends - starts
+    cap = max(degree, int(math.ceil(degree * overflow)))
+    width = int(min(counts.max(initial=0), cap))
+    m_idx = np.full((n, width), -1, dtype=np.int64)
+    m_sc = np.full((n, width), -np.inf, dtype=np.float32)
+    take = np.minimum(counts, width)  # overflow cap: keep best-by-score
+    rows = np.repeat(np.arange(n), take)
+    cols = np.concatenate([np.arange(t) for t in take]) if n else np.empty(0, int)
+    flat = np.concatenate(
+        [np.arange(s, s + t) for s, t in zip(starts, take)]
+    ) if n else np.empty(0, int)
+    m_idx[rows, cols] = all_dst[flat]
+    m_sc[rows, cols] = all_sc[flat]
+    valid = m_idx >= 0
+    over = counts > degree
+    final_sel = valid.copy()
+    if over.any():
+        oi = np.flatnonzero(over)
+        final_sel[oi] = prune(m_idx[oi], m_sc[oi], valid[oi])
+    neighbors = [m_idx[i][final_sel[i]] for i in range(n)]
+    # entry: medoid — the row most similar to the partition mean
+    mean = x.mean(axis=0, dtype=np.float64).astype(x.dtype)[None, :]
+    if met == "EUCLIDEAN":
+        d = np.einsum("ij,ij->i", x, x) - 2.0 * (x @ mean.T).ravel()
+        entry = int(np.argmin(d))
+    elif met == "DOT_PRODUCT":
+        entry = int(np.argmax((x @ mean.T).ravel()))
+    else:
+        nr = np.sqrt(np.maximum(np.einsum("ij,ij->i", x, x), 1e-30))
+        entry = int(np.argmax((x @ mean.T).ravel() / nr))
+    return neighbors, entry
+
+
+# ----------------------------------------------------------- build (Spark)
+def _graph_dir(index, seg_name: str) -> str:
+    return os.path.join(index._segments[seg_name]["dir"], "graph")
+
+
+def graph_meta(index, seg_name: str) -> dict | None:
+    """The segment's graph parameters, or None if no graph was built."""
+    p = os.path.join(_graph_dir(index, seg_name), "meta.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def build_graph(
+    index,
+    degree: int = 32,
+    alpha: float = 1.2,
+    overflow: float = 1.2,
+    ef_construction: int | None = None,
+    segments: list[str] | None = None,
+    rebuild: bool = False,
+) -> None:
+    """Build per-partition Vamana graphs for the index's segments (M3/M4).
+
+    One ``applyInPandas`` group per coarse partition — embarrassingly
+    parallel across executors, no cross-partition edges (probing supplies
+    cross-partition reach, exactly as it does for every other route).
+    Defaults mirror the reference bench config (degree 32, overflow 1.2,
+    alpha 1.2 — yaml-configs/index-parameters/default.yml:6-37;
+    GraphIndexBuilder.java:98 ``alpha = dimension <= 3 ? 2.0 : 1.2``).
+    Slim (``store_fp32='none'``) segments build from dequantized NVQ
+    reconstructions — the highest-resolution stored payload, the same
+    contract compaction uses."""
+    ef_c = int(ef_construction or 2 * degree)
+    manifest = index.manifest
+    met = manifest.metric
+    packed = manifest.vec_format == "packed_f32"
+    slim = getattr(manifest, "store_fp32", "all") == "none"
+    dim = manifest.dim
+    names = segments or [s.name for s in manifest.segments]
+    for seg_name in names:
+        gdir = _graph_dir(index, seg_name)
+        if graph_meta(index, seg_name) is not None and not rebuild:
+            continue
+        data = index._segment_data(seg_name)
+        cols = ["part_id", "id"] + (["nvq", "nvq_params"] if slim else ["vec"])
+        b = index.spark.sparkContext.broadcast(
+            (degree, alpha, overflow, ef_c, met, packed, slim, dim)
+        )
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            deg, al, ov, efc, m_, pk, sl, d_ = b.value
+            part = int(pdf["part_id"].iloc[0])
+            pdf = pdf.sort_values("id", kind="stable").reset_index(drop=True)
+            if sl:
+                from jvector_spark.operators.quantize.nvq import NVQuantizer
+
+                codec = NVQuantizer(dim=d_)
+                codes = np.frombuffer(b"".join(pdf["nvq"]), np.uint8).reshape(
+                    len(pdf), d_
+                )
+                params = np.stack(
+                    [np.asarray(p, dtype=np.float64) for p in pdf["nvq_params"]]
+                )
+                x = codec.decode_numpy(codes, params).astype(np.float32)
+            elif pk:
+                x = np.frombuffer(b"".join(pdf["vec"]), np.float32).reshape(
+                    len(pdf), d_
+                ).copy()
+            else:
+                x = kernels.as_matrix(pdf["vec"], dtype=np.float32)
+            nbrs, entry = _build_partition_graph(x, deg, al, ov, efc, m_)
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            return pd.DataFrame(
+                {
+                    "part_id": np.full(len(ids), part, dtype=np.int32),
+                    "id": ids,
+                    "neighbors": [ids[nb] for nb in nbrs],  # GLOBAL ids
+                    "entry": np.arange(len(ids)) == entry,
+                }
+            )
+
+        (
+            data.select(*cols)
+            .groupBy("part_id")
+            .applyInPandas(
+                build, "part_id int, id long, neighbors array<long>, entry boolean"
+            )
+            .write.mode("overwrite")
+            .partitionBy("part_id")
+            .parquet(os.path.join(gdir, "edges.parquet"))
+        )
+        with open(os.path.join(gdir, "meta.json"), "w") as f:
+            json.dump(
+                {
+                    "degree": degree,
+                    "alpha": alpha,
+                    "overflow": overflow,
+                    "ef_construction": ef_c,
+                    "metric": met,
+                },
+                f,
+            )
+
+
+# ---------------------------------------------------------- search (Spark)
+def _traverse_scores(
+    met: str,
+    stage1,
+    qsel: np.ndarray,
+    q_norms: np.ndarray,
+    codes: np.ndarray,
+    mags: np.ndarray | None,
+    cand: np.ndarray,
+    rsq: np.ndarray | None,
+    qc_part: np.ndarray | None,
+) -> np.ndarray:
+    """Approximate similarity of ``cand`` (A, C) local ordinals for the A
+    queries (rows of qsel), from the stage-1 codec — the beam's steering
+    scores. Same score FORMULAS as ``index._fused_block_topk`` phase 1
+    (ranking parity); exactness comes from the shared rerank afterwards."""
+    a_n, c_n = cand.shape
+    safe = np.maximum(cand, 0)
+    if stage1[0] == "bq":
+        from jvector_spark.operators.index import _POP8
+
+        _, q_words, bdim, _words = stage1
+        xor = np.bitwise_xor(q_words[qsel][:, None, :], codes[safe])
+        pop = _POP8[xor.view(np.uint8).reshape(a_n, c_n, -1)].sum(
+            axis=2, dtype=np.int64
+        )
+        return (1.0 - pop / float(bdim)).astype(np.float32)
+    _, luts32, _mag_lut, m = stage1
+    sel = codes[safe]  # (A, C, m)
+    partial = luts32[
+        qsel[:, None, None], np.arange(m)[None, None, :], sel
+    ].sum(axis=2, dtype=np.float32)
+    qn = q_norms[qsel].astype(np.float32)
+    if qc_part is not None:  # residual decomposition (pq_residual)
+        full = partial + qc_part[:, None].astype(np.float32)
+        r = rsq[safe]
+        if met == "EUCLIDEAN":
+            d2 = np.maximum((qn * qn)[:, None] + r - 2.0 * full, 0.0)
+            return 1.0 / (1.0 + d2)
+        if met == "DOT_PRODUCT":
+            return (1.0 + full) / 2.0
+        denom = np.sqrt(np.maximum(r, 1e-30)) * np.maximum(qn, 1e-30)[:, None]
+        return (1.0 + full / denom) / 2.0
+    if met == "EUCLIDEAN":
+        return 1.0 / (1.0 + partial)
+    if met == "DOT_PRODUCT":
+        return (1.0 + partial) / 2.0
+    return (1.0 + partial / (mags[safe] * np.maximum(qn, 1e-30)[:, None])) / 2.0
+
+
+def _batch_beam(
+    score_fn,
+    nbr_mat: np.ndarray,
+    entries: np.ndarray,
+    n_q: int,
+    n_local: int,
+    ef: int,
+    counters=None,
+) -> np.ndarray:
+    """Vectorized multi-query best-first beam search (GraphSearcher.java
+    beam semantics, batched over the query axis): every hop expands each
+    active query's best unexpanded node, scores its neighbor list, and
+    keeps the top-``ef`` beam; a query stops when its best unexpanded
+    candidate scores under its full beam's worst (the standard best-first
+    termination). Returns (n_q, ef) local ordinals, -1 padded."""
+    beam_id = np.full((n_q, ef), -1, dtype=np.int64)
+    beam_sc = np.full((n_q, ef), -np.inf, dtype=np.float32)
+    beam_ex = np.ones((n_q, ef), dtype=bool)  # padding counts as expanded
+    visited = np.zeros((n_q, n_local), dtype=bool)
+    e = entries[: min(len(entries), ef)]
+    seed = np.tile(e, (n_q, 1))
+    beam_sc[:, : len(e)] = score_fn(np.arange(n_q), seed)
+    beam_id[:, : len(e)] = seed
+    beam_ex[:, : len(e)] = False
+    visited[:, e] = True
+    max_hops = 8 * ef + 16  # safety rail; best-first converges in ~ef hops
+    qall = np.arange(n_q)
+    for _ in range(max_hops):
+        cand_sc = np.where(~beam_ex & (beam_id >= 0), beam_sc, -np.inf)
+        j = np.argmax(cand_sc, axis=1)
+        best = cand_sc[qall, j]
+        full = (beam_id >= 0).all(axis=1)
+        worst = beam_sc.min(axis=1)
+        active = (best > -np.inf) & (~full | (best >= worst))
+        if not active.any():
+            break
+        aq = np.flatnonzero(active)
+        chosen = beam_id[aq, j[aq]]
+        beam_ex[aq, j[aq]] = True
+        nb = nbr_mat[chosen]  # (A, deg), -1 padded
+        ok = nb >= 0
+        safe = np.maximum(nb, 0)
+        new = ok & ~visited[aq[:, None], safe]
+        visited[aq[:, None], safe] |= ok
+        if counters is not None:
+            counters[0].add(int(new.sum()))  # traversal-visited rows
+        sc = np.where(new, score_fn(aq, nb), np.float32(-np.inf))
+        all_id = np.concatenate([beam_id[aq], np.where(new, nb, -1)], axis=1)
+        all_sc = np.concatenate([beam_sc[aq], sc], axis=1)
+        all_ex = np.concatenate([beam_ex[aq], np.zeros_like(sc, dtype=bool)], axis=1)
+        order = np.argsort(-all_sc, axis=1, kind="stable")[:, :ef]
+        beam_id[aq] = np.take_along_axis(all_id, order, axis=1)
+        beam_sc[aq] = np.take_along_axis(all_sc, order, axis=1)
+        beam_ex[aq] = np.take_along_axis(all_ex, order, axis=1)
+    return np.where(beam_sc > -np.inf, beam_id, -1)
+
+
+def graph_search(
+    index,
+    queries_df: DataFrame,
+    k: int,
+    n_probe: int = 8,
+    ef_search: int | None = None,
+    overquery: float = 4.0,
+    query_id_col: str = "qid",
+    query_vec_col: str = "vec",
+    probe_ratio: float | None = None,
+    telemetry=None,
+) -> DataFrame:
+    """Graph-traversal ANN over the index's per-partition Vamana graphs.
+
+    The point-query-batch path (queries are collected + broadcast, like the
+    IVF broadcast route): per probed partition a batched beam search visits
+    ``O(ef_search x degree)`` rows regardless of partition size — below
+    even the fine-cell mask's read fraction — then the shared fused kernel
+    exact-reranks the surviving beam (same reported-score semantics as
+    every other route: fp32-exact, or dequantized-NVQ on nvq-rerank
+    indexes). Tombstoned rows are traversed but filtered from results
+    (two-phase delete semantics); ``compact()`` both removes them and drops
+    the graphs — re-run :func:`build_graph` after compaction. Predicates /
+    accept lists are not supported on the traversal route (the reference
+    applies acceptOrds at result collection with un-bounded extra
+    traversal; our filtered contract lives on the exact-w.r.t.-filter IVF
+    routes) — use ``IVFIndex.search(predicate=..., accept_ids=...)``.
+
+    ``ef_search`` defaults to ``max(2k, overquery*k)`` (the beam width /
+    per-partition candidate pool — GraphSearcher's rerankK analog)."""
+    from jvector_spark.operators.index import (
+        _fused_block_topk,
+        _partition_score_bounds,
+    )
+
+    manifest = index.manifest
+    met = manifest.metric
+    missing = [
+        s.name for s in manifest.segments if graph_meta(index, s.name) is None
+    ]
+    if missing:
+        raise ValueError(
+            f"segments {missing} have no graph — run build_graph(index) "
+            "(compact()/append() create graph-less segments by design)"
+        )
+    if probe_ratio is not None and probe_ratio < 1:
+        raise ValueError(f"probe_ratio must be >= 1 (got {probe_ratio})")
+    ef = int(ef_search or max(2 * k, round(overquery * k)))
+    rerank_k = max(k, int(round(overquery * k)))
+    k_ret = min(ef, max(k, rerank_k))  # per-partition rows (liveness refill)
+    use_nvq = manifest.rerank == "nvq" or index._slim
+    qrows = collect_point_query_batch(
+        queries_df, query_id_col, query_vec_col, "graph_search"
+    )
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qnorms = np.linalg.norm(qmat, axis=1)
+    parts_out = []
+    for seg in manifest.segments:
+        info = index._segments[seg.name]
+        pq = info["pq"]
+        res_mode = bool(info.get("residual"))
+        npk = min(n_probe, len(info["centroids"]))
+        _, d2 = _partition_score_bounds(info, qmat, met)
+        d2 = np.where(info["has_rows"][None, :], d2, np.inf)
+        probe = np.argsort(d2, axis=1)[:, :npk]
+        probe_valid = None
+        if probe_ratio is not None:
+            dt = np.take_along_axis(d2, probe, axis=1)
+            probe_valid = dt <= dt[:, :1] * (probe_ratio**2) * (1.0 + 1e-9)
+        p2q: dict[int, list[int]] = {}
+        for qi in range(len(qids)):
+            for jj, p in enumerate(probe[qi]):
+                if probe_valid is not None and not probe_valid[qi, jj]:
+                    continue
+                if np.isfinite(d2[qi, int(p)]):
+                    p2q.setdefault(int(p), []).append(qi)
+        probed = sorted(p2q)
+        if not probed:
+            continue
+        from jvector_spark.operators.quantize.bq import BinaryQuantizer
+
+        if isinstance(pq, BinaryQuantizer):
+            stage1 = ("bq", pq.encode_numpy(qmat), pq.dim, pq.words)
+            mag_vec_needed = False
+        else:
+            luts = pq.adc_lut_batch(
+                qmat, "DOT_PRODUCT" if res_mode else met
+            ).astype(np.float32)
+            stage1 = ("pq", luts, pq.magnitude_lut(), pq.m)
+            mag_vec_needed = met == "COSINE" and not res_mode
+        qc_all = qmat @ info["centroids"].T if res_mode else None
+        nvq_codec = None
+        if use_nvq:
+            from jvector_spark.operators.quantize.nvq import NVQuantizer
+
+            nvq_codec = NVQuantizer(dim=manifest.dim)
+        b = index.spark.sparkContext.broadcast(
+            (stage1, qids, qmat, qnorms, met, k_ret, ef, p2q, nvq_codec,
+             qc_all, res_mode, mag_vec_needed)
+        )
+        tel_acc = (
+            (telemetry._visited, telemetry._reranked, telemetry._stages)
+            if telemetry is not None
+            else None
+        )
+
+        # factory binds THIS segment's broadcast — the returned scan is
+        # consumed lazily, and a free `b` in a loop-shared scope would
+        # resolve to the LAST segment's broadcast for every segment.
+        # ZERO-SHUFFLE scan: the task list is the probed part_ids (a tiny
+        # driver-built table); each task pyarrow-reads ITS partition's
+        # data/edges dirs directly — cogrouping data with edges was
+        # measured 5x slower at 100k because groupBy(part_id) re-shuffles
+        # the probed corpus bytes per query batch, and at 100 TB that
+        # shuffle IS the query cost. Direct dir reads move index bytes
+        # exactly once (the DiskANN contract: task = partition).
+        def _make_scan(b, tel_acc, dirs):
+            def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                import pyarrow.parquet as papq
+
+                data_dir, graph_dir, dcols = dirs
+                for pdf in batches:
+                    for p in pdf["part_id"].tolist():
+                        dpath = os.path.join(data_dir, f"part_id={int(p)}")
+                        epath = os.path.join(graph_dir, f"part_id={int(p)}")
+                        if not (os.path.exists(dpath) and os.path.exists(epath)):
+                            continue
+                        data_pdf = papq.read_table(
+                            dpath, columns=list(dcols)
+                        ).to_pandas()
+                        edge_pdf = papq.read_table(
+                            epath, columns=["id", "neighbors", "entry"]
+                        ).to_pandas()
+                        out = _scan_partition(
+                            int(p), data_pdf, edge_pdf, b, tel_acc
+                        )
+                        if len(out):
+                            yield out
+
+            return scan
+
+        def _scan_partition(part, data_pdf, edge_pdf, b, tel_acc) -> pd.DataFrame:
+            (s1, q_ids, q_mat, q_nrm, m_, kk, ef_, p2q_, nvq_c, qc_a,
+             res_m, need_mags) = b.value
+            q_idx = p2q_.get(part)
+            empty = pd.DataFrame(
+                {"qid": pd.Series([], dtype="int64"),
+                 "id": pd.Series([], dtype="int64"),
+                 "score": pd.Series([], dtype="float64")}
+            )
+            if not q_idx or len(data_pdf) == 0 or len(edge_pdf) == 0:
+                return empty
+            data_pdf = data_pdf.sort_values("id", kind="stable").reset_index(
+                drop=True
+            )
+            edge_pdf = edge_pdf.sort_values("id", kind="stable").reset_index(
+                drop=True
+            )
+            ids = data_pdf["id"].to_numpy(dtype=np.int64)
+            n_local = len(ids)
+            # neighbors hold GLOBAL ids -> local ordinals via searchsorted
+            # (one flattened pass, no per-row Python loop)
+            nbr_lists = edge_pdf["neighbors"].to_list()
+            lens = np.fromiter(
+                (len(a) for a in nbr_lists), dtype=np.int64, count=n_local
+            )
+            deg_max = int(lens.max(initial=0))
+            nbr_mat = np.full((n_local, max(deg_max, 1)), -1, dtype=np.int64)
+            if lens.sum():
+                flat = np.concatenate(
+                    [np.asarray(a, dtype=np.int64) for a in nbr_lists if len(a)]
+                )
+                pos = np.searchsorted(ids, np.clip(flat, ids[0], ids[-1]))
+                # guard: an edge to an id not in this file resolves to -1
+                pos = np.where(ids[pos] == flat, pos, -1)
+                rows = np.repeat(np.arange(n_local), lens)
+                cols = np.arange(lens.sum()) - np.repeat(
+                    np.cumsum(lens) - lens, lens
+                )
+                nbr_mat[rows, cols] = pos
+            entries = np.flatnonzero(edge_pdf["entry"].to_numpy())
+            if len(entries) == 0:
+                entries = np.array([0])
+            if s1[0] == "bq":
+                codes = np.frombuffer(
+                    b"".join(data_pdf["codes"]), dtype=np.uint64
+                ).reshape(n_local, s1[3])
+            else:
+                codes = np.frombuffer(
+                    b"".join(data_pdf["codes"]), dtype=np.uint8
+                ).reshape(n_local, s1[3]).astype(np.int64)
+            mags = None
+            if need_mags and s1[0] == "pq":
+                mags = np.sqrt(
+                    np.maximum(
+                        s1[2][np.arange(s1[3]), codes].sum(axis=1), 1e-30
+                    )
+                ).astype(np.float32)
+            rsq = (
+                data_pdf["rsq"].to_numpy(dtype=np.float32) if res_m else None
+            )
+            qsel = np.asarray(q_idx)
+            qc_part = qc_a[qsel, part] if qc_a is not None else None
+
+            def score_fn(aq: np.ndarray, cand: np.ndarray) -> np.ndarray:
+                return _traverse_scores(
+                    m_, s1, qsel[aq], q_nrm, codes, mags, cand, rsq,
+                    qc_part[aq] if qc_part is not None else None,
+                )
+
+            # chunk the query axis so visited (Qc, n_local) stays bounded
+            qc_chunk = max(1, int((128 << 20) // max(n_local, 1)))
+            out = []
+            for lo in range(0, len(qsel), qc_chunk):
+                hi = min(lo + qc_chunk, len(qsel))
+                sub = np.arange(lo, hi)
+                beams = _batch_beam(
+                    lambda a, c: score_fn(sub[a], c),
+                    nbr_mat, entries, hi - lo, n_local, ef_,
+                    counters=tel_acc,
+                )
+                uniq = np.unique(beams[beams >= 0])
+                if len(uniq) == 0:
+                    continue
+                # membership mask: each query reranks only ITS beam
+                mask = np.zeros((hi - lo, len(uniq)), dtype=bool)
+                for qi in range(hi - lo):
+                    bm = beams[qi][beams[qi] >= 0]
+                    mask[qi, np.searchsorted(uniq, bm)] = True
+                g = qsel[sub]
+                oq, oi, osc = _fused_block_topk(
+                    m_, kk, ef_,
+                    q_ids[g], q_mat[g],
+                    s1[1][g] if s1[0] == "pq" else None,
+                    s1[2] if s1[0] == "pq" else None,
+                    q_nrm[g], ids[uniq], codes[uniq],
+                    vec_rows=(
+                        None if nvq_c is not None
+                        else data_pdf["vec"].iloc[uniq].reset_index(drop=True)
+                    ),
+                    nvq=(
+                        (nvq_c,
+                         data_pdf["nvq"].iloc[uniq].reset_index(drop=True),
+                         data_pdf["nvq_params"].iloc[uniq].reset_index(drop=True))
+                        if nvq_c is not None else None
+                    ),
+                    bq=(s1[1][g], s1[2]) if s1[0] == "bq" else None,
+                    mask=mask,
+                    counters=tel_acc,
+                    residual=(
+                        (qc_part[sub], rsq[uniq]) if qc_part is not None else None
+                    ),
+                )
+                out.append(pd.DataFrame({"qid": oq, "id": oi, "score": osc}))
+            return pd.concat(out, ignore_index=True) if out else empty
+
+        data_cols = ["id", "codes"]  # hive part_id lives in the dir name
+        if use_nvq:
+            data_cols += ["nvq", "nvq_params"]
+        else:
+            data_cols += ["vec"]
+        if res_mode:
+            data_cols.append("rsq")
+        dirs = (
+            os.path.join(info["dir"], "data.parquet"),
+            os.path.join(_graph_dir(index, seg.name), "edges.parquet"),
+            tuple(data_cols),
+        )
+        parts_df = index.spark.createDataFrame(
+            [(int(p),) for p in probed], "part_id int"
+        ).repartition(min(len(probed), 4096))
+        parts_out.append(
+            parts_df.mapInPandas(
+                _make_scan(b, tel_acc, dirs),
+                schema="qid long, id long, score double",
+            )
+        )
+    if not parts_out:
+        return index.spark.createDataFrame([], "qid long, id long, score double")
+    scanned = parts_out[0]
+    for d in parts_out[1:]:
+        scanned = scanned.unionByName(d)  # J6 multi-segment merge
+    if manifest.spill > 1:
+        scanned = scanned.dropDuplicates(["qid", "id"])  # U3 visited-set dedup
+    t = index.tombstones()
+    if t is not None:  # traversed-but-filtered (two-phase delete, F2)
+        scanned = scanned.join(t.select("id"), "id", "left_anti")
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        scanned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("qid", "rank")
+    )

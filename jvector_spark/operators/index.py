@@ -2940,6 +2940,21 @@ class IVFIndex:
             "visited_fraction": float(visited.mean() / max(stored, 1)),
         }
 
+    def build_graph(self, **kw) -> None:
+        """Build per-partition Vamana graphs (M3/M4) for this index's
+        segments; see :func:`jvector_spark.operators.graph.build_graph`."""
+        from jvector_spark.operators import graph
+
+        graph.build_graph(self, **kw)
+
+    def search_graph(self, queries_df: DataFrame, k: int, **kw) -> DataFrame:
+        """Graph-traversal ANN over per-partition Vamana graphs (requires
+        :meth:`build_graph`); see
+        :func:`jvector_spark.operators.graph.graph_search`."""
+        from jvector_spark.operators import graph
+
+        return graph.graph_search(self, queries_df, k, **kw)
+
     def tune(self, queries_df: DataFrame | None = None, **kw) -> dict:
         """Auto-tune (n_probe, n_probe_fine, overquery) for a recall target —
         the reference's Grid parameter sweep (Grid.java:98-132, 668-679) as

@@ -1,0 +1,248 @@
+"""Per-partition Vamana graph micro-index (M3/M4): build + beam search.
+
+Reference semantics under test:
+- RobustPrune diversity (graph/diversity/VamanaDiversityProvider.java:45-99)
+- backlink + overflow + enforceDegree (graph/ConcurrentNeighborMap.java:56-223)
+- beam search with exact rerank (graph/GraphSearcher.java:222-507)
+- two-phase delete: tombstoned nodes traversed, filtered from results
+  (graph/GraphIndexBuilder.java markDeleted -> removeDeletedNodes)
+"""
+
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from jvector_spark.operators import exact
+from jvector_spark.operators.graph import (
+    _batch_beam,
+    _build_partition_graph,
+    _knn_candidates,
+    _pair_sims,
+    _retain_diverse_batch,
+    graph_meta,
+)
+from jvector_spark.operators.index import IVFIndexBuilder
+
+
+# ------------------------------------------------------------- numpy core
+def test_retain_diverse_semantics():
+    """Hand-checkable RobustPrune: collinear near points crowd each other
+    out; the alpha sweep admits a crowded-but-near candidate only after
+    farther diverse ones at alpha=1."""
+    # owner at origin; candidates: two near-duplicates east, one north
+    x = np.array(
+        [[0.0, 0.0], [1.0, 0.0], [1.05, 0.0], [0.0, 1.2]], dtype=np.float32
+    )
+    cand = np.array([[1, 2, 3]])  # score-desc for EUCLIDEAN distances
+    sc = 1.0 / (
+        1.0 + np.sum((x[cand[0]] - x[0]) ** 2, axis=1, dtype=np.float64)
+    ).astype(np.float32)[None, :]
+    sims = _pair_sims("EUCLIDEAN", x[cand])
+    sel = _retain_diverse_batch(sims, sc, np.ones_like(cand, bool), 2, 1.2)
+    # nearest (node 1) always kept; node 2 is dominated by node 1
+    # (sim(2,1) >> sim(2,owner)); node 3 is diverse
+    assert sel[0].tolist() == [True, False, True]
+
+
+def test_retain_diverse_degree_cap():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(40, 8)).astype(np.float32)
+    idx, sc = _knn_candidates(x, 20, "COSINE")
+    sims = _pair_sims("COSINE", x[idx])
+    sel = _retain_diverse_batch(sims, sc, np.ones_like(idx, bool), 5, 1.2)
+    assert (sel.sum(axis=1) <= 5).all()
+    assert (sel.sum(axis=1) >= 1).all()  # the nearest is always diverse
+
+
+@pytest.mark.parametrize("met", ["COSINE", "EUCLIDEAN", "DOT_PRODUCT"])
+def test_build_partition_graph_invariants(met):
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(300, 12)).astype(np.float32)
+    nbrs, entry = _build_partition_graph(
+        x, degree=12, alpha=1.2, overflow=1.2, ef_c=24, met=met
+    )
+    assert 0 <= entry < 300
+    for i, a in enumerate(nbrs):
+        assert len(a) <= 12  # enforceDegree (M4)
+        assert len(np.unique(a)) == len(a)  # no duplicate edges
+        assert i not in a  # no self edges
+    # connectivity: beam search must be able to reach ~everything
+    seen, frontier = {entry}, [entry]
+    while frontier:
+        frontier = [
+            int(v) for u in frontier for v in nbrs[u] if int(v) not in seen
+        ]
+        seen.update(frontier)
+    assert len(seen) >= 295  # near-total reachability from the entry
+
+
+def test_batch_beam_exact_steering_recall():
+    """With exact similarity steering the beam, recall@10 should be ~1
+    (the graph, not the scorer, is then the only approximation)."""
+    rng = np.random.default_rng(2)
+    n, k, ef = 1500, 10, 48
+    x = rng.normal(size=(n, 24)).astype(np.float32)
+    nbrs, entry = _build_partition_graph(
+        x, degree=20, alpha=1.2, overflow=1.2, ef_c=40, met="COSINE"
+    )
+    deg = max(len(a) for a in nbrs)
+    nbr_mat = np.full((n, deg), -1, np.int64)
+    for i, a in enumerate(nbrs):
+        nbr_mat[i, : len(a)] = a
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    q = xn[:24]
+    sims = ((1 + q @ xn.T) / 2).astype(np.float32)
+
+    def score_fn(aq, cand):
+        return sims[aq[:, None], np.maximum(cand, 0)]
+
+    beams = _batch_beam(score_fn, nbr_mat, np.array([entry]), 24, n, ef)
+    gt = np.argsort(-sims, axis=1)[:, :k]
+    hits = sum(
+        len(set(gt[i]) & set(beams[i][beams[i] >= 0].tolist()))
+        for i in range(24)
+    )
+    assert hits / (24 * k) >= 0.95
+
+
+# ------------------------------------------------------------- Spark e2e
+def _corpus(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+
+
+def _recall(res_rows, gt_rows):
+    gtr = {(r["qid"], r["id"]) for r in gt_rows}
+    return sum((r["qid"], r["id"]) in gtr for r in res_rows) / max(len(gtr), 1)
+
+
+@pytest.fixture(scope="module")
+def graph_index(spark, sf_dir):
+    corpus = _corpus(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="jvs_graph_idx_")
+    idx = IVFIndexBuilder(metric="COSINE", pq_m=8, n_partitions=8).fit(
+        corpus, tmp
+    )
+    idx.build_graph(degree=16, ef_construction=32)
+    return idx, corpus
+
+
+def test_graph_search_recall_and_exact_scores(spark, graph_index):
+    idx, corpus = graph_index
+    queries = corpus.filter(F.col("id") < 16).selectExpr("id as qid", "vec")
+    res = idx.search_graph(queries, k=10, n_probe=4, ef_search=40).collect()
+    gt = exact.knn_join(
+        corpus, queries, k=10, metric="COSINE", strategy="numpy"
+    ).collect()
+    assert _recall(res, gt) >= 0.8
+    # reported scores are EXACT for true-positive rows (fp32 rerank)
+    gts = {(r["qid"], r["id"]): r["score"] for r in gt}
+    for r in res:
+        if (r["qid"], r["id"]) in gts:
+            assert r["score"] == pytest.approx(gts[(r["qid"], r["id"])], abs=1e-12)
+    # per-query fill + rank ordering
+    per_q = {}
+    for r in res:
+        per_q.setdefault(r["qid"], []).append((r["rank"], r["score"]))
+    for rows in per_q.values():
+        rows.sort()
+        assert [rk for rk, _ in rows] == list(range(1, len(rows) + 1))
+        assert all(rows[i][1] >= rows[i + 1][1] for i in range(len(rows) - 1))
+
+
+def test_graph_meta_and_missing_graph_raises(spark, graph_index, sf_dir):
+    idx, corpus = graph_index
+    meta = graph_meta(idx, idx.manifest.segments[0].name)
+    assert meta["degree"] == 16 and meta["metric"] == "COSINE"
+    # an index without a graph refuses the traversal route loudly
+    tmp = tempfile.mkdtemp(prefix="jvs_nograph_")
+    bare = IVFIndexBuilder(metric="COSINE", pq_m=8, n_partitions=4).fit(
+        corpus, tmp
+    )
+    queries = corpus.filter(F.col("id") < 4).selectExpr("id as qid", "vec")
+    with pytest.raises(ValueError, match="no graph"):
+        bare.search_graph(queries, k=5)
+
+
+def test_graph_search_tombstones_filtered(spark, sf_dir):
+    """Two-phase delete on the graph route: deleted ids still route
+    traversal but never appear in results."""
+    corpus = _corpus(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="jvs_graph_del_")
+    idx = IVFIndexBuilder(metric="COSINE", pq_m=8, n_partitions=4).fit(
+        corpus, tmp
+    )
+    idx.build_graph(degree=16, ef_construction=32)
+    queries = corpus.filter(F.col("id") < 8).selectExpr("id as qid", "vec")
+    # queries ARE corpus rows: their own id is the top-1 hit -> delete them
+    idx.delete(list(range(8)))
+    res = idx.search_graph(queries, k=5, n_probe=4, ef_search=40).collect()
+    assert res and all(r["id"] >= 8 for r in res)
+    per_q = {}
+    for r in res:
+        per_q[r["qid"]] = per_q.get(r["qid"], 0) + 1
+    assert all(v == 5 for v in per_q.values())  # refill from the beam
+
+
+def test_graph_search_residual_and_slim(spark, sf_dir):
+    """The traversal route composes with residual PQ steering and with
+    slim (NVQ-rerank, no fp32) storage — built from NVQ reconstructions."""
+    corpus = _corpus(spark, sf_dir)
+    queries = corpus.filter(F.col("id") < 8).selectExpr("id as qid", "vec")
+    gt = exact.knn_join(
+        corpus, queries, k=10, metric="COSINE", strategy="numpy"
+    ).collect()
+    for kw in (
+        dict(pq_residual=True),
+        dict(store_fp32="none", rerank="nvq", pq_residual=False),
+    ):
+        tmp = tempfile.mkdtemp(prefix="jvs_graph_var_")
+        idx = IVFIndexBuilder(
+            metric="COSINE", pq_m=8, n_partitions=8, **kw
+        ).fit(corpus, tmp)
+        idx.build_graph(degree=16, ef_construction=32)
+        res = idx.search_graph(queries, k=10, n_probe=4, ef_search=48).collect()
+        assert _recall(res, gt) >= 0.7, kw
+
+
+def test_graph_search_bq_first_pass(spark, sf_dir):
+    corpus = _corpus(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="jvs_graph_bq_")
+    idx = IVFIndexBuilder(
+        metric="COSINE", first_pass="bq", n_partitions=8
+    ).fit(corpus, tmp)
+    idx.build_graph(degree=16, ef_construction=32)
+    queries = corpus.filter(F.col("id") < 8).selectExpr("id as qid", "vec")
+    res = idx.search_graph(queries, k=10, n_probe=4, ef_search=64).collect()
+    gt = exact.knn_join(
+        corpus, queries, k=10, metric="COSINE", strategy="numpy"
+    ).collect()
+    assert _recall(res, gt) >= 0.5  # hamming steering is coarser
+
+
+def test_graph_survives_append_with_rebuild(spark, sf_dir):
+    """append() creates a graph-less segment; build_graph() covers only
+    the new one (existing graphs are kept unless rebuild=True)."""
+    corpus = _corpus(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="jvs_graph_app_")
+    idx = IVFIndexBuilder(metric="COSINE", pq_m=8, n_partitions=4).fit(
+        corpus.filter(F.col("id") < 400), tmp
+    )
+    idx.build_graph(degree=16, ef_construction=32)
+    idx.append(corpus.filter(F.col("id") >= 400))
+    names = [s.name for s in idx.manifest.segments]
+    assert graph_meta(idx, names[0]) is not None
+    assert graph_meta(idx, names[1]) is None
+    queries = corpus.filter(F.col("id") < 4).selectExpr("id as qid", "vec")
+    with pytest.raises(ValueError, match=names[1]):
+        idx.search_graph(queries, k=5)
+    idx.build_graph(degree=16, ef_construction=32)  # fills only the gap
+    res = idx.search_graph(queries, k=10, n_probe=4, ef_search=40).collect()
+    gt = exact.knn_join(
+        corpus, queries, k=10, metric="COSINE", strategy="numpy"
+    ).collect()
+    assert _recall(res, gt) >= 0.7
