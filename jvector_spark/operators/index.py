@@ -712,6 +712,13 @@ class IVFIndexBuilder:
         # Storage and encode cost scale by `spill`; search dedups by id.
         # The recall/visited-fraction lever that replaces the reference's
         # graph traversal reach (GraphIndexBuilder diversity/backlinks).
+        # Storage economics (r7, measured at the baseline's published
+        # 100k x 1024 shape, slim store): spill=1 is 138.6 MB — 1.19x the
+        # reference's 115.99 MB — and on that corpus matched spill=2's
+        # recall@10 at the same wall (0.7185 vs 0.7154 @ np8), with
+        # n_probe buying further recall (0.7862 @ np12). Keep spill=2
+        # when probe budgets are tight and storage is cheap; choose
+        # spill=1 (or the graph route) when index bytes dominate.
         self.spill = max(1, int(spill))
 
     def fit(
