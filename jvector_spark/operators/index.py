@@ -2760,6 +2760,20 @@ class IVFIndex:
             live = live.unionByName(d_)
         if self.manifest.spill > 1 and len(sel) > 1:
             live = live.dropDuplicates(["id"])
+        # graph lifecycle (M6 refinement analog: the reference rebuilds its
+        # graph structure at cleanup/compaction, GraphIndexBuilder.java:
+        # 472-538): if EVERY merged segment carried a Vamana graph, the
+        # merged segment gets one rebuilt with the same parameters, so
+        # graph_search keeps working across compactions without a manual
+        # build_graph() call. Mixed/graph-less sources stay graph-less.
+        from jvector_spark.operators.graph import graph_meta
+
+        src_graphs = [graph_meta(self, s) for s in sel]
+        rebuild_graph = (
+            src_graphs[0]
+            if src_graphs and all(g is not None for g in src_graphs)
+            else None
+        )
         builder = IVFIndexBuilder(
             metric=self.manifest.metric,
             n_partitions=self.manifest.n_partitions,
@@ -2822,6 +2836,14 @@ class IVFIndex:
             if name not in keep:
                 shutil.rmtree(os.path.join(seg_root, name), ignore_errors=True)
         out = IVFIndex.load(self.spark, self.path)
+        if rebuild_graph is not None:
+            out.build_graph(
+                degree=rebuild_graph["degree"],
+                alpha=rebuild_graph["alpha"],
+                overflow=rebuild_graph["overflow"],
+                ef_construction=rebuild_graph["ef_construction"],
+                segments=[seg_name],
+            )
         # refresh SELF too: callers holding this object (streaming ingest's
         # foreachBatch closure, the IPC API) would otherwise keep a manifest
         # pointing at the GC'd segment dirs — an append after a dropped

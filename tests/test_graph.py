@@ -246,3 +246,43 @@ def test_graph_survives_append_with_rebuild(spark, sf_dir):
         corpus, queries, k=10, metric="COSINE", strategy="numpy"
     ).collect()
     assert _recall(res, gt) >= 0.7
+
+
+def test_compact_rebuilds_graph(spark, sf_dir):
+    """M6 refinement analog: a compaction of all-graphed segments rebuilds
+    the merged segment's graph with the same parameters — graph_search
+    keeps working with no manual build_graph() call, and tombstoned rows
+    are now physically gone."""
+    corpus = _corpus(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="jvs_graph_cmp_")
+    idx = IVFIndexBuilder(metric="COSINE", pq_m=8, n_partitions=4).fit(
+        corpus.filter(F.col("id") < 400), tmp
+    )
+    idx.build_graph(degree=16, ef_construction=32)
+    idx.append(corpus.filter(F.col("id") >= 400))
+    idx.build_graph(degree=16, ef_construction=32)  # graph the new segment
+    idx.delete([0, 1])
+    idx = idx.compact()
+    names = [s.name for s in idx.manifest.segments]
+    assert len(names) == 1
+    meta = graph_meta(idx, names[0])
+    assert meta is not None and meta["degree"] == 16
+    queries = corpus.filter(F.col("id") < 8).selectExpr("id as qid", "vec")
+    res = idx.search_graph(queries, k=10, n_probe=4, ef_search=40).collect()
+    assert res and all(r["id"] >= 2 for r in res)
+    gt = exact.knn_join(
+        corpus.filter(F.col("id") >= 2), queries, k=10, metric="COSINE",
+        strategy="numpy",
+    ).collect()
+    assert _recall(res, gt) >= 0.7
+
+
+def test_compact_graphless_stays_graphless(spark, sf_dir):
+    corpus = _corpus(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="jvs_graph_cmp2_")
+    idx = IVFIndexBuilder(metric="COSINE", pq_m=8, n_partitions=4).fit(
+        corpus.filter(F.col("id") < 400), tmp
+    )
+    idx.append(corpus.filter(F.col("id") >= 400))
+    idx = idx.compact()
+    assert graph_meta(idx, idx.manifest.segments[0].name) is None
