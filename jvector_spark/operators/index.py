@@ -3010,6 +3010,9 @@ class IVFIndex:
                 F.avg("count").alias("avg_rows"),
                 F.max("count").alias("max_rows"),
             ).collect()[0]
+            from jvector_spark.operators.graph import graph_meta
+
+            gmeta = graph_meta(self, seg.name)
             out["segments"].append(
                 {
                     "name": seg.name,
@@ -3017,6 +3020,11 @@ class IVFIndex:
                     "n_partitions": int(row["parts"]),
                     "avg_partition_rows": float(row["avg_rows"]),
                     "max_partition_rows": int(row["max_rows"]),
+                    "graph": (
+                        {"degree": gmeta["degree"], "alpha": gmeta["alpha"]}
+                        if gmeta is not None
+                        else None
+                    ),
                 }
             )
         return out

@@ -191,6 +191,12 @@ def main() -> None:
         help="'none' = slim index (PQ codes + NVQ payload, no fp32 column; "
         "requires --rerank nvq) — the reference's storage economics (r7)",
     )
+    ap.add_argument(
+        "--graph", action="store_true",
+        help="build per-partition Vamana graphs (M3/M4) and run the "
+        "graph-traversal search points alongside the fused-scan grid",
+    )
+    ap.add_argument("--graph-degree", type=int, default=32)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -235,6 +241,22 @@ def main() -> None:
                 residual=args.residual,
             )
 
+        if args.graph:
+            from jvector_spark.operators.graph import graph_meta
+
+            if graph_meta(idx, idx.manifest.segments[0].name) is None:
+                t0 = time.perf_counter()
+                idx.build_graph(
+                    degree=args.graph_degree,
+                    ef_construction=2 * args.graph_degree,
+                )
+                log(
+                    step="graph_build", degree=args.graph_degree,
+                    sec=round(time.perf_counter() - t0, 1),
+                )
+            else:
+                log(step="graph_build", sec=0.0, cached=True)
+
         if not args.bulk_only and not args.skip_grid:
             t0 = time.perf_counter()
             gt = exact.knn_join(
@@ -242,6 +264,25 @@ def main() -> None:
             ).cache()
             gt.count()
             log(step="gt_exact_64q", sec=round(time.perf_counter() - t0, 1))
+            if args.graph:
+                from jvector_spark.operators.search import SearchTelemetry
+
+                for np_, ef in [(8, 40), (8, 100), (16, 100)]:
+                    tel = SearchTelemetry(spark)
+                    t0 = time.perf_counter()
+                    r = idx.search_graph(
+                        queries, 10, n_probe=np_, ef_search=ef, telemetry=tel
+                    )
+                    rec = recall_at_k(r, gt, 10)
+                    dt = time.perf_counter() - t0
+                    nq = queries.count()
+                    log(
+                        step="graph_search", n_probe=np_, ef=ef,
+                        recall10=round(rec, 4), sec=round(dt, 2),
+                        visited_frac=round(
+                            tel.visited_rows / (nq * args.n * 2), 5
+                        ),
+                    )
             for np_, npf, oq in [
                 (8, None, 4.0), (8, None, 64.0), (8, 16, 64.0),
                 (8, 16, 512.0), (16, 32, 512.0),
