@@ -2984,12 +2984,22 @@ class IVFIndex:
 
         return graph.graph_search(self, queries_df, k, **kw)
 
-    def tune(self, queries_df: DataFrame | None = None, **kw) -> dict:
-        """Auto-tune (n_probe, n_probe_fine, overquery) for a recall target —
-        the reference's Grid parameter sweep (Grid.java:98-132, 668-679) as
-        an index method; see ``jvector_spark.operators.tune.tune_search``."""
-        from jvector_spark.operators.tune import tune_search
+    def tune(
+        self, queries_df: DataFrame | None = None, route: str = "fused", **kw
+    ) -> dict:
+        """Auto-tune search knobs for a recall target — the reference's
+        Grid parameter sweep (Grid.java:98-132, 668-679) as an index
+        method. ``route="fused"`` sweeps (n_probe, n_probe_fine,
+        overquery, probe_ratio) over the fused-scan path
+        (``tune.tune_search``); ``route="graph"`` sweeps (n_probe,
+        ef_search) over the Vamana traversal path
+        (``tune.tune_graph_search``, requires :meth:`build_graph`)."""
+        from jvector_spark.operators.tune import tune_graph_search, tune_search
 
+        if route == "graph":
+            return tune_graph_search(self, queries_df, **kw)
+        if route != "fused":
+            raise ValueError(f"unknown tune route {route!r}")
         return tune_search(self, queries_df, **kw)
 
     def stats(self) -> dict:

@@ -192,3 +192,139 @@ def tune_search(
         "best": best,
         "evaluated": evaluated,
     }
+
+
+def tune_graph_search(
+    index: "IVFIndex",
+    queries_df: DataFrame | None = None,
+    k: int = 10,
+    target_recall: float = 0.9,
+    sample: int = 64,
+    n_probe_grid: list[int] | None = None,
+    ef_grid: list[int] | None = None,
+    max_evals: int = 24,
+) -> dict:
+    """Grid sweep for the graph-traversal route (ref Grid.java sweeps
+    efSearch/overquery per topK the same way): find the cheapest
+    (n_probe, ef_search) meeting ``target_recall``.
+
+    Ordering uses the traversal's own IO bound — per probed partition the
+    beam visits at most ``min(stored_rows, ef x degree)`` rows — computed
+    from the cached per-partition counts (driver arithmetic, no jobs).
+    The ef ladder early-stops on diminishing gains exactly like
+    ``tune_search``'s overquery ladder (rerank depth and beam depth are
+    the same kind of knob). Requires graphs on every segment
+    (:func:`jvector_spark.operators.graph.build_graph`)."""
+    import numpy as np
+
+    from jvector_spark.operators import exact
+    from jvector_spark.operators.graph import graph_meta
+
+    spark = index.spark
+    corpus = index.live_vectors()
+    if queries_df is None:
+        queries_df = corpus.selectExpr("id as qid", "vec")
+    metas = {
+        s.name: graph_meta(index, s.name) for s in index.manifest.segments
+    }
+    missing = [n for n, m in metas.items() if m is None]
+    if missing:
+        raise ValueError(f"segments {missing} have no graph — run build_graph")
+    degree = max(m["degree"] for m in metas.values())
+    qid_c, vec_c = queries_df.columns[0], queries_df.columns[1]
+    rows = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in queries_df.select(qid_c, vec_c)
+        .orderBy(F.xxhash64(qid_c))
+        .limit(int(sample))
+        .collect()
+    ]
+    qdf = spark.createDataFrame(rows, "qid long, vec array<float>").cache()
+    metric = index.manifest.metric
+    gt = exact.knn_join(corpus, qdf, k, metric=metric, strategy="numpy").cache()
+    gt.count()
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for _, v in rows])
+
+    n_parts = max(
+        len(index._segments[s.name]["centroids"])
+        for s in index.manifest.segments
+    )
+    if n_probe_grid is None:
+        n_probe_grid = [p for p in (1, 2, 4, 8, 16, 32) if p < n_parts]
+        n_probe_grid = n_probe_grid or [n_parts]
+    if ef_grid is None:
+        ef_grid = sorted({max(2 * k, e) for e in (2 * k, 4 * k, 10 * k, 20 * k)})
+
+    # traversal IO bound per (n_probe, ef): sum over each query's probed
+    # partitions of min(stored_rows, ef x degree), normalized by the
+    # total stored rows (same denominator as probe_io_stats)
+    from jvector_spark.operators.index import _partition_score_bounds
+
+    total = 0
+    probed_counts: dict[int, np.ndarray] = {}  # n_probe -> (m, np) stored
+    for seg in index.manifest.segments:
+        info = index._segments[seg.name]
+        counts = index._part_counts(seg.name).astype(np.float64)
+        total += counts.sum()
+        _, d2 = _partition_score_bounds(info, qmat, metric)
+        d2 = np.where(info["has_rows"][None, :], d2, np.inf)
+        order = np.argsort(d2, axis=1)
+        for np_ in n_probe_grid:
+            sel = counts[order[:, : min(np_, order.shape[1])]]
+            probed_counts.setdefault(np_, np.zeros_like(sel[:, :0]))
+            probed_counts[np_] = (
+                sel if probed_counts[np_].shape[1] == 0
+                else np.concatenate([probed_counts[np_], sel], axis=1)
+            )
+
+    def io_bound(np_: int, ef: int) -> float:
+        sel = probed_counts[np_]
+        return float(np.minimum(sel, ef * degree).sum() / (len(rows) * total))
+
+    shapes = sorted(n_probe_grid, key=lambda np_: io_bound(np_, ef_grid[0]))
+    evaluated: list[dict] = []
+    best: dict | None = None
+    plateau_eps = 0.005
+    done = False
+    for np_ in shapes:
+        if done:
+            break
+        prev_rec: float | None = None
+        gain: float | None = None
+        for j, ef in enumerate(ef_grid):
+            if len(evaluated) >= max_evals:
+                done = True
+                break
+            if prev_rec is not None and gain is not None:
+                if gain < plateau_eps:
+                    break
+                if prev_rec + max(gain, 0.0) * (len(ef_grid) - j) < target_recall:
+                    break
+            t0 = time.perf_counter()
+            res = index.search_graph(qdf, k, n_probe=np_, ef_search=ef)
+            rec = recall_at_k(res, gt, k)
+            point = {
+                "n_probe": np_,
+                "ef_search": ef,
+                "recall": round(rec, 4),
+                "visited_bound": round(io_bound(np_, ef), 6),
+                "wall_s": round(time.perf_counter() - t0, 3),
+            }
+            evaluated.append(point)
+            if rec >= target_recall:
+                best = point
+                done = True
+                break
+            gain = rec - prev_rec if prev_rec is not None else None
+            prev_rec = rec
+    gt.unpersist()
+    qdf.unpersist()
+    return {
+        "k": k,
+        "target_recall": target_recall,
+        "metric": metric,
+        "route": "graph",
+        "sampled_queries": len(rows),
+        "best": best,
+        "evaluated": evaluated,
+    }

@@ -286,3 +286,27 @@ def test_compact_graphless_stays_graphless(spark, sf_dir):
     idx.append(corpus.filter(F.col("id") >= 400))
     idx = idx.compact()
     assert graph_meta(idx, idx.manifest.segments[0].name) is None
+
+
+def test_tune_graph_route(spark, graph_index):
+    """route='graph' Grid sweep: cheapest (n_probe, ef) meeting the
+    target, ef ladder early-stopped, IO bound monotone in both knobs."""
+    idx, corpus = graph_index
+    out = idx.tune(route="graph", k=5, target_recall=0.6, sample=16)
+    assert out["route"] == "graph"
+    assert out["best"] is not None
+    assert out["best"]["recall"] >= 0.6
+    assert out["best"]["ef_search"] >= 10
+    # the walk is cheapest-first: evaluated points' bounds never decrease
+    # within one n_probe shape's ladder
+    for a, b in zip(out["evaluated"], out["evaluated"][1:]):
+        if a["n_probe"] == b["n_probe"]:
+            assert b["visited_bound"] >= a["visited_bound"]
+    # graph-less index refuses
+    import tempfile as _tf
+
+    bare = IVFIndexBuilder(metric="COSINE", pq_m=8, n_partitions=4).fit(
+        corpus, _tf.mkdtemp(prefix="jvs_tune_nograph_")
+    )
+    with pytest.raises(ValueError, match="no graph"):
+        bare.tune(route="graph", k=5)
