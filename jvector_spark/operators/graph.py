@@ -423,7 +423,7 @@ def _batch_beam(
     unexpanded candidate scores under its full beam's worst (the standard
     best-first termination). ``expand`` is DiskANN's beamwidth W — >1
     trades a few percent extra visited rows for W-fold fewer sequential
-    hops (the Python-loop constant); defaults to ``max(1, ef // 32)``.
+    hops (the Python-loop constant); defaults to ``max(1, ef // 64)``.
     Returns (n_q, ef) local ordinals, -1 padded."""
     w = int(expand) if expand else max(1, ef // 64)
     beam_id = np.full((n_q, ef), -1, dtype=np.int64)
