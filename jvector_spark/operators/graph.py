@@ -36,9 +36,11 @@ Storage: ``segments/<seg>/graph/edges.parquet`` partitioned by ``part_id``
 with rows ``(id, neighbors array<long>, entry)`` — neighbors are GLOBAL
 ids (stable across file re-reads; local ordinals are resolved by
 searchsorted at search time) — plus ``graph/meta.json`` (degree / alpha /
-overflow / ef_construction). A compact() or append() creates graph-less
-segments; re-run :func:`build_graph` (the reference rebuilds its graph at
-compaction too, OnDiskGraphIndexCompactor.java:296).
+overflow / ef_construction). ``append()`` creates graph-less segments
+(cover them with :func:`build_graph`); ``compact()`` REBUILDS the merged
+segment's graph when every merged segment had one — the reference
+rebuilds its graph at compaction the same way
+(OnDiskGraphIndexCompactor.java:296).
 
 Search (``GraphSearcher.java:222-507`` beam semantics, batched): queries
 probe their ``n_probe`` nearest centroids exactly like IVF search (the
@@ -511,8 +513,10 @@ def graph_search(
     exact-reranks the surviving beam (same reported-score semantics as
     every other route: fp32-exact, or dequantized-NVQ on nvq-rerank
     indexes). Tombstoned rows are traversed but filtered from results
-    (two-phase delete semantics); ``compact()`` both removes them and drops
-    the graphs — re-run :func:`build_graph` after compaction. Predicates /
+    (two-phase delete semantics); ``compact()`` removes them AND rebuilds
+    the merged segment's graph when every merged segment had one (append
+    still creates graph-less segments — cover them with
+    :func:`build_graph`). Predicates /
     accept lists are not supported on the traversal route (the reference
     applies acceptOrds at result collection with un-bounded extra
     traversal; our filtered contract lives on the exact-w.r.t.-filter IVF
