@@ -44,9 +44,9 @@ rebuilds its graph at compaction the same way
 
 Search (``GraphSearcher.java:222-507`` beam semantics, batched): queries
 probe their ``n_probe`` nearest centroids exactly like IVF search (the
-hierarchical-descent analog), then ONE cogrouped pass over the probed
-partitions runs a vectorized multi-query best-first beam search per
-partition — ADC/hamming approximate scores steer the traversal (the
+hierarchical-descent analog), then a ZERO-CORPUS-SHUFFLE pass over the
+probed partitions (each task direct-reads its partition's data/edges
+dirs) runs a vectorized multi-query best-first beam search per partition — ADC/hamming approximate scores steer the traversal (the
 reference's compressed-first-pass search), and the surviving beam reranks
 through the same fused exact-scoring kernel every other route uses, so
 reported scores carry identical semantics (fp32-exact or dequantized-NVQ).
@@ -491,6 +491,145 @@ def _batch_beam(
     return np.where(beam_sc > -np.inf, beam_id, -1)
 
 
+def _empty_result() -> pd.DataFrame:
+    return pd.DataFrame(
+        {"qid": pd.Series([], dtype="int64"),
+         "id": pd.Series([], dtype="int64"),
+         "score": pd.Series([], dtype="float64")}
+    )
+
+
+def _decode_partition(
+    data_pdf: pd.DataFrame,
+    edge_pdf: pd.DataFrame,
+    is_bq: bool,
+    width: int,
+    need_mags: bool,
+    mag_lut,
+    res_m: bool,
+):
+    """Sort + decode one partition's rows for traversal: returns
+    (data_pdf_sorted, ids, nbr_mat, entries, codes, mags, rsq) or None
+    when either side is empty. Neighbors hold GLOBAL ids; local ordinals
+    resolve via one flattened searchsorted (no per-row Python loop)."""
+    if len(data_pdf) == 0 or len(edge_pdf) == 0:
+        return None
+    data_pdf = data_pdf.sort_values("id", kind="stable").reset_index(drop=True)
+    edge_pdf = edge_pdf.sort_values("id", kind="stable").reset_index(drop=True)
+    ids = data_pdf["id"].to_numpy(dtype=np.int64)
+    n_local = len(ids)
+    nbr_lists = edge_pdf["neighbors"].to_list()
+    lens = np.fromiter(
+        (len(a) for a in nbr_lists), dtype=np.int64, count=len(nbr_lists)
+    )
+    deg_max = int(lens.max(initial=0))
+    nbr_mat = np.full((n_local, max(deg_max, 1)), -1, dtype=np.int64)
+    if lens.sum() and len(nbr_lists) == n_local:
+        flat = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in nbr_lists if len(a)]
+        )
+        pos = np.searchsorted(ids, np.clip(flat, ids[0], ids[-1]))
+        # guard: an edge to an id not in this file resolves to -1
+        pos = np.where(ids[pos] == flat, pos, -1)
+        rows = np.repeat(np.arange(n_local), lens)
+        cols = np.arange(lens.sum()) - np.repeat(np.cumsum(lens) - lens, lens)
+        nbr_mat[rows, cols] = pos
+    entries = np.flatnonzero(edge_pdf["entry"].to_numpy())
+    if len(entries) == 0:
+        entries = np.array([0])
+    if is_bq:
+        codes = np.frombuffer(
+            b"".join(data_pdf["codes"]), dtype=np.uint64
+        ).reshape(n_local, width)
+    else:
+        codes = np.frombuffer(
+            b"".join(data_pdf["codes"]), dtype=np.uint8
+        ).reshape(n_local, width).astype(np.int64)
+    mags = None
+    if need_mags and not is_bq:
+        mags = np.sqrt(
+            np.maximum(mag_lut[np.arange(width), codes].sum(axis=1), 1e-30)
+        ).astype(np.float32)
+    rsq = data_pdf["rsq"].to_numpy(dtype=np.float32) if res_m else None
+    return data_pdf, ids, nbr_mat, entries, codes, mags, rsq
+
+
+def _traverse_rerank(
+    part_pack,
+    met: str,
+    kk: int,
+    ef: int,
+    bw: int | None,
+    q_ids: np.ndarray,
+    q_mat: np.ndarray,
+    q_nrm: np.ndarray,
+    s1_sel,
+    qc_vec: np.ndarray | None,
+    nvq_c,
+    tel_acc,
+) -> pd.DataFrame:
+    """Batched beam traversal + fused exact rerank of ONE partition for
+    the GIVEN (already selected) queries. ``s1_sel`` carries per-query
+    stage-1 payloads (("pq", luts, mag_lut, m) / ("bq", q_words, dim,
+    words), arrays aligned with ``q_ids``); ``qc_vec`` is the per-query
+    q.centroid dot for residual decomposition. Shared by the broadcast
+    and distributed routes — identical scoring on both."""
+    from jvector_spark.operators.index import _fused_block_topk
+
+    data_pdf, ids, nbr_mat, entries, codes, mags, rsq = part_pack
+    n_local = len(ids)
+    n_q = len(q_ids)
+
+    def score_fn(aq: np.ndarray, cand: np.ndarray) -> np.ndarray:
+        return _traverse_scores(
+            met, s1_sel, aq, q_nrm, codes, mags, cand, rsq,
+            qc_vec[aq] if qc_vec is not None else None,
+        )
+
+    # chunk the query axis so visited (Qc, n_local) stays bounded
+    qc_chunk = max(1, int((128 << 20) // max(n_local, 1)))
+    out = []
+    for lo in range(0, n_q, qc_chunk):
+        hi = min(lo + qc_chunk, n_q)
+        sub = np.arange(lo, hi)
+        beams = _batch_beam(
+            lambda a, c: score_fn(sub[a], c),
+            nbr_mat, entries, hi - lo, n_local, ef,
+            counters=tel_acc, expand=bw,
+        )
+        uniq = np.unique(beams[beams >= 0])
+        if len(uniq) == 0:
+            continue
+        # membership mask: each query reranks only ITS beam
+        mask = np.zeros((hi - lo, len(uniq)), dtype=bool)
+        for qi in range(hi - lo):
+            bm = beams[qi][beams[qi] >= 0]
+            mask[qi, np.searchsorted(uniq, bm)] = True
+        oq, oi, osc = _fused_block_topk(
+            met, kk, ef,
+            q_ids[sub], q_mat[sub],
+            s1_sel[1][sub] if s1_sel[0] == "pq" else None,
+            s1_sel[2] if s1_sel[0] == "pq" else None,
+            q_nrm[sub], ids[uniq], codes[uniq],
+            vec_rows=(
+                None if nvq_c is not None
+                else data_pdf["vec"].iloc[uniq].reset_index(drop=True)
+            ),
+            nvq=(
+                (nvq_c,
+                 data_pdf["nvq"].iloc[uniq].reset_index(drop=True),
+                 data_pdf["nvq_params"].iloc[uniq].reset_index(drop=True))
+                if nvq_c is not None else None
+            ),
+            bq=(s1_sel[1][sub], s1_sel[2]) if s1_sel[0] == "bq" else None,
+            mask=mask,
+            counters=tel_acc,
+            residual=(qc_vec[sub], rsq[uniq]) if qc_vec is not None else None,
+        )
+        out.append(pd.DataFrame({"qid": oq, "id": oi, "score": osc}))
+    return pd.concat(out, ignore_index=True) if out else _empty_result()
+
+
 def graph_search(
     index,
     queries_df: DataFrame,
@@ -503,24 +642,37 @@ def graph_search(
     probe_ratio: float | None = None,
     telemetry=None,
     beam_width: int | None = None,
+    strategy: str = "auto",
+    m_hint: int | None = None,
 ) -> DataFrame:
     """Graph-traversal ANN over the index's per-partition Vamana graphs.
 
-    The point-query-batch path (queries are collected + broadcast, like the
-    IVF broadcast route): per probed partition a batched beam search visits
-    ``O(ef_search x degree)`` rows regardless of partition size — below
-    even the fine-cell mask's read fraction — then the shared fused kernel
-    exact-reranks the surviving beam (same reported-score semantics as
-    every other route: fp32-exact, or dequantized-NVQ on nvq-rerank
-    indexes). Tombstoned rows are traversed but filtered from results
-    (two-phase delete semantics); ``compact()`` removes them AND rebuilds
-    the merged segment's graph when every merged segment had one (append
-    still creates graph-less segments — cover them with
-    :func:`build_graph`). Predicates /
-    accept lists are not supported on the traversal route (the reference
-    applies acceptOrds at result collection with un-bounded extra
-    traversal; our filtered contract lives on the exact-w.r.t.-filter IVF
-    routes) — use ``IVFIndex.search(predicate=..., accept_ids=...)``.
+    Two physical strategies, same scoring (the shared traversal/rerank
+    core runs on both — fp32-exact or dequantized-NVQ reported scores):
+
+    - ``broadcast`` (point-query batches, <= BROADCAST_QUERY_CAP rows):
+      queries are collected + broadcast with driver-precomputed stage-1
+      payloads; the task list is the probed part_ids and each task
+      pyarrow-reads ITS partition's data/edges dirs directly — ZERO
+      corpus shuffle.
+    - ``distributed`` (bulk / corpus-as-queries): NO driver collect —
+      probe assignment runs as a map-only pass over the query DataFrame
+      (the same ``_assign_probes`` the fused tile route uses), query
+      replicas shuffle to their probed part_ids (Q x n_probe rows — the
+      ONLY exchange), and each (partition, query-group) task direct-reads
+      its partition and runs the same traversal core, building per-chunk
+      ADC LUTs in-task. Compare the fused TILE route, which re-shuffles
+      corpus code blocks once per query block: the graph bulk route moves
+      no corpus bytes at all, so its exchange cost is independent of
+      corpus size — the shape that matters for bulk ANN at 100 TB.
+    - ``auto``: broadcast at or below the cap, else distributed.
+
+    Tombstoned rows are traversed but filtered from results (two-phase
+    delete semantics); ``compact()`` removes them AND rebuilds the merged
+    segment's graph when every merged segment had one (append still
+    creates graph-less segments — cover them with :func:`build_graph`).
+    Predicates / accept lists are not supported on the traversal route —
+    use ``IVFIndex.search(predicate=..., accept_ids=...)``.
 
     ``ef_search`` defaults to ``max(2k, overquery*k)`` (the beam width /
     per-partition candidate pool — GraphSearcher's rerankK analog).
@@ -528,10 +680,8 @@ def graph_search(
     sequential hop count W-fold for a small recall give-back (measured
     d=1024/ef640: wall 17.9 -> 9.9 s, recall 0.789 -> 0.754 at W=20).
     Default ``max(1, ef_search // 64)``."""
-    from jvector_spark.operators.index import (
-        _fused_block_topk,
-        _partition_score_bounds,
-    )
+    from jvector_spark.operators.exact import query_side_is_big
+    from jvector_spark.operators.index import _partition_score_bounds
 
     manifest = index.manifest
     met = manifest.metric
@@ -541,7 +691,7 @@ def graph_search(
     if missing:
         raise ValueError(
             f"segments {missing} have no graph — run build_graph(index) "
-            "(compact()/append() create graph-less segments by design)"
+            "(append() creates graph-less segments by design)"
         )
     if probe_ratio is not None and probe_ratio < 1:
         raise ValueError(f"probe_ratio must be >= 1 (got {probe_ratio})")
@@ -549,6 +699,79 @@ def graph_search(
     rerank_k = max(k, int(round(overquery * k)))
     k_ret = min(ef, max(k, rerank_k))  # per-partition rows (liveness refill)
     use_nvq = manifest.rerank == "nvq" or index._slim
+    if strategy == "auto":
+        strategy = (
+            "distributed" if query_side_is_big(queries_df, m_hint) else "broadcast"
+        )
+    tel_acc = (
+        (telemetry._visited, telemetry._reranked, telemetry._stages)
+        if telemetry is not None
+        else None
+    )
+    data_cols = ["id", "codes"]  # hive part_id lives in the dir name
+    if use_nvq:
+        data_cols += ["nvq", "nvq_params"]
+    else:
+        data_cols += ["vec"]
+
+    if strategy == "distributed":
+        scanned = _graph_search_distributed(
+            index, queries_df, met, k_ret, ef, n_probe,
+            query_id_col, query_vec_col, probe_ratio, beam_width,
+            use_nvq, data_cols, tel_acc,
+        )
+    elif strategy == "broadcast":
+        scanned = _graph_search_broadcast(
+            index, queries_df, met, k_ret, ef, n_probe,
+            query_id_col, query_vec_col, probe_ratio, beam_width,
+            use_nvq, data_cols, tel_acc, _partition_score_bounds,
+        )
+    else:
+        raise ValueError(f"unknown search strategy {strategy!r}")
+    if scanned is None:
+        return index.spark.createDataFrame([], "qid long, id long, score double")
+    if manifest.spill > 1:
+        scanned = scanned.dropDuplicates(["qid", "id"])  # U3 visited-set dedup
+    t = index.tombstones()
+    if t is not None:  # traversed-but-filtered (two-phase delete, F2)
+        scanned = scanned.join(t.select("id"), "id", "left_anti")
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        scanned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("qid", "rank")
+    )
+
+
+def _seg_dirs(index, seg_name: str, data_cols: list[str]) -> tuple:
+    info = index._segments[seg_name]
+    return (
+        os.path.join(info["dir"], "data.parquet"),
+        os.path.join(_graph_dir(index, seg_name), "edges.parquet"),
+        tuple(data_cols),
+    )
+
+
+def _read_partition(dirs: tuple, part: int):
+    import pyarrow.parquet as papq
+
+    data_dir, graph_dir, dcols = dirs
+    dpath = os.path.join(data_dir, f"part_id={int(part)}")
+    epath = os.path.join(graph_dir, f"part_id={int(part)}")
+    if not (os.path.exists(dpath) and os.path.exists(epath)):
+        return None, None
+    return (
+        papq.read_table(dpath, columns=list(dcols)).to_pandas(),
+        papq.read_table(epath, columns=["id", "neighbors", "entry"]).to_pandas(),
+    )
+
+
+def _graph_search_broadcast(
+    index, queries_df, met, k_ret, ef, n_probe,
+    query_id_col, query_vec_col, probe_ratio, beam_width,
+    use_nvq, data_cols, tel_acc, score_bounds,
+) -> DataFrame | None:
+    manifest = index.manifest
     qrows = collect_point_query_batch(
         queries_df, query_id_col, query_vec_col, "graph_search"
     )
@@ -561,7 +784,7 @@ def graph_search(
         pq = info["pq"]
         res_mode = bool(info.get("residual"))
         npk = min(n_probe, len(info["centroids"]))
-        _, d2 = _partition_score_bounds(info, qmat, met)
+        _, d2 = score_bounds(info, qmat, met)
         d2 = np.where(info["has_rows"][None, :], d2, np.inf)
         probe = np.argsort(d2, axis=1)[:, :npk]
         probe_valid = None
@@ -582,13 +805,13 @@ def graph_search(
 
         if isinstance(pq, BinaryQuantizer):
             stage1 = ("bq", pq.encode_numpy(qmat), pq.dim, pq.words)
-            mag_vec_needed = False
+            need_mags = False
         else:
             luts = pq.adc_lut_batch(
                 qmat, "DOT_PRODUCT" if res_mode else met
             ).astype(np.float32)
             stage1 = ("pq", luts, pq.magnitude_lut(), pq.m)
-            mag_vec_needed = met == "COSINE" and not res_mode
+            need_mags = met == "COSINE" and not res_mode
         qc_all = qmat @ info["centroids"].T if res_mode else None
         nvq_codec = None
         if use_nvq:
@@ -597,12 +820,10 @@ def graph_search(
             nvq_codec = NVQuantizer(dim=manifest.dim)
         b = index.spark.sparkContext.broadcast(
             (stage1, qids, qmat, qnorms, met, k_ret, ef, p2q, nvq_codec,
-             qc_all, res_mode, mag_vec_needed, beam_width)
+             qc_all, res_mode, need_mags, beam_width)
         )
-        tel_acc = (
-            (telemetry._visited, telemetry._reranked, telemetry._stages)
-            if telemetry is not None
-            else None
+        dirs = _seg_dirs(
+            index, seg.name, data_cols + (["rsq"] if res_mode else [])
         )
 
         # factory binds THIS segment's broadcast — the returned scan is
@@ -617,156 +838,40 @@ def graph_search(
         # exactly once (the DiskANN contract: task = partition).
         def _make_scan(b, tel_acc, dirs):
             def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-                import pyarrow.parquet as papq
-
-                data_dir, graph_dir, dcols = dirs
+                (s1, q_ids, q_mat, q_nrm, m_, kk, ef_, p2q_, nvq_c, qc_a,
+                 res_m, nm, bw) = b.value
                 for pdf in batches:
                     for p in pdf["part_id"].tolist():
-                        dpath = os.path.join(data_dir, f"part_id={int(p)}")
-                        epath = os.path.join(graph_dir, f"part_id={int(p)}")
-                        if not (os.path.exists(dpath) and os.path.exists(epath)):
+                        q_idx = p2q_.get(int(p))
+                        if not q_idx:
                             continue
-                        data_pdf = papq.read_table(
-                            dpath, columns=list(dcols)
-                        ).to_pandas()
-                        edge_pdf = papq.read_table(
-                            epath, columns=["id", "neighbors", "entry"]
-                        ).to_pandas()
-                        out = _scan_partition(
-                            int(p), data_pdf, edge_pdf, b, tel_acc
+                        data_pdf, edge_pdf = _read_partition(dirs, int(p))
+                        if data_pdf is None:
+                            continue
+                        pack = _decode_partition(
+                            data_pdf, edge_pdf, s1[0] == "bq", s1[3],
+                            nm, s1[2] if s1[0] == "pq" else None, res_m,
+                        )
+                        if pack is None:
+                            continue
+                        qsel = np.asarray(q_idx)
+                        s1_sel = (
+                            ("pq", s1[1][qsel], s1[2], s1[3])
+                            if s1[0] == "pq"
+                            else ("bq", s1[1][qsel], s1[2], s1[3])
+                        )
+                        out = _traverse_rerank(
+                            pack, m_, kk, ef_, bw,
+                            q_ids[qsel], q_mat[qsel], q_nrm[qsel],
+                            s1_sel,
+                            qc_a[qsel, int(p)] if qc_a is not None else None,
+                            nvq_c, tel_acc,
                         )
                         if len(out):
                             yield out
 
             return scan
 
-        def _scan_partition(part, data_pdf, edge_pdf, b, tel_acc) -> pd.DataFrame:
-            (s1, q_ids, q_mat, q_nrm, m_, kk, ef_, p2q_, nvq_c, qc_a,
-             res_m, need_mags, bw) = b.value
-            q_idx = p2q_.get(part)
-            empty = pd.DataFrame(
-                {"qid": pd.Series([], dtype="int64"),
-                 "id": pd.Series([], dtype="int64"),
-                 "score": pd.Series([], dtype="float64")}
-            )
-            if not q_idx or len(data_pdf) == 0 or len(edge_pdf) == 0:
-                return empty
-            data_pdf = data_pdf.sort_values("id", kind="stable").reset_index(
-                drop=True
-            )
-            edge_pdf = edge_pdf.sort_values("id", kind="stable").reset_index(
-                drop=True
-            )
-            ids = data_pdf["id"].to_numpy(dtype=np.int64)
-            n_local = len(ids)
-            # neighbors hold GLOBAL ids -> local ordinals via searchsorted
-            # (one flattened pass, no per-row Python loop)
-            nbr_lists = edge_pdf["neighbors"].to_list()
-            lens = np.fromiter(
-                (len(a) for a in nbr_lists), dtype=np.int64, count=n_local
-            )
-            deg_max = int(lens.max(initial=0))
-            nbr_mat = np.full((n_local, max(deg_max, 1)), -1, dtype=np.int64)
-            if lens.sum():
-                flat = np.concatenate(
-                    [np.asarray(a, dtype=np.int64) for a in nbr_lists if len(a)]
-                )
-                pos = np.searchsorted(ids, np.clip(flat, ids[0], ids[-1]))
-                # guard: an edge to an id not in this file resolves to -1
-                pos = np.where(ids[pos] == flat, pos, -1)
-                rows = np.repeat(np.arange(n_local), lens)
-                cols = np.arange(lens.sum()) - np.repeat(
-                    np.cumsum(lens) - lens, lens
-                )
-                nbr_mat[rows, cols] = pos
-            entries = np.flatnonzero(edge_pdf["entry"].to_numpy())
-            if len(entries) == 0:
-                entries = np.array([0])
-            if s1[0] == "bq":
-                codes = np.frombuffer(
-                    b"".join(data_pdf["codes"]), dtype=np.uint64
-                ).reshape(n_local, s1[3])
-            else:
-                codes = np.frombuffer(
-                    b"".join(data_pdf["codes"]), dtype=np.uint8
-                ).reshape(n_local, s1[3]).astype(np.int64)
-            mags = None
-            if need_mags and s1[0] == "pq":
-                mags = np.sqrt(
-                    np.maximum(
-                        s1[2][np.arange(s1[3]), codes].sum(axis=1), 1e-30
-                    )
-                ).astype(np.float32)
-            rsq = (
-                data_pdf["rsq"].to_numpy(dtype=np.float32) if res_m else None
-            )
-            qsel = np.asarray(q_idx)
-            qc_part = qc_a[qsel, part] if qc_a is not None else None
-
-            def score_fn(aq: np.ndarray, cand: np.ndarray) -> np.ndarray:
-                return _traverse_scores(
-                    m_, s1, qsel[aq], q_nrm, codes, mags, cand, rsq,
-                    qc_part[aq] if qc_part is not None else None,
-                )
-
-            # chunk the query axis so visited (Qc, n_local) stays bounded
-            qc_chunk = max(1, int((128 << 20) // max(n_local, 1)))
-            out = []
-            for lo in range(0, len(qsel), qc_chunk):
-                hi = min(lo + qc_chunk, len(qsel))
-                sub = np.arange(lo, hi)
-                beams = _batch_beam(
-                    lambda a, c: score_fn(sub[a], c),
-                    nbr_mat, entries, hi - lo, n_local, ef_,
-                    counters=tel_acc, expand=bw,
-                )
-                uniq = np.unique(beams[beams >= 0])
-                if len(uniq) == 0:
-                    continue
-                # membership mask: each query reranks only ITS beam
-                mask = np.zeros((hi - lo, len(uniq)), dtype=bool)
-                for qi in range(hi - lo):
-                    bm = beams[qi][beams[qi] >= 0]
-                    mask[qi, np.searchsorted(uniq, bm)] = True
-                g = qsel[sub]
-                oq, oi, osc = _fused_block_topk(
-                    m_, kk, ef_,
-                    q_ids[g], q_mat[g],
-                    s1[1][g] if s1[0] == "pq" else None,
-                    s1[2] if s1[0] == "pq" else None,
-                    q_nrm[g], ids[uniq], codes[uniq],
-                    vec_rows=(
-                        None if nvq_c is not None
-                        else data_pdf["vec"].iloc[uniq].reset_index(drop=True)
-                    ),
-                    nvq=(
-                        (nvq_c,
-                         data_pdf["nvq"].iloc[uniq].reset_index(drop=True),
-                         data_pdf["nvq_params"].iloc[uniq].reset_index(drop=True))
-                        if nvq_c is not None else None
-                    ),
-                    bq=(s1[1][g], s1[2]) if s1[0] == "bq" else None,
-                    mask=mask,
-                    counters=tel_acc,
-                    residual=(
-                        (qc_part[sub], rsq[uniq]) if qc_part is not None else None
-                    ),
-                )
-                out.append(pd.DataFrame({"qid": oq, "id": oi, "score": osc}))
-            return pd.concat(out, ignore_index=True) if out else empty
-
-        data_cols = ["id", "codes"]  # hive part_id lives in the dir name
-        if use_nvq:
-            data_cols += ["nvq", "nvq_params"]
-        else:
-            data_cols += ["vec"]
-        if res_mode:
-            data_cols.append("rsq")
-        dirs = (
-            os.path.join(info["dir"], "data.parquet"),
-            os.path.join(_graph_dir(index, seg.name), "edges.parquet"),
-            tuple(data_cols),
-        )
         parts_df = index.spark.createDataFrame(
             [(int(p),) for p in probed], "part_id int"
         ).repartition(min(len(probed), 4096))
@@ -777,18 +882,117 @@ def graph_search(
             )
         )
     if not parts_out:
-        return index.spark.createDataFrame([], "qid long, id long, score double")
+        return None
     scanned = parts_out[0]
     for d in parts_out[1:]:
         scanned = scanned.unionByName(d)  # J6 multi-segment merge
-    if manifest.spill > 1:
-        scanned = scanned.dropDuplicates(["qid", "id"])  # U3 visited-set dedup
-    t = index.tombstones()
-    if t is not None:  # traversed-but-filtered (two-phase delete, F2)
-        scanned = scanned.join(t.select("id"), "id", "left_anti")
-    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
-    return (
-        scanned.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .orderBy("qid", "rank")
-    )
+    return scanned
+
+
+def _graph_search_distributed(
+    index, queries_df, met, k_ret, ef, n_probe,
+    query_id_col, query_vec_col, probe_ratio, beam_width,
+    use_nvq, data_cols, tel_acc,
+) -> DataFrame | None:
+    """Bulk graph route: query replicas shuffle to their probed
+    partitions (the ONLY exchange — Q x n_probe rows); each (partition,
+    query-group) task direct-reads its partition and runs the shared
+    traversal core, building stage-1 payloads per query chunk in-task.
+    Corpus bytes NEVER shuffle (vs the fused tile route's per-query-block
+    corpus replication)."""
+    manifest = index.manifest
+    packed = manifest.vec_format == "packed_f32"
+    parts_out = []
+    for seg in manifest.segments:
+        info = index._segments[seg.name]
+        pq = info["pq"]
+        res_mode = bool(info.get("residual"))
+        from jvector_spark.operators.quantize.bq import BinaryQuantizer
+
+        is_bq = isinstance(pq, BinaryQuantizer)
+        need_mags = met == "COSINE" and not res_mode and not is_bq
+        assigned = index._assign_probes(
+            queries_df, info, n_probe, query_id_col, query_vec_col,
+            metric=met, probe_ratio=probe_ratio,
+        )
+        cents = info["centroids"] if res_mode else None
+        b = index.spark.sparkContext.broadcast(
+            (pq, met, k_ret, ef, beam_width, use_nvq, manifest.dim,
+             res_mode, cents, need_mags, packed)
+        )
+        dirs = _seg_dirs(
+            index, seg.name, data_cols + (["rsq"] if res_mode else [])
+        )
+
+        def _make_bulk(b, tel_acc, dirs):
+            def bulk(key, qpdf: pd.DataFrame) -> pd.DataFrame:
+                (pq_, m_, kk, ef_, bw, unvq, dim, res_m, cents_, nm,
+                 pk) = b.value
+                part = int(key[0])
+                data_pdf, edge_pdf = _read_partition(dirs, part)
+                if data_pdf is None or len(qpdf) == 0:
+                    return _empty_result()
+                width = pq_.words if hasattr(pq_, "words") else pq_.m
+                is_bq_ = hasattr(pq_, "words")
+                mag_lut = None if is_bq_ else pq_.magnitude_lut()
+                pack = _decode_partition(
+                    data_pdf, edge_pdf, is_bq_, width, nm, mag_lut, res_m
+                )
+                if pack is None:
+                    return _empty_result()
+                nvq_c = None
+                if unvq:
+                    from jvector_spark.operators.quantize.nvq import NVQuantizer
+
+                    nvq_c = NVQuantizer(dim=dim)
+                q_ids = qpdf["qid"].to_numpy(dtype=np.int64)
+                if pk:
+                    qmat = np.frombuffer(
+                        b"".join(qpdf["vec"]), dtype=np.float32
+                    ).reshape(len(qpdf), dim).astype(np.float64)
+                else:
+                    qmat = kernels.as_matrix(qpdf["vec"])
+                qnrm = np.linalg.norm(qmat, axis=1)
+                qc_vec = (qmat @ cents_[part]) if res_m else None
+                # outer chunk bounds the per-chunk LUT footprint
+                # (Qc x m x 256 f32); the core chunks again on the
+                # visited bitmap
+                out = []
+                step = 8192
+                for lo in range(0, len(q_ids), step):
+                    hi = min(lo + step, len(q_ids))
+                    qm = qmat[lo:hi]
+                    if is_bq_:
+                        s1_sel = ("bq", pq_.encode_numpy(qm), pq_.dim,
+                                  pq_.words)
+                    else:
+                        luts = pq_.adc_lut_batch(
+                            qm, "DOT_PRODUCT" if res_m else m_
+                        ).astype(np.float32)
+                        s1_sel = ("pq", luts, mag_lut, pq_.m)
+                    r = _traverse_rerank(
+                        pack, m_, kk, ef_, bw,
+                        q_ids[lo:hi], qm, qnrm[lo:hi], s1_sel,
+                        qc_vec[lo:hi] if qc_vec is not None else None,
+                        nvq_c, tel_acc,
+                    )
+                    if len(r):
+                        out.append(r)
+                return (
+                    pd.concat(out, ignore_index=True) if out else _empty_result()
+                )
+
+            return bulk
+
+        parts_out.append(
+            assigned.groupby("part_id").applyInPandas(
+                _make_bulk(b, tel_acc, dirs),
+                schema="qid long, id long, score double",
+            )
+        )
+    if not parts_out:
+        return None
+    scanned = parts_out[0]
+    for d in parts_out[1:]:
+        scanned = scanned.unionByName(d)
+    return scanned

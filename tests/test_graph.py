@@ -310,3 +310,42 @@ def test_tune_graph_route(spark, graph_index):
     )
     with pytest.raises(ValueError, match="no graph"):
         bare.tune(route="graph", k=5)
+
+
+def test_graph_search_distributed_route_parity(spark, graph_index):
+    """The distributed (bulk) graph route returns IDENTICAL rows to the
+    broadcast route — same traversal core, same rerank kernel, the only
+    difference is where stage-1 payloads are computed."""
+    idx, corpus = graph_index
+    queries = corpus.filter(F.col("id") < 32).selectExpr("id as qid", "vec")
+    a = idx.search_graph(
+        queries, k=10, n_probe=4, ef_search=40, strategy="broadcast"
+    ).collect()
+    b = idx.search_graph(
+        queries, k=10, n_probe=4, ef_search=40, strategy="distributed"
+    ).collect()
+    ka = sorted((r["qid"], r["id"], round(r["score"], 12)) for r in a)
+    kb = sorted((r["qid"], r["id"], round(r["score"], 12)) for r in b)
+    assert ka == kb
+
+
+def test_graph_search_distributed_bulk(spark, sf_dir):
+    """Corpus-as-queries through the distributed graph route (residual
+    index): recall vs the exact self-join on a sampled slice."""
+    corpus = _corpus(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="jvs_graph_bulk_")
+    idx = IVFIndexBuilder(
+        metric="COSINE", pq_m=8, n_partitions=8, pq_residual=True
+    ).fit(corpus, tmp)
+    idx.build_graph(degree=16, ef_construction=32)
+    queries = corpus.selectExpr("id as qid", "vec")
+    res = idx.search_graph(
+        queries, k=5, n_probe=4, ef_search=40, strategy="distributed",
+        m_hint=1_000_000,  # force the bulk route regardless of size
+    )
+    sample = res.filter(F.col("qid") < 16).collect()
+    gt = exact.knn_join(
+        corpus, corpus.filter(F.col("id") < 16).selectExpr("id as qid", "vec"),
+        k=5, metric="COSINE", strategy="numpy",
+    ).collect()
+    assert _recall(sample, gt) >= 0.7
