@@ -664,7 +664,14 @@ def graph_search(
       ADC LUTs in-task. Compare the fused TILE route, which re-shuffles
       corpus code blocks once per query block: the graph bulk route moves
       no corpus bytes at all, so its exchange cost is independent of
-      corpus size — the shape that matters for bulk ANN at 100 TB.
+      corpus size. Measured honestly (1M x 64-d, 2000-row partitions,
+      local[32] loopback): the tile route's pure GEMMs win THIS shape
+      (~110-390 s vs 1153 s) — per-query traversal only pays off in bulk
+      when partitions are large and/or corpus blocks would cross a real
+      network; point-query batches and recall-per-IO are where the graph
+      route wins today (see the 1M probe numbers). The 4M-replica
+      exchange also wants a driver heap sized to the query side
+      (JVS_DRIVER_MEMORY=48g ran 1M clean; 16g crashed workers).
     - ``auto``: broadcast at or below the cap, else distributed.
 
     Tombstoned rows are traversed but filtered from results (two-phase
