@@ -1466,6 +1466,48 @@ FROM embeddings
 )
 
 
+@_register("hdf5_roundtrip")
+def _hdf5_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 under the driver oracle (ref DataSetLoader.java:29-49, the
+    ann-benchmarks HDF5 loader): embeddings -> a classic-format HDF5 file
+    written by the vendored pure-python writer -> read back through
+    ``read_hdf5`` (pure-python parser when h5py is absent, as in this
+    environment). The round trip is float32-lossless, so per-row norms and
+    leading elements hash-match the embeddings table. Driver-side staging
+    is the format's role (single-file benchmark artifact); everything
+    downstream is a regular distributed DataFrame."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from jvector_spark.functions.similarity import l2_norm
+    from jvector_spark.sources import read_hdf5
+    from jvector_spark.sources.hdf5_lite import write_hdf5
+
+    rows = _emb(spark, sf_dir).orderBy("vec_id").select("embedding").collect()
+    mat = np.stack([np.asarray(r["embedding"], dtype=np.float32) for r in rows])
+    tmp = os.path.join(tempfile.mkdtemp(prefix="jvs_entry_hdf5_"), "bench.hdf5")
+    write_hdf5(tmp, {"train": mat})
+    df = read_hdf5(spark, tmp, dataset="train")
+    return df.select(
+        F.col("id").alias("vec_id"),
+        F.round(l2_norm(F.col("vec")), 6).alias("norm"),
+        F.round(F.col("vec")[0].cast("double"), 6).alias("first_elem"),
+    )
+
+
+_oracle(
+    "hdf5_roundtrip",
+    """
+SELECT vec_id,
+       ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS norm,
+       ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_elem
+FROM embeddings
+""",
+)
+
+
 @_register("ordinal_renumber")
 def _ordinal_renumber(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5 ordinal projection (ref graph/disk/OrdinalMapper.java:30-114,

@@ -817,18 +817,85 @@ def main() -> None:
         ),
         3,
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "recall": recalls,
-                "sf": sf,
-            }
-        )
-    )
+
+    # The driver captures only the tail of stdout and parses the FINAL
+    # line as JSON (BENCH_r07.json: "parsed": null because the full
+    # timings+recalls blob outgrew the capture window — VERDICT r7 item
+    # 1).  So: write the FULL blob to a file, and print a COMPACT final
+    # line (<= ~1500 chars) carrying just the headline walls + recalls
+    # the judge compares against BASELINE.md.
+    full_blob = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "recall": recalls,
+        "sf": sf,
+    }
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    full_path = os.path.join(repo_dir, "BENCH_full.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump(full_blob, f, indent=1, sort_keys=True)
+    except OSError as e:  # pragma: no cover - read-only mount etc.
+        print(f"bench: could not write {full_path}: {e}", file=sys.stderr)
+        full_path = None
+
+    # Headline keys: the BASELINE.md comparison set + per-section flagship
+    # walls.  Anything absent in this run (smaller SF, section skipped) is
+    # simply omitted — the driver's parse must never depend on it.
+    HEADLINE_WALLS = [
+        "large_ivf_build_100k_d1024",
+        "large_search_d1024_64q",
+        "large_pq_encode_100k_d1024",
+        "large_ivf_build_100k",
+        "large_ivf_build_1m",
+        "large_bulk_topk_1m",
+        "large_compact_1m",
+        "large_dedup_exact_100k",
+        "large_graph_search_d1024_64q",
+        "knn_topk_cosine",
+        "ann_ivf_fine",
+        "dedup_minhash_lsh",
+        "dedup_spans",
+        "stream_neardup_4batches",
+    ]
+    HEADLINE_RECALLS = [
+        "large_index_mb_100k_d1024",
+        "large_index_mb_100k_d1024_spill1",
+        "large_recall@10_d1024_64q",
+        "large_recall@100_k100_m16_np16_npf32_oq1",
+        "large_recall@100_k100_m16_np16_npf32_oq2",
+        "large_bulk_recall@10_1m",
+        "large_graph_recall@10_d1024_64q",
+        "large_pq_encode_mb",
+        "large_spill_resolved_d1024",
+        "stream_neardup_rows_per_s",
+    ]
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: timings[k] for k in HEADLINE_WALLS if k in timings},
+        "recall": {k: recalls[k] for k in HEADLINE_RECALLS if k in recalls},
+        "sf": sf,
+        "full": full_path,
+        "n_entries": len(timings) + len(recalls),
+    }
+    line = json.dumps(compact)
+    if len(line) > 1800:  # hard guard: never outgrow the capture window
+        compact["queries"] = {
+            k: compact["queries"][k]
+            for k in HEADLINE_WALLS[:8]
+            if k in compact["queries"]
+        }
+        compact["recall"] = {
+            k: compact["recall"][k]
+            for k in HEADLINE_RECALLS[:6]
+            if k in compact["recall"]
+        }
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -524,7 +524,16 @@ def _decode_partition(
     )
     deg_max = int(lens.max(initial=0))
     nbr_mat = np.full((n_local, max(deg_max, 1)), -1, dtype=np.int64)
-    if lens.sum() and len(nbr_lists) == n_local:
+    if len(nbr_lists) != n_local:
+        # an out-of-sync edges file would silently degrade traversal to an
+        # entry-only beam (near-zero recall) — fail loudly instead (r7
+        # ADVICE): this is index corruption, not a search-time condition
+        raise ValueError(
+            f"graph edges/data row-count mismatch: {len(nbr_lists)} edge "
+            f"rows vs {n_local} data rows — the graph is out of sync with "
+            "its segment (rebuild with build_graph())"
+        )
+    if lens.sum():
         flat = np.concatenate(
             [np.asarray(a, dtype=np.int64) for a in nbr_lists if len(a)]
         )
@@ -625,6 +634,7 @@ def _traverse_rerank(
             mask=mask,
             counters=tel_acc,
             residual=(qc_vec[sub], rsq[uniq]) if qc_vec is not None else None,
+            strict_mask=True,  # results come ONLY from this query's beam
         )
         out.append(pd.DataFrame({"qid": oq, "id": oi, "score": osc}))
     return pd.concat(out, ignore_index=True) if out else _empty_result()
@@ -702,6 +712,11 @@ def graph_search(
         )
     if probe_ratio is not None and probe_ratio < 1:
         raise ValueError(f"probe_ratio must be >= 1 (got {probe_ratio})")
+    if ef_search is not None and ef_search < k:
+        # a beam narrower than k would silently under-fill every
+        # partition's contribution (k_ret = min(ef, ...)) — fail loudly,
+        # mirroring the probe_ratio validation (r7 ADVICE)
+        raise ValueError(f"ef_search ({ef_search}) must be >= k ({k})")
     ef = int(ef_search or max(2 * k, round(overquery * k)))
     rerank_k = max(k, int(round(overquery * k)))
     k_ret = min(ef, max(k, rerank_k))  # per-partition rows (liveness refill)

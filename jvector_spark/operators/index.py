@@ -196,6 +196,7 @@ def _fused_block_topk(
     mask=None,
     counters=None,
     residual=None,
+    strict_mask: bool = False,
 ):
     """Fused two-phase scoring of one (query block × row block).
 
@@ -215,6 +216,16 @@ def _fused_block_topk(
     -inf in phase 1 — they only re-enter as candidates when a query's own
     cells hold fewer than ``rerank_k`` rows (graceful refill; the exact
     phase-2 scores keep any refilled candidate correct).
+
+    ``strict_mask``: disable the graceful refill — a query returns ONLY
+    rows its mask admits (per-query k = mask population when smaller than
+    ``rerank_k``). The graph-traversal route uses this so a query's
+    results come exclusively from ITS beam: with refill, chunk
+    composition (qc_chunk boundaries, shuffle order) could leak other
+    queries' beam members into an under-filled query's top-k, breaking
+    the documented bit-identical broadcast/distributed parity (r7 ADVICE,
+    graph.py refill note). The IVF fine-cell route keeps refill — its
+    cells are a recall lever, not a visited-set contract.
 
     Shared by the broadcast-query scan and the distributed tile join so
     both routes score identically. Returns (qid, id, score) arrays.
@@ -300,6 +311,11 @@ def _fused_block_topk(
     if mask is not None:
         approx = np.where(mask, approx, approx.dtype.type(-np.inf))
     cand_idx, _ = kernels.topk_per_row(approx, rerank_k, ids=ids)
+    strict = mask is not None and strict_mask
+    if strict:
+        # (n_q, r_w) bool: which selected candidates the query's own mask
+        # admits — refilled (out-of-mask) slots get dropped after rerank
+        valid_all = np.take_along_axis(mask, cand_idx, axis=1)
     uniq = np.unique(cand_idx.ravel())
     if stages is not None:
         now = time.perf_counter()
@@ -356,11 +372,18 @@ def _fused_block_topk(
         perm = np.argsort(cids, axis=1, kind="stable")
         cids = np.take_along_axis(cids, perm, axis=1)
         exact = np.take_along_axis(exact, perm, axis=1)
+        if strict:
+            v = np.take_along_axis(valid_all[lo:hi], perm, axis=1)
+            exact = np.where(v, exact, -np.inf)
         order = np.argsort(-exact, axis=1, kind="stable")[:, :top]
         out_i[lo:hi] = np.take_along_axis(cids, order, axis=1)
         out_s[lo:hi] = np.take_along_axis(exact, order, axis=1)
     if stages is not None:
         stages["rerank"].add(int((time.perf_counter() - t_mark) * 1e6))
+    if strict:
+        flat_s = out_s.ravel()
+        keep = np.isfinite(flat_s)
+        return out_q[keep], out_i.ravel()[keep], flat_s[keep]
     return out_q, out_i.ravel(), out_s.ravel()
 
 
@@ -2769,11 +2792,17 @@ class IVFIndex:
         from jvector_spark.operators.graph import graph_meta
 
         src_graphs = [graph_meta(self, s) for s in sel]
-        rebuild_graph = (
-            src_graphs[0]
-            if src_graphs and all(g is not None for g in src_graphs)
-            else None
-        )
+        # deterministic parameter policy when merged segments were built
+        # with DIFFERENT graph knobs (r7 ADVICE: "first segment wins" was
+        # arbitrary): take the max of each — the merged segment is at
+        # least as large as any source, so the most generous reach/degree
+        # among the sources is the safe choice, and max() is order-free.
+        rebuild_graph = None
+        if src_graphs and all(g is not None for g in src_graphs):
+            rebuild_graph = {
+                key: max(g[key] for g in src_graphs)
+                for key in ("degree", "alpha", "overflow", "ef_construction")
+            }
         builder = IVFIndexBuilder(
             metric=self.manifest.metric,
             n_partitions=self.manifest.n_partitions,

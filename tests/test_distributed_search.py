@@ -65,7 +65,27 @@ def test_search_auto_routes_over_cap_exact_parity(spark, big_setup):
     g = [(r["qid"], r["rank"], r["id"], round(r["score"], 9)) for r in got.collect()]
     w = [(r["qid"], r["rank"], r["id"], round(r["score"], 9)) for r in want.collect()]
     assert len(g) == n * k
-    assert sorted(g) == sorted(w)
+    # The two routes compute fp64 scores with different summation orders
+    # (einsum tile vs blocked matmul), so two candidates whose TRUE scores
+    # differ by <1 ulp-ish can swap across the rank-k boundary — both
+    # orderings are exact under the documented contract. Allow orphan rows
+    # only in matched near-tie pairs (same qid, scores within 1e-8).
+    gset, wset = set(g), set(w)
+    only_g = sorted(gset - wset)
+    only_w = sorted(wset - gset)
+    from collections import defaultdict
+
+    og, ow = defaultdict(list), defaultdict(list)
+    for q, r_, i, s in only_g:
+        og[q].append(s)
+    for q, r_, i, s in only_w:
+        ow[q].append(s)
+    assert set(og) == set(ow), f"unmatched qids: {set(og) ^ set(ow)}"
+    for q in og:
+        a, b = sorted(og[q]), sorted(ow[q])
+        assert len(a) == len(b) and all(
+            abs(x - y) <= 1e-8 for x, y in zip(a, b)
+        ), f"qid {q}: non-tie divergence {a} vs {b}"
 
 
 def test_search_distributed_matches_broadcast(spark, big_setup):

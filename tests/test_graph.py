@@ -329,6 +329,47 @@ def test_graph_search_distributed_route_parity(spark, graph_index):
     assert ka == kb
 
 
+def test_graph_search_route_parity_tiny_partitions(spark, rng):
+    """Route parity where refill WOULD have engaged (r7 ADVICE): many
+    partitions each far smaller than ef_search, so every query's beam
+    holds fewer than rerank_k members. strict_mask restricts each query's
+    candidates to ITS OWN beam, so chunk composition (which differs
+    between routes) can no longer leak other queries' beam members in —
+    the two routes must return bit-identical rows."""
+    n, dim = 400, 8
+    mat = rng.normal(size=(n, dim))
+    corpus = spark.createDataFrame(
+        [(int(i), [float(x) for x in mat[i]]) for i in range(n)],
+        "id long, vec array<float>",
+    )
+    tmp = tempfile.mkdtemp(prefix="jvs_graph_tinyp_")
+    # 32 partitions of ~12 rows each << ef_search=64
+    idx = IVFIndexBuilder(metric="COSINE", pq_m=4, n_partitions=32).fit(
+        corpus, tmp
+    )
+    idx.build_graph(degree=8, ef_construction=16)
+    queries = corpus.filter(F.col("id") < 48).selectExpr("id as qid", "vec")
+    a = idx.search_graph(
+        queries, k=10, n_probe=6, ef_search=64, strategy="broadcast"
+    ).collect()
+    b = idx.search_graph(
+        queries, k=10, n_probe=6, ef_search=64, strategy="distributed"
+    ).collect()
+    ka = sorted((r["qid"], r["id"], round(r["score"], 12)) for r in a)
+    kb = sorted((r["qid"], r["id"], round(r["score"], 12)) for r in b)
+    assert ka == kb
+    assert len(ka) > 0
+
+
+def test_graph_search_ef_below_k_raises(spark, graph_index):
+    """ef_search < k would silently under-fill per-partition contributions
+    (r7 ADVICE) — must raise like the probe_ratio validation does."""
+    idx, corpus = graph_index
+    queries = corpus.filter(F.col("id") < 4).selectExpr("id as qid", "vec")
+    with pytest.raises(ValueError, match="ef_search"):
+        idx.search_graph(queries, k=10, ef_search=5)
+
+
 def test_graph_search_distributed_bulk(spark, sf_dir):
     """Corpus-as-queries through the distributed graph route (residual
     index): recall vs the exact self-join on a sampled slice."""

@@ -80,20 +80,72 @@ def test_mfd_catalog_union(spark, tmp_path, rng):
     assert set(range(20)) <= ids and {1000 + i for i in range(10)} <= ids
 
 
-def test_hdf5_gated_without_h5py(spark, tmp_path):
-    """S3 HDF5: raises the documented NotImplementedError when h5py is
-    absent (this container), instead of failing obscurely."""
+def test_hdf5_lite_roundtrip_all_dtypes(tmp_path, rng):
+    """S3 HDF5 (ref DataSetLoader.java:29-49): the vendored pure-python
+    classic-format writer/reader round-trips every ann-benchmarks dtype
+    bit-exactly (train/test f32, neighbors i32, distances f64, plus 1-D
+    and i64)."""
+    import numpy as np
+
+    from jvector_spark.sources.hdf5_lite import (
+        list_hdf5,
+        read_hdf5_dataset,
+        write_hdf5,
+    )
+
+    sets = {
+        "train": rng.normal(size=(500, 24)).astype(np.float32),
+        "test": rng.normal(size=(20, 24)).astype(np.float32),
+        "neighbors": rng.integers(0, 500, size=(20, 10)).astype(np.int32),
+        "distances": rng.random(size=(20, 10)).astype(np.float64),
+        "ids": np.arange(33, dtype=np.int64),
+    }
+    p = str(tmp_path / "bench.hdf5")
+    write_hdf5(p, sets)
+    assert list_hdf5(p) == {k: v.shape for k, v in sets.items()}
+    for nm, ref in sets.items():
+        got = read_hdf5_dataset(p, nm)
+        assert got.dtype == ref.dtype and got.shape == ref.shape
+        assert np.array_equal(got, ref)
+
+
+def test_hdf5_lite_unsupported_raises(tmp_path):
+    """Out-of-scope files fail loudly with the conversion path named."""
     import pytest as _pytest
 
-    from jvector_spark.sources import read_hdf5
+    from jvector_spark.sources.hdf5_lite import read_hdf5_dataset
 
-    try:
-        import h5py  # noqa: F401
-        _pytest.skip("h5py present; gating path not applicable")
-    except ImportError:
-        pass
-    with _pytest.raises(NotImplementedError, match="h5py"):
-        read_hdf5(spark, str(tmp_path / "x.hdf5"))
+    bad = tmp_path / "not.hdf5"
+    bad.write_bytes(b"not an hdf5 file at all______")
+    with _pytest.raises(ValueError, match="signature"):
+        read_hdf5_dataset(str(bad), "train")
+    # v2 superblock: signature + version byte 2
+    v2 = tmp_path / "v2.hdf5"
+    v2.write_bytes(b"\x89HDF\r\n\x1a\n\x02" + b"\x00" * 64)
+    with _pytest.raises(NotImplementedError, match="superblock"):
+        read_hdf5_dataset(str(v2), "train")
+
+
+def test_read_hdf5_dataframe(spark, tmp_path, rng):
+    """S3 end-to-end: read_hdf5 -> (id, vec) DataFrame with row-index ids,
+    float32-lossless values, and int datasets typed as int arrays."""
+    import numpy as np
+
+    from jvector_spark.sources import read_hdf5
+    from jvector_spark.sources.hdf5_lite import write_hdf5
+
+    train = rng.normal(size=(200, 16)).astype(np.float32)
+    nbrs = rng.integers(0, 200, size=(8, 5)).astype(np.int32)
+    p = str(tmp_path / "ds.hdf5")
+    write_hdf5(p, {"train": train, "neighbors": nbrs})
+    df = read_hdf5(spark, p, dataset="train", id_offset=100)
+    rows = {r["id"]: r["vec"] for r in df.collect()}
+    assert sorted(rows) == list(range(100, 300))
+    got = np.array([rows[100 + i] for i in range(200)], dtype=np.float32)
+    assert np.array_equal(got, train)
+    ndf = read_hdf5(spark, p, dataset="neighbors")
+    assert ndf.schema["vec"].dataType.simpleString() == "array<int>"
+    assert ndf.count() == 8
 
 
 # ---------------------------------------------------------------------------
