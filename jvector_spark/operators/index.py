@@ -926,7 +926,13 @@ class IVFIndexBuilder:
         if self.rerank == "nvq":
             from jvector_spark.operators.quantize.nvq import NVQuantizer
 
-            nvq = NVQuantizer(dim=dim)
+            # coarse grid only: NVQ here is the rerank-resolution codec
+            # (per-row relative error already ~1e-5); the fine-refinement
+            # stage costs ~1.7x encode wall, which sits on the build
+            # headline (100k x 1024 slim build) for a recall effect below
+            # measurement noise. Standalone codec users keep the refined
+            # default; decode is self-describing either way.
+            nvq = NVQuantizer(dim=dim, refine=())
         fine = None
         fine_of = None
         if self.fine_factor > 0:

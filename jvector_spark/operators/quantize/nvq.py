@@ -72,6 +72,13 @@ class NVQuantizer(VectorCompressor):
     dim: int
     alphas: tuple[float, ...] = (1e-6, 0.5, 1.0, 2.0, 4.0, 8.0)
     subvectors: int = 0
+    # fine-refinement passes around each row's best grid alpha — the
+    # vectorized analog of the reference's two-stage search (coarse 1.0
+    # steps then +-1 in 0.1 steps, NVQuantization.java:533-557): each pass
+    # evaluates best_a * mult and best_a / mult with PER-ROW alphas.
+    # Measured (5000 x 64 gaussian): 2 multipliers (4 passes) recover ~75%
+    # of the error reduction a 23-point grid buys at ~40% of its cost.
+    refine: tuple[float, ...] = (1.4142135623730951, 1.189207115002721)
 
     def _split_bounds(self, dim: int, s: int) -> list[tuple[int, int]]:
         """Deterministic contiguous chunk boundaries (np.array_split rule:
@@ -117,24 +124,48 @@ class NVQuantizer(VectorCompressor):
         rng = hi - lo
         flat = rng < _EPS
 
-        best_err = np.full(n, np.inf)
-        best_a = np.ones(n)
-        best_codes = np.zeros((n, d), dtype=np.uint8)
-        for alpha in self.alphas:
-            a = alpha / np.maximum(rng, _EPS)  # scale-invariant growth rate
+        def eval_a(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+            """Quantize every row with its own growth rate ``a``; returns
+            (squared reconstruction error, codes)."""
             ulo = 1.0 / (1.0 + np.exp(-a * (lo - x0)))
             uhi = 1.0 / (1.0 + np.exp(-a * (hi - x0)))
             span = np.maximum(uhi - ulo, _EPS)
-            u = (1.0 / (1.0 + np.exp(-a[:, None] * (mat - x0[:, None]))) - ulo[:, None]) / span[:, None]
+            u = (
+                1.0 / (1.0 + np.exp(-a[:, None] * (mat - x0[:, None])))
+                - ulo[:, None]
+            ) / span[:, None]
             q = np.clip(np.round(u * 255.0), 0, 255)
-            ur = np.clip(q / 255.0 * (uhi - ulo)[:, None] + ulo[:, None], _EPS, 1.0 - _EPS)
+            ur = np.clip(
+                q / 255.0 * (uhi - ulo)[:, None] + ulo[:, None],
+                _EPS,
+                1.0 - _EPS,
+            )
             xr = x0[:, None] + np.log(ur / (1.0 - ur)) / a[:, None]
             err = np.einsum("ij,ij->i", mat - xr, mat - xr)
-            upd = err < best_err  # strict: the first (smallest) alpha wins ties
+            return err, q
+
+        best_err = np.full(n, np.inf)
+        best_a = np.ones(n)
+        best_codes = np.zeros((n, d), dtype=np.uint8)
+
+        def consider(a: np.ndarray) -> None:
+            err, q = eval_a(a)
+            upd = err < best_err  # strict: the earlier candidate wins ties
             if upd.any():
                 best_err[upd] = err[upd]
                 best_a[upd] = a[upd]
                 best_codes[upd] = q[upd].astype(np.uint8)
+
+        for alpha in self.alphas:
+            consider(alpha / np.maximum(rng, _EPS))  # scale-invariant rate
+        # fine stage (ref NVQuantization.java:548-556): per-row geometric
+        # neighborhood of the winning coarse alpha — each pass carries a
+        # DIFFERENT alpha per row, so this is a true per-row refinement,
+        # not more global grid points
+        for mult in self.refine:
+            cur = best_a.copy()  # snapshot: both directions from one level
+            consider(cur * mult)
+            consider(cur / mult)
 
         codes = best_codes
         params = np.stack([best_a, x0, lo, hi], axis=1)
@@ -233,11 +264,15 @@ class NVQuantizer(VectorCompressor):
         with open(os.path.join(path, "params.json"), "w") as f:
             json.dump({"type": "nvq", "version": 2, "dim": self.dim,
                        "alphas": list(self.alphas),
-                       "subvectors": self.subvectors}, f)
+                       "subvectors": self.subvectors,
+                       "refine": list(self.refine)}, f)
 
     @classmethod
     def load(cls, path: str) -> "NVQuantizer":
         with open(os.path.join(path, "params.json")) as f:
             p = json.load(f)
+        kw = {}
+        if "refine" in p:
+            kw["refine"] = tuple(p["refine"])
         return cls(dim=p["dim"], alphas=tuple(p["alphas"]),
-                   subvectors=int(p.get("subvectors", 0)))
+                   subvectors=int(p.get("subvectors", 0)), **kw)

@@ -158,6 +158,84 @@ def test_nvq_roundtrip_dataframe(spark, rng):
 
 
 # ---------------------------------------------------------------------------
+# Reconstruction-error tolerance bands — a direct port of the reference's
+# TestReconstructionError.java:54-106 ``compareErrors``: train a codec,
+# compute per-row reconstruction errors on the TRAIN sample and on an
+# INDEPENDENT held-out sample, and pin that the error distribution
+# generalizes — avg2/avg1 within toleranceAvg of 1, var2/var1 within
+# toleranceSTD of 1.  Reference bands (dim=32, random vectors):
+#   PQ  (m=8, 256 clusters, centered):  n=1000 -> (1.15, 2.5);  n=10000 -> (0.14, 0.29)
+#   BQ:                                 n=1000 -> (0.05, 0.25); n=10000 -> (0.008, 0.09)
+#   NVQ (2 subvectors):                 n=1000 -> (4e-2, 0.25); n=10000 -> (1e-2, 0.08)
+# (The reference's NVQ case at :88-90 delegates to the BQ runner — a
+# reference-side slip — so the NVQ bands above are the ones its test
+# declares for NVQ; we run them against the actual NVQ codec, which is
+# the stricter reading.)
+# ---------------------------------------------------------------------------
+
+
+def _reconstruction_errors_pq(pq, mat):
+    rec = pq.decode_numpy(pq.encode_numpy(mat))
+    d = mat - rec
+    return np.einsum("ij,ij->i", d, d)
+
+
+def _band_check(err1, err2, tol_avg, tol_var):
+    avg1, avg2 = float(np.mean(err1)), float(np.mean(err2))
+    var1 = float(np.mean((err1 - avg1) ** 2))
+    var2 = float(np.mean((err2 - avg2) ** 2))
+    assert abs(avg2 / avg1 - 1.0) <= tol_avg, (avg1, avg2, tol_avg)
+    assert abs(var2 / var1 - 1.0) <= tol_var, (var1, var2, tol_var)
+
+
+@pytest.mark.parametrize("n,tol_avg,tol_var", [(1000, 1.15, 2.5), (10000, 0.14, 0.29)])
+def test_reconstruction_band_pq(rng, n, tol_avg, tol_var):
+    dim = 32
+    s1 = rng.uniform(-1, 1, size=(n, dim))
+    s2 = rng.uniform(-1, 1, size=(n, dim))
+    pq = ProductQuantizer.fit_numpy(s1, m=8, clusters=256, center=True)
+    _band_check(_reconstruction_errors_pq(pq, s1), _reconstruction_errors_pq(pq, s2), tol_avg, tol_var)
+
+
+@pytest.mark.parametrize("n,tol_avg,tol_var", [(1000, 0.05, 0.25), (10000, 0.008, 0.09)])
+def test_reconstruction_band_bq(rng, n, tol_avg, tol_var):
+    """BQ has no reconstruction in our codec (sign bits only), matching the
+    reference's BinaryQuantization whose 'reconstruction' is the sign
+    vector; its error for a row is the distance to the +-1 pattern."""
+    dim = 32
+    s1 = rng.uniform(-1, 1, size=(n, dim))
+    s2 = rng.uniform(-1, 1, size=(n, dim))
+    bq = BinaryQuantizer(dim=dim)
+    w1 = bq.encode_numpy(s1)
+    w2 = bq.encode_numpy(s2)
+
+    def errs(words, mat):
+        bits = np.unpackbits(
+            words.view(np.uint8).reshape(len(mat), -1), axis=1, bitorder="little"
+        )[:, :dim].astype(np.float64)
+        rec = bits * 2.0 - 1.0
+        d = mat - rec
+        return np.einsum("ij,ij->i", d, d)
+
+    _band_check(errs(w1, s1), errs(w2, s2), tol_avg, tol_var)
+
+
+@pytest.mark.parametrize("n,tol_avg,tol_var", [(1000, 4e-2, 0.25), (10000, 1e-2, 0.08)])
+def test_reconstruction_band_nvq(rng, n, tol_avg, tol_var):
+    dim = 32
+    s1 = rng.uniform(-1, 1, size=(n, dim))
+    s2 = rng.uniform(-1, 1, size=(n, dim))
+    nvq = NVQuantizer(dim=dim, subvectors=2)
+
+    def errs(mat):
+        codes, params = nvq.encode_numpy(mat)
+        d = mat - nvq.decode_numpy(codes, params)
+        return np.einsum("ij,ij->i", d, d)
+
+    _band_check(errs(s1), errs(s2), tol_avg, tol_var)
+
+
+# ---------------------------------------------------------------------------
 # Anisotropic k-means (SURVEY §2.5 A3; KMeansPlusPlusClusterer.java:140-147)
 # ---------------------------------------------------------------------------
 
@@ -225,7 +303,7 @@ def test_nvq_vectorized_encode_matches_scalar_reference():
 
     r = np.random.default_rng(7)
     mat = np.vstack([r.normal(size=(40, 24)), np.full((2, 24), 0.37)])  # incl. flat rows
-    codec = NVQuantizer(dim=24)
+    codec = NVQuantizer(dim=24, refine=())  # coarse stage only, like the replay
     codes, params = codec.encode_numpy(mat)
     for i in range(len(mat)):
         x = mat[i]
@@ -249,6 +327,10 @@ def test_nvq_vectorized_encode_matches_scalar_reference():
                 best = (err, a, q)
         np.testing.assert_array_equal(codes[i], best[2].astype(np.uint8))
         assert params[i, 0] == pytest.approx(best[1], rel=1e-12)
+    # the fine stage (per-row geometric refinement around the coarse
+    # winner, ref NVQuantization.java:548-556) may only IMPROVE error
+    refined = NVQuantizer(dim=24)
+    assert refined.reconstruction_error(mat) <= codec.reconstruction_error(mat) + 1e-15
 
 
 def test_nvq_encode_is_fast(corpus):
