@@ -1241,6 +1241,47 @@ def _ann_ivf_pqm_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 _oracle("ann_ivf_pqm_auto", _gate_oracle(n_results=10))
 
 
+@_register("ann_ivf_spill_auto")
+def _ann_ivf_spill_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spill='auto' end-to-end (r7 VERDICT item 7): the builder resolves
+    the multi-assignment factor from the stored per-copy payload (heavy
+    copies -> spill=1, bigger probe budget is the cheaper recall lever;
+    light copies -> spill=2 boundary insurance), records the int in the
+    manifest, and the search is recall-gated like ann_ivf_topk. The 64-d
+    fixtures' fp32 copies are light, so the row asserts the resolution is
+    2 AND that a slim high-dim config would resolve 1 (pure resolution
+    check, no second build)."""
+    import tempfile
+
+    from jvector_spark.operators import exact
+    from jvector_spark.operators.index import IVFIndexBuilder
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    tmp = tempfile.mkdtemp(prefix="jvs_entry_spill_")
+    idx = IVFIndexBuilder(metric="COSINE", pq_m=8, spill="auto").fit(corpus, tmp)
+    assert idx.manifest.spill == 2, idx.manifest.spill  # d=64 fp32 = light
+    # resolution-rule check for the heavy-copy regime (no build needed)
+    import numpy as np
+
+    from jvector_spark.operators.quantize.pq import ProductQuantizer
+
+    hi = IVFIndexBuilder(
+        metric="COSINE", pq_m=8, spill="auto", rerank="nvq", store_fp32="none"
+    )
+    pq_stub = ProductQuantizer(
+        codebooks=np.zeros((8, 2, 128)), global_centroid=None, dim=1024
+    )
+    assert hi._resolve_spill(1024, pq_stub, object()) == 1
+    queries = corpus.filter(F.col("id") < 16).selectExpr("id as qid", "vec")
+    res = idx.search(queries, k=10, n_probe=16, overquery=8.0)
+    gt = exact.knn_join(corpus, queries, k=10, metric="COSINE", strategy="numpy")
+    return _recall_gate(res, gt, min_hits=5)
+
+
+_oracle("ann_ivf_spill_auto", _gate_oracle(n_results=10))
+
+
 @_register("ann_ivf_adaptive")
 def _ann_ivf_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive probing end-to-end (r7): probe_ratio caps probe depth by
@@ -2072,30 +2113,24 @@ _oracle("events_sessionize", _events_sessionize_oracle())
 # most stable operators) go last and absorb the cap. New rows added in a
 # round belong in _GATE_FIRST until they have a green driver row.
 _GATE_FIRST = [
-    # never driver-checked before r7
-    "ann_ivf_graph",  # new in r7 (per-partition Vamana traversal, M3/M4)
-    "ann_ivf_slim",  # new in r7 (store_fp32='none' slim index)
-    "ann_ivf_pqm_auto",  # new in r7 (pq_m='auto' resolution)
-    "ann_ivf_adaptive",  # new in r7 (probe_ratio + npf_per_probe)
-    "split_by_key",  # new in r7
-    "shuffle_corpus",  # new in r7
-    "pack_sequences",
-    "mixture_weights",
-    "redact_pii",
-    # unchecked in r6 (r5-green only)
-    "decontaminate",
-    "dedup_clusters",
-    "sample_stratified",
-    "pipeline_clean_corpus",
-    "multimodal_features",
-    "events_rollup",
-    "events_sessionize",
+    # new in r8 — no driver row yet
+    "hdf5_roundtrip",  # S3 pure-python HDF5 source (closes the last §2.1 partial)
+    "ann_ivf_spill_auto",  # spill='auto' payload-driven resolution
+    # r7-new rows keep one more in-window round (1 green row each)
+    "ann_ivf_graph",
+    "ann_ivf_slim",
+    "ann_ivf_pqm_auto",
+    "ann_ivf_adaptive",
+    "split_by_key",
+    "shuffle_corpus",
 ]
 # multi-round-green stable rows rotated out of the 50-row window this
 # round (every one has >= 2 green driver rows + a pytest twin; the
-# registry holds 66 rows, so 16 rotate out — all listed explicitly here
-# so the cut is deliberate, not insertion-order accident)
+# registry holds 68 rows as of r8, so 18 rotate out — all listed
+# explicitly here so the cut is deliberate, not insertion-order accident)
 _GATE_LAST = [
+    "doc_fingerprint",  # green r3-r7; pytest twin in test_pipeline
+    "text_token_count",  # green r3-r7; pytest twin in test_pipeline
     "knn_join",  # 6 green rounds (knn_join_wide's sibling; test_exact twin)
     "knn_topk_cosine",  # 6 green rounds; entry() still smoke-runs it
     "vector_centroids",  # 6 green rounds

@@ -742,7 +742,37 @@ class IVFIndexBuilder:
         # n_probe buying further recall (0.7862 @ np12). Keep spill=2
         # when probe budgets are tight and storage is cheap; choose
         # spill=1 (or the graph route) when index bytes dominate.
-        self.spill = max(1, int(spill))
+        # spill="auto" resolves that trade at fit() time from the stored
+        # per-copy payload (see _resolve_spill); the manifest records the
+        # resolved int so append/compact inherit the decision — the same
+        # contract as pq_m="auto".
+        if spill != "auto" and (not isinstance(spill, int) or spill < 1):
+            raise ValueError(f"spill must be a positive int or 'auto', got {spill!r}")
+        self.spill = spill if spill == "auto" else max(1, int(spill))
+
+    def _resolve_spill(self, dim: int, pq, nvq) -> int:
+        """Resolve spill="auto" from the per-copy stored payload.
+
+        The rule the r7 measurements support (100k x 1024 published-size
+        shape vs the d=64 fixtures): when a stored copy is HEAVY (>= 512
+        bytes/row — high-dim payloads, storage-dominant regime), double
+        assignment buys its recall at too high a byte price and a bigger
+        probe budget is the cheaper lever (measured: slim d=1024 spill=1 =
+        138.6 MB = 1.19x the reference's 115.99 MB at equal recall@10 via
+        np12, vs spill=2's 255.2 MB = 2.2x); when copies are light (d=64:
+        ~72-320 B), spill=2 is cheap boundary-vector insurance and stays
+        the default. Explicit ints always win."""
+        if self.spill != "auto":
+            return self.spill
+        from jvector_spark.operators.quantize.pq import ProductQuantizer
+
+        per_copy = (
+            (0 if self.store_fp32 == "none" else 4 * dim)
+            + (dim + 64 if nvq is not None else 0)  # NVQ bytes + params
+            + (pq.m if isinstance(pq, ProductQuantizer) else pq.words * 8)
+            + 24
+        )
+        return 1 if per_copy >= 512 else 2
 
     def fit(
         self,
@@ -966,7 +996,8 @@ class IVFIndexBuilder:
         acc = spark.sparkContext.accumulator({}, _PartStatsParam())
         cnt_acc = spark.sparkContext.accumulator({}, _TaskPartCountParam())
 
-        spill = max(1, min(self.spill, len(centroids)))
+        spill_resolved = self._resolve_spill(dim, pq, nvq)
+        spill = max(1, min(spill_resolved, len(centroids)))
         fa_cells = max(spill, self.fine_assign_cells)
         packed = self.vec_format == "packed_f32"
         slim = self.store_fp32 == "none"  # no fp32 column written at all
@@ -1213,7 +1244,7 @@ class IVFIndexBuilder:
                     else (self.pq_m if isinstance(self.pq_m, int) else _pqm_auto_start(dim))
                 ),
                 pq_clusters=self.pq_clusters, n_partitions=self.n_partitions,
-                spill=self.spill, rerank=self.rerank, fine_factor=self.fine_factor,
+                spill=spill_resolved, rerank=self.rerank, fine_factor=self.fine_factor,
                 first_pass=self.first_pass,
                 anisotropic_threshold=self.anisotropic_threshold,
                 pq_residual=residual,

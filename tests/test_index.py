@@ -908,6 +908,50 @@ def test_pq_m_auto_resolves_and_persists(spark, corpus_df, queries_df, tmp_path_
         IVFIndexBuilder(pq_m="sixteen")
 
 
+def test_spill_auto_resolves_and_persists(spark, corpus_df, queries_df, tmp_path_factory):
+    """spill='auto' resolves the multi-assignment factor from the stored
+    per-copy payload (heavy copies -> 1, light -> 2), records the int in
+    the manifest, and matches an explicit build at the resolved value
+    exactly (same seeds -> same assignment)."""
+    df, _ = corpus_df
+    p_auto = str(tmp_path_factory.mktemp("ivf_sauto") / "index")
+    idx = IVFIndexBuilder(
+        metric="COSINE", n_partitions=16, pq_m=4, spill="auto"
+    ).fit(df, p_auto)
+    # d=32 fp32 copies are light (~160 B) -> 2
+    assert idx.manifest.spill == 2
+    p_exp = str(tmp_path_factory.mktemp("ivf_sexp") / "index")
+    idx_e = IVFIndexBuilder(
+        metric="COSINE", n_partitions=16, pq_m=4, spill=2
+    ).fit(df, p_exp)
+
+    def rows(d):
+        return sorted(
+            (r["qid"], r["rank"], r["id"], round(r["score"], 9))
+            for r in d.collect()
+        )
+
+    a = rows(idx.search(queries_df, K, n_probe=8, overquery=4.0))
+    assert a == rows(idx_e.search(queries_df, K, n_probe=8, overquery=4.0))
+    # heavy-copy regime resolves 1 (rule check — no high-dim build needed)
+    import numpy as np
+
+    from jvector_spark.operators.quantize.pq import ProductQuantizer
+
+    hi = IVFIndexBuilder(
+        metric="COSINE", pq_m=8, spill="auto", rerank="nvq", store_fp32="none"
+    )
+    pq_stub = ProductQuantizer(
+        codebooks=np.zeros((8, 2, 128)), global_centroid=None, dim=1024
+    )
+    assert hi._resolve_spill(1024, pq_stub, object()) == 1
+    # append inherits the resolved int (manifest-driven builder)
+    idx.append(df.selectExpr("id + 10000 as id", "vec"))
+    assert idx.manifest.spill == 2
+    with pytest.raises(ValueError, match="spill"):
+        IVFIndexBuilder(spill="two")
+
+
 def test_subset_compact_and_size_tiered_policy(spark, corpus_df, tmp_path_factory):
     """Subset compaction (the reference compactor's explicit source list,
     docs/compaction.md) + the size-tiered policy: similar-size segments
