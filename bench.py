@@ -659,6 +659,44 @@ def main() -> None:
                 )
                 xres.unpersist()
 
+                # ---- 1M compaction (r7 VERDICT item 8): N segments -> 1
+                # with tombstones dropped and per-partition graphs
+                # REBUILT on the merged segment (ref
+                # OnDiskGraphIndexCompactor.java:296, docs/compaction.md).
+                # Shape: the 1M index + a 50k appended segment (graph-less
+                # by design) + 1k deletions; build_graph covers the new
+                # segment, compact() merges, rebuilds, and physically
+                # drops the tombstoned rows.
+                _section_reset(spark)
+                xidx.build_graph(degree=16, ef_construction=32)
+                app = xcorpus.filter(F.col("id") < 50_000).selectExpr(
+                    "id + 1000000 as id", "vec"
+                )
+                xidx.append(app)
+                xidx.build_graph(degree=16, ef_construction=32)  # new seg only
+                xidx.delete(list(range(0, 100_000, 100)))  # 1k tombstones
+                t0 = time.perf_counter()
+                xcomp = xidx.compact()
+                timings["large_compact_1m"] = round(time.perf_counter() - t0, 3)
+                # tombstone-drop + graph-rebuild assertions (recorded as
+                # recall-style flags so the driver artifact carries them)
+                from jvector_spark.operators.graph import graph_meta as _gm
+
+                n_live = xcomp.vectors(decode=False).count()
+                recalls["large_compact_1m_rows_ok"] = float(
+                    n_live == 1_000_000 + 50_000 - 1_000
+                )
+                recalls["large_compact_1m_tombstones_dropped"] = float(
+                    xcomp.tombstones() is None
+                )
+                recalls["large_compact_1m_graph_rebuilt"] = float(
+                    all(
+                        _gm(xcomp, s.name) is not None
+                        for s in xcomp.manifest.segments
+                    )
+                )
+                _section_reset(spark)
+
                 # ---- d=1024 build + search: BASELINE.md's own shape ----
                 # The reference's published build number is 26.4 s for
                 # 100k x 1024-d (cohere; 671.testing.md:23) — bench the

@@ -681,8 +681,19 @@ def graph_search(
       network; point-query batches and recall-per-IO are where the graph
       route wins today (see the 1M probe numbers). The 4M-replica
       exchange also wants a driver heap sized to the query side
-      (JVS_DRIVER_MEMORY=48g ran 1M clean; 16g crashed workers).
-    - ``auto``: broadcast at or below the cap, else distributed.
+      (JVS_DRIVER_MEMORY=48g ran 1M clean; 16g crashed workers —
+      mitigated r8: only top-k rows per partition are emitted when no
+      tombstones exist, 4x fewer rows through the final window at
+      default overquery, provably identical results).
+    - ``auto``: broadcast at or below the cap; above it, route on
+      partition-size vs beam-visit arithmetic (``_bulk_traversal_pays``):
+      distributed traversal when partitions dwarf the beam's visit
+      estimate, else the FUSED TILE SCAN (``IVFIndex.search`` with a
+      matched rerank pool, overquery = ef/k) — same exact/NVQ rerank
+      kernels and score space, recall >= the beam's (it scans whole
+      probed partitions instead of approximating within them), and
+      3-10x faster at the small-partition bulk shape (r7 measurement).
+      Pass an explicit strategy to force the traversal mechanism.
 
     Tombstoned rows are traversed but filtered from results (two-phase
     delete semantics); ``compact()`` removes them AND rebuilds the merged
@@ -719,12 +730,30 @@ def graph_search(
         raise ValueError(f"ef_search ({ef_search}) must be >= k ({k})")
     ef = int(ef_search or max(2 * k, round(overquery * k)))
     rerank_k = max(k, int(round(overquery * k)))
-    k_ret = min(ef, max(k, rerank_k))  # per-partition rows (liveness refill)
+    k_ret = min(ef, max(k, rerank_k))  # rerank pool per partition
     use_nvq = manifest.rerank == "nvq" or index._slim
     if strategy == "auto":
-        strategy = (
-            "distributed" if query_side_is_big(queries_df, m_hint) else "broadcast"
-        )
+        if not query_side_is_big(queries_df, m_hint):
+            strategy = "broadcast"
+        elif _bulk_traversal_pays(index, ef):
+            strategy = "distributed"
+        else:
+            # Bulk queries over SMALL partitions: the beam would visit a
+            # large fraction of each partition anyway, and the fused tile
+            # scan's GEMMs beat per-query traversal by 3-10x at that shape
+            # (measured r7: 1M x 64, 2000-row partitions, ef40 — 1153 s
+            # traversal vs 110-390 s tile). Route to the fused scan with a
+            # matched candidate pool (rerank_k = ef); it reranks through
+            # the SAME exact/NVQ kernels, so scores live in the same
+            # space and recall is >= the beam's (it scans whole probed
+            # partitions instead of approximating within them). r7
+            # VERDICT item 3: auto must not hand a user the 10x penalty.
+            return index.search(
+                queries_df, k, n_probe=n_probe,
+                overquery=max(overquery, ef / max(k, 1)),
+                query_id_col=query_id_col, query_vec_col=query_vec_col,
+                probe_ratio=probe_ratio, m_hint=m_hint, telemetry=telemetry,
+            )
     tel_acc = (
         (telemetry._visited, telemetry._reranked, telemetry._stages)
         if telemetry is not None
@@ -736,15 +765,27 @@ def graph_search(
     else:
         data_cols += ["vec"]
 
+    t = index.tombstones()
+    # Per-partition EMITTED rows: the global top-k over the union of
+    # per-partition results is provably contained in each partition's own
+    # top-k (a row below its partition's k-th best is beaten by >= k rows
+    # from that partition alone), so emitting k per partition is
+    # bit-identical to emitting the whole rerank pool — the pool (k_ret)
+    # only needs to survive as emitted rows when the tombstone filter
+    # below can remove winners afterwards. At default overquery this cuts
+    # the final window's shuffle 4x (the r7 16 GB-driver pressure point
+    # on the 1M corpus-as-queries shape).
+    emit_k = k_ret if t is not None else min(k, k_ret)
+
     if strategy == "distributed":
         scanned = _graph_search_distributed(
-            index, queries_df, met, k_ret, ef, n_probe,
+            index, queries_df, met, emit_k, ef, n_probe,
             query_id_col, query_vec_col, probe_ratio, beam_width,
             use_nvq, data_cols, tel_acc,
         )
     elif strategy == "broadcast":
         scanned = _graph_search_broadcast(
-            index, queries_df, met, k_ret, ef, n_probe,
+            index, queries_df, met, emit_k, ef, n_probe,
             query_id_col, query_vec_col, probe_ratio, beam_width,
             use_nvq, data_cols, tel_acc, _partition_score_bounds,
         )
@@ -754,7 +795,6 @@ def graph_search(
         return index.spark.createDataFrame([], "qid long, id long, score double")
     if manifest.spill > 1:
         scanned = scanned.dropDuplicates(["qid", "id"])  # U3 visited-set dedup
-    t = index.tombstones()
     if t is not None:  # traversed-but-filtered (two-phase delete, F2)
         scanned = scanned.join(t.select("id"), "id", "left_anti")
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
@@ -763,6 +803,35 @@ def graph_search(
         .filter(F.col("rank") <= k)
         .orderBy("qid", "rank")
     )
+
+
+def _bulk_traversal_pays(index, ef: int) -> bool:
+    """Route arithmetic for bulk (over-cap) graph searches: traversal wins
+    only when the beam visits a SMALL fraction of an average partition.
+
+    Estimate per-query visited rows as ``ef x mean graph degree`` (each
+    beam slot expands up to ``degree`` neighbors) and compare with the
+    average stored partition size (manifest arithmetic — no Spark job).
+    Calibration point (r7, 1M x 64, 2000-row partitions, ef40 x deg32 ->
+    visited est 1280): the fused tile route won 3-10x even though the
+    partition was only ~1.6x the visit estimate, because the tile GEMMs
+    amortize where per-query beams cannot; traversal needs partitions
+    an order of magnitude past the estimate before its asymptotic
+    O(visited) beats the scan's O(partition). Threshold: partitions must
+    exceed 16x the visit estimate. Hot-skew corpora (zipf partitions at
+    tens-of-% of the corpus) and real-network shapes clear it; uniform
+    small-partition layouts route to the tile scan."""
+    rows = parts = 0
+    degs = []
+    for seg in index.manifest.segments:
+        rows += seg.n_rows * max(1, index.manifest.spill)
+        parts += max(1, seg.n_partitions)
+        meta = graph_meta(index, seg.name)
+        if meta is not None:
+            degs.append(meta["degree"])
+    avg_part_rows = rows / max(1, parts)
+    visited_est = ef * (sum(degs) / max(1, len(degs)) if degs else 32)
+    return avg_part_rows > 16 * visited_est
 
 
 def _seg_dirs(index, seg_name: str, data_cols: list[str]) -> tuple:

@@ -361,6 +361,74 @@ def test_graph_search_route_parity_tiny_partitions(spark, rng):
     assert len(ka) > 0
 
 
+def test_graph_bulk_auto_routes_to_tile_on_small_partitions(spark, graph_index):
+    """r7 VERDICT item 3: strategy='auto' with a bulk query load over
+    SMALL partitions must not pay the 3-10x traversal penalty — it routes
+    to the fused tile scan (same rerank kernels, recall >= the beam's).
+    The sf fixtures' partitions (~hundreds of rows) sit far below the
+    16x beam-visit threshold, so auto+large m_hint takes the tile path;
+    results must carry the same schema and fill k rows per query."""
+    from jvector_spark.operators.graph import _bulk_traversal_pays
+
+    idx, corpus = graph_index
+    assert not _bulk_traversal_pays(idx, ef=40)
+    queries = corpus.filter(F.col("id") < 24).selectExpr("id as qid", "vec")
+    res = idx.search_graph(
+        queries, k=5, n_probe=8, ef_search=40, m_hint=10_000_000
+    )
+    rows = res.collect()
+    assert {r["qid"] for r in rows} == set(range(24))
+    assert all(r["rank"] <= 5 for r in rows)
+    # exact-score contract holds on the tile path too
+    gt = exact.knn_join(
+        corpus, queries, k=5, metric="COSINE", strategy="numpy"
+    ).collect()
+    assert _recall(rows, gt) >= 0.8
+    # a huge-partition estimate flips the decision arithmetic
+    class _FakeSeg:
+        n_rows = 50_000_000
+        n_partitions = 10
+        name = idx.manifest.segments[0].name
+
+    class _FakeManifest:
+        segments = [_FakeSeg()]
+        spill = 1
+
+    class _FakeIdx:
+        manifest = _FakeManifest()
+        _segments = idx._segments
+        path = idx.path
+
+    assert _bulk_traversal_pays(_FakeIdx(), ef=40)
+
+
+def test_graph_emit_k_reduction_is_lossless(spark, graph_index):
+    """A/B the per-partition emission cut: without tombstones the route
+    emits top-k per partition; WITH a tombstone it emits the full rerank
+    pool (k_ret). Deleting an id that sits in no query's candidate pool
+    flips the code path without changing any correct answer — the two
+    runs must return identical rows (the proof the k-cut is lossless)."""
+    idx, corpus = graph_index
+    queries = corpus.filter(F.col("id") < 16).selectExpr("id as qid", "vec")
+    kw = dict(k=10, n_probe=4, ef_search=60, overquery=6.0)
+    res_cut = idx.search_graph(queries, **kw).collect()  # emit k
+    # pick a victim no query's top-60 pool contains
+    gt = exact.knn_join(
+        corpus, queries, k=60, metric="COSINE", strategy="numpy"
+    ).collect()
+    in_pools = {r["id"] for r in gt}
+    victim = max(
+        r["id"] for r in corpus.select("id").collect() if r["id"] not in in_pools
+    )
+    idx.delete([victim])  # tombstone => emit k_ret (full pool)
+    res_full = idx.search_graph(queries, **kw).collect()
+    key = lambda rows: sorted(  # noqa: E731
+        (r["qid"], r["rank"], r["id"], round(r["score"], 12)) for r in rows
+    )
+    assert key(res_cut) == key(res_full)
+    assert len(res_cut) == 16 * 10
+
+
 def test_graph_search_ef_below_k_raises(spark, graph_index):
     """ef_search < k would silently under-fill per-partition contributions
     (r7 ADVICE) — must raise like the probe_ratio validation does."""

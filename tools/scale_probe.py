@@ -172,6 +172,20 @@ def main() -> None:
     )
     ap.add_argument("--bulk-only", action="store_true")
     ap.add_argument(
+        "--bulk-graph", action="store_true",
+        help="also run the bulk shape through the GRAPH route "
+        "(search_graph; requires --graph). Honors --bulk-graph-strategy.",
+    )
+    ap.add_argument(
+        "--bulk-graph-ef", type=int, default=40,
+        help="ef_search for the bulk graph route",
+    )
+    ap.add_argument(
+        "--bulk-graph-strategy", default="distributed",
+        choices=["auto", "distributed", "broadcast"],
+        help="force a graph route or let auto pick (r8 routing arithmetic)",
+    )
+    ap.add_argument(
         "--prof", action="store_true",
         help="collect per-stage kernel core-seconds (SearchTelemetry) on the bulk run",
     )
@@ -388,6 +402,34 @@ def main() -> None:
             )
             gt2 = exact.knn_join(corpus, qsub, 10, metric="COSINE", strategy="numpy")
             log(step="bulk_recall", recall10=round(recall_at_k(sub, gt2, 10), 4))
+            res.unpersist()
+
+            if args.bulk_graph:
+                from jvector_spark.operators.graph import _bulk_traversal_pays
+
+                log(
+                    step="bulk_graph_route_arith",
+                    traversal_pays=_bulk_traversal_pays(idx, args.bulk_graph_ef),
+                )
+                t0 = time.perf_counter()
+                gres = idx.search_graph(
+                    qall, 10, n_probe=args.bulk_np,
+                    ef_search=args.bulk_graph_ef,
+                    strategy=args.bulk_graph_strategy, m_hint=m_q,
+                ).persist()
+                n_gout = gres.count()
+                dt = time.perf_counter() - t0
+                log(
+                    step="bulk_graph_topk", rows=n_gout, sec=round(dt, 1),
+                    n_probe=args.bulk_np, ef=args.bulk_graph_ef,
+                    strategy=args.bulk_graph_strategy,
+                )
+                gsub = gres.filter(F.col("qid").isin(sample_ids))
+                log(
+                    step="bulk_graph_recall",
+                    recall10=round(recall_at_k(gsub, gt2, 10), 4),
+                )
+                gres.unpersist()
     finally:
         if args.keep is None:
             shutil.rmtree(base, ignore_errors=True)
