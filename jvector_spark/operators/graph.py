@@ -811,7 +811,9 @@ def _bulk_traversal_pays(index, ef: int) -> bool:
 
     Estimate per-query visited rows as ``ef x mean graph degree`` (each
     beam slot expands up to ``degree`` neighbors) and compare with the
-    average stored partition size (manifest arithmetic — no Spark job).
+    rows-weighted mean stored partition size (manifest arithmetic — no
+    Spark job; r8 manifests record it at build, older ones fall back to
+    the plain average).
     Calibration point (r7, 1M x 64, 2000-row partitions, ef40 x deg32 ->
     visited est 1280): the fused tile route won 3-10x even though the
     partition was only ~1.6x the visit estimate, because the tile GEMMs
@@ -821,17 +823,26 @@ def _bulk_traversal_pays(index, ef: int) -> bool:
     exceed 16x the visit estimate. Hot-skew corpora (zipf partitions at
     tens-of-% of the corpus) and real-network shapes clear it; uniform
     small-partition layouts route to the tile scan."""
-    rows = parts = 0
+    rows = 0
+    sized = 0.0
     degs = []
     for seg in index.manifest.segments:
-        rows += seg.n_rows * max(1, index.manifest.spill)
-        parts += max(1, seg.n_partitions)
+        seg_rows = seg.n_rows * max(1, index.manifest.spill)
+        rows += seg_rows
+        # rows-weighted mean partition size when the manifest records it
+        # (r8 builds): on skewed layouts the PLAIN average hides hot
+        # cells (zipf-1.5: avg 2k rows, hottest ~380k — and most ROWS,
+        # hence most per-row work, live in the hot cells)
+        w = seg.wmean_part_rows if getattr(seg, "wmean_part_rows", None) else (
+            seg_rows / max(1, seg.n_partitions)
+        )
+        sized += seg_rows * w
         meta = graph_meta(index, seg.name)
         if meta is not None:
             degs.append(meta["degree"])
-    avg_part_rows = rows / max(1, parts)
+    part_rows = sized / max(1, rows)
     visited_est = ef * (sum(degs) / max(1, len(degs)) if degs else 32)
-    return avg_part_rows > 16 * visited_est
+    return part_rows > 16 * visited_est
 
 
 def _seg_dirs(index, seg_name: str, data_cols: list[str]) -> tuple:

@@ -37,6 +37,14 @@ class SegmentInfo:
     name: str
     n_rows: int
     n_partitions: int
+    # build-time STORED-copy partition-size stats (None on pre-r8
+    # manifests). wmean is the rows-weighted mean partition size
+    # (sum s_i^2 / sum s_i) — the size of the partition a random ROW
+    # lives in, which is the right signal for per-row work estimates on
+    # skewed layouts where the plain average hides corpus-scale hot
+    # cells (zipf: avg 2k rows, hottest 380k).
+    max_part_rows: int | None = None
+    wmean_part_rows: float | None = None
 
 
 @dataclass
