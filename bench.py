@@ -903,7 +903,7 @@ def main() -> None:
         "ann_ivf_fine",
         "dedup_minhash_lsh",
         "dedup_spans",
-        "stream_neardup_4batches",
+        "stream_neardup_fb32x_4batches",
     ]
     HEADLINE_RECALLS = [
         "large_index_mb_100k_d1024",
@@ -915,7 +915,8 @@ def main() -> None:
         "large_graph_recall@10_d1024_64q",
         "large_pq_encode_mb",
         "large_spill_resolved_d1024",
-        "stream_neardup_rows_per_s",
+        "stream_neardup_fb32x_rows_per_s",
+        "large_compact_1m_tombstones_dropped",
     ]
     compact = {
         "metric": "headline_queries_total",
