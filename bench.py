@@ -669,12 +669,14 @@ def main() -> None:
                 # drops the tombstoned rows.
                 _section_reset(spark)
                 xidx.build_graph(degree=16, ef_construction=32)
-                app = xcorpus.filter(F.col("id") < 50_000).selectExpr(
-                    "id + 1000000 as id", "vec"
+                n_app = min(50_000, xl_n)
+                app = xcorpus.filter(F.col("id") < n_app).selectExpr(
+                    f"id + {xl_n} as id", "vec"
                 )
                 xidx.append(app)
                 xidx.build_graph(degree=16, ef_construction=32)  # new seg only
-                xidx.delete(list(range(0, 100_000, 100)))  # 1k tombstones
+                del_ids = list(range(0, min(100_000, xl_n), 100))
+                xidx.delete(del_ids)
                 t0 = time.perf_counter()
                 xcomp = xidx.compact()
                 timings["large_compact_1m"] = round(time.perf_counter() - t0, 3)
@@ -684,7 +686,7 @@ def main() -> None:
 
                 n_live = xcomp.vectors(decode=False).count()
                 recalls["large_compact_1m_rows_ok"] = float(
-                    n_live == 1_000_000 + 50_000 - 1_000
+                    n_live == xl_n + n_app - len(del_ids)
                 )
                 recalls["large_compact_1m_tombstones_dropped"] = float(
                     xcomp.tombstones() is None
