@@ -619,6 +619,18 @@ def main() -> None:
                 with contextlib.redirect_stdout(sys.stderr):
                     _probe.gen_corpus(xdir, xl_n, 64, 1000, seed=11)
                 xcorpus = spark.read.parquet(f"{xdir}/corpus.parquet")
+                # Untimed warm-up build: the FIRST build in a session pays
+                # 4-5x for JIT/codegen/first-parquet-writer setup
+                # (isolated r8 A/B at the d=1024 shape: cold 300.9 s,
+                # then 74.1 / 57.8 s warm — same code, same corpus).
+                # The baseline's published walls are warm-harness numbers,
+                # so the timed builds below must measure the engine, not
+                # first-use compilation.
+                IVFIndexBuilder(
+                    metric="COSINE", pq_m=8, spill=2, fine_factor=8,
+                    n_partitions=16, pq_residual=True,
+                ).fit(xcorpus.limit(4096), f"{xdir}/warm_idx")
+                shutil.rmtree(f"{xdir}/warm_idx", ignore_errors=True)
                 t0 = time.perf_counter()
                 xidx = IVFIndexBuilder(
                     metric="COSINE", pq_m=8, spill=2, fine_factor=8,
@@ -727,6 +739,13 @@ def main() -> None:
                 # 7). Search probes np12 (the spill=1 operating point:
                 # r7 A/B measured recall@10 0.7862 @ np12 vs spill=2's
                 # 0.7154 @ np8 at like wall).
+                # Untimed d=1024 warm-up first (see the 1M section's
+                # warm-up note: cold-path first builds read 4-5x).
+                IVFIndexBuilder(
+                    metric="COSINE", pq_m=8, spill="auto", fine_factor=8,
+                    n_partitions=16, rerank="nvq", store_fp32="none",
+                ).fit(hcorpus.limit(4096), f"{xdir}/hd/warm_idx")
+                shutil.rmtree(f"{xdir}/hd/warm_idx", ignore_errors=True)
                 t0 = time.perf_counter()
                 hidx = IVFIndexBuilder(
                     metric="COSINE", pq_m=8, spill="auto", fine_factor=8,
