@@ -329,7 +329,7 @@ def test_graph_search_distributed_route_parity(spark, graph_index):
     assert ka == kb
 
 
-def test_graph_search_route_parity_tiny_partitions(spark, rng):
+def test_graph_search_route_parity_tiny_partitions(spark):
     """Route parity where refill WOULD have engaged (r7 ADVICE): many
     partitions each far smaller than ef_search, so every query's beam
     holds fewer than rerank_k members. strict_mask restricts each query's
@@ -337,7 +337,10 @@ def test_graph_search_route_parity_tiny_partitions(spark, rng):
     between routes) can no longer leak other queries' beam members in —
     the two routes must return bit-identical rows."""
     n, dim = 400, 8
-    mat = rng.normal(size=(n, dim))
+    # private rng: the shared session-scoped `rng` fixture feeds later
+    # modules' corpora — consuming draws here would shift their data and
+    # flip marginal recall assertions (found the hard way, r8)
+    mat = np.random.default_rng(1234).normal(size=(n, dim))
     corpus = spark.createDataFrame(
         [(int(i), [float(x) for x in mat[i]]) for i in range(n)],
         "id long, vec array<float>",

@@ -189,7 +189,8 @@ def _band_check(err1, err2, tol_avg, tol_var):
 
 
 @pytest.mark.parametrize("n,tol_avg,tol_var", [(1000, 1.15, 2.5), (10000, 0.14, 0.29)])
-def test_reconstruction_band_pq(rng, n, tol_avg, tol_var):
+def test_reconstruction_band_pq(n, tol_avg, tol_var):
+    rng = np.random.default_rng(77)  # private: keep the shared stream untouched
     dim = 32
     s1 = rng.uniform(-1, 1, size=(n, dim))
     s2 = rng.uniform(-1, 1, size=(n, dim))
@@ -198,7 +199,8 @@ def test_reconstruction_band_pq(rng, n, tol_avg, tol_var):
 
 
 @pytest.mark.parametrize("n,tol_avg,tol_var", [(1000, 0.05, 0.25), (10000, 0.008, 0.09)])
-def test_reconstruction_band_bq(rng, n, tol_avg, tol_var):
+def test_reconstruction_band_bq(n, tol_avg, tol_var):
+    rng = np.random.default_rng(78)  # private: keep the shared stream untouched
     """BQ has no reconstruction in our codec (sign bits only), matching the
     reference's BinaryQuantization whose 'reconstruction' is the sign
     vector; its error for a row is the distance to the +-1 pattern."""
@@ -221,7 +223,8 @@ def test_reconstruction_band_bq(rng, n, tol_avg, tol_var):
 
 
 @pytest.mark.parametrize("n,tol_avg,tol_var", [(1000, 4e-2, 0.25), (10000, 1e-2, 0.08)])
-def test_reconstruction_band_nvq(rng, n, tol_avg, tol_var):
+def test_reconstruction_band_nvq(n, tol_avg, tol_var):
+    rng = np.random.default_rng(79)  # private: keep the shared stream untouched
     dim = 32
     s1 = rng.uniform(-1, 1, size=(n, dim))
     s2 = rng.uniform(-1, 1, size=(n, dim))

@@ -80,7 +80,7 @@ def test_mfd_catalog_union(spark, tmp_path, rng):
     assert set(range(20)) <= ids and {1000 + i for i in range(10)} <= ids
 
 
-def test_hdf5_lite_roundtrip_all_dtypes(tmp_path, rng):
+def test_hdf5_lite_roundtrip_all_dtypes(tmp_path):
     """S3 HDF5 (ref DataSetLoader.java:29-49): the vendored pure-python
     classic-format writer/reader round-trips every ann-benchmarks dtype
     bit-exactly (train/test f32, neighbors i32, distances f64, plus 1-D
@@ -93,6 +93,7 @@ def test_hdf5_lite_roundtrip_all_dtypes(tmp_path, rng):
         write_hdf5,
     )
 
+    rng = np.random.default_rng(81)  # private: keep the shared stream untouched
     sets = {
         "train": rng.normal(size=(500, 24)).astype(np.float32),
         "test": rng.normal(size=(20, 24)).astype(np.float32),
@@ -126,7 +127,7 @@ def test_hdf5_lite_unsupported_raises(tmp_path):
         read_hdf5_dataset(str(v2), "train")
 
 
-def test_read_hdf5_dataframe(spark, tmp_path, rng):
+def test_read_hdf5_dataframe(spark, tmp_path):
     """S3 end-to-end: read_hdf5 -> (id, vec) DataFrame with row-index ids,
     float32-lossless values, and int datasets typed as int arrays."""
     import numpy as np
@@ -134,6 +135,7 @@ def test_read_hdf5_dataframe(spark, tmp_path, rng):
     from jvector_spark.sources import read_hdf5
     from jvector_spark.sources.hdf5_lite import write_hdf5
 
+    rng = np.random.default_rng(82)  # private: keep the shared stream untouched
     train = rng.normal(size=(200, 16)).astype(np.float32)
     nbrs = rng.integers(0, 200, size=(8, 5)).astype(np.int32)
     p = str(tmp_path / "ds.hdf5")
