@@ -25,9 +25,6 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_CHUNK_ROWS = 65536
-
-
 def read_hdf5(
     spark: SparkSession,
     path: str,
@@ -42,12 +39,16 @@ def read_hdf5(
     (:mod:`jvector_spark.sources.hdf5_lite`), which covers exactly the
     shape ann-benchmarks files have — contiguous uncompressed LE numeric
     datasets (``DataSetLoader.java:29-49``'s inputs). Ids are the dataset
-    row index plus ``id_offset``. Staging is driver-side in bounded
-    chunks (HDF5 is a single local benchmark artifact, not a splittable
-    distributed format); everything downstream is a regular DataFrame.
-    """
-    import pandas as pd
+    row index plus ``id_offset``.
 
+    Staging materializes the full dataset on the driver (HDF5 is a
+    single local benchmark artifact, not a splittable distributed
+    format) and hands Spark ONE ``createDataFrame`` — plan size is O(1)
+    in rows, and the rows are plain Python values so both the Arrow and
+    the non-Arrow ``createDataFrame`` paths accept them. For files too
+    large to stage driver-side, convert once with
+    ``tools/hdf5_to_parquet.py`` and read the parquet distributedly.
+    """
     try:
         import h5py
 
@@ -63,19 +64,15 @@ def read_hdf5(
     n = mat.shape[0]
     if n == 0:
         raise ValueError(f"empty HDF5 dataset {dataset!r} in {path}")
-    elem = "int" if mat.dtype.kind in "iu" else "float"
-    out: DataFrame | None = None
-    for lo in range(0, n, _CHUNK_ROWS):
-        chunk = mat[lo : lo + _CHUNK_ROWS]
-        pdf = pd.DataFrame(
-            {
-                "id": range(id_offset + lo, id_offset + lo + len(chunk)),
-                vec_col: list(chunk),
-            }
-        )
-        df = spark.createDataFrame(pdf, f"id long, {vec_col} array<{elem}>")
-        out = df if out is None else out.unionByName(df)
-    return out
+    # Element type follows the stored width: 8-byte ints -> bigint (an
+    # int32 mapping would truncate), float64 -> double (float would lose
+    # precision); 4-byte-or-narrower kinds keep the compact Spark type.
+    if mat.dtype.kind in "iu":
+        elem = "bigint" if mat.dtype.itemsize >= 8 else "int"
+    else:
+        elem = "double" if mat.dtype.itemsize >= 8 else "float"
+    rows = ((id_offset + i, row) for i, row in enumerate(mat.tolist()))
+    return spark.createDataFrame(rows, f"id long, {vec_col} array<{elem}>")
 
 
 def read_mfd(spark: SparkSession, catalog_path: str, vec_col: str = "vec") -> DataFrame:

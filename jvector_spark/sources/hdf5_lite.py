@@ -111,6 +111,12 @@ def write_hdf5(path: str, datasets: dict[str, np.ndarray]) -> None:
     the ann-benchmarks shape. Readable by any HDF5 1.x implementation."""
     if not datasets:
         raise ValueError("write_hdf5 needs at least one dataset")
+    if len(datasets) > 8:
+        raise NotImplementedError(
+            "write_hdf5 writes a single symbol-table node sized for at "
+            f"most 8 datasets (2*K_LEAF); got {len(datasets)}. Split "
+            "across files or extend the B-tree/SNOD layout."
+        )
     names = sorted(datasets)  # symbol nodes store entries in name order
     arrays = {}
     for name in names:

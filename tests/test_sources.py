@@ -150,6 +150,43 @@ def test_read_hdf5_dataframe(spark, tmp_path):
     assert ndf.count() == 8
 
 
+def test_read_hdf5_wide_dtypes_and_plain_python(spark, tmp_path):
+    """8-byte kinds map to lossless Spark types (i64 -> bigint, f64 ->
+    double, not int/float truncation), and the rows handed to
+    createDataFrame are plain Python values — the non-Arrow verifier
+    (the driver-contract session) accepts them (CORRECTNESS_r08's one
+    red row)."""
+    import numpy as np
+
+    from jvector_spark.sources import read_hdf5
+    from jvector_spark.sources.hdf5_lite import write_hdf5
+
+    big = np.array([[2**40 + 7, -(2**35)], [1, 2]], dtype=np.int64)
+    dist = np.array([[1e-12, 2.5], [3.5, 4.5]], dtype=np.float64)
+    p = str(tmp_path / "wide.hdf5")
+    write_hdf5(p, {"ids64": big, "distances": dist})
+    bdf = read_hdf5(spark, p, dataset="ids64")
+    assert bdf.schema["vec"].dataType.simpleString() == "array<bigint>"
+    got = {r["id"]: r["vec"] for r in bdf.collect()}
+    assert got[0] == [2**40 + 7, -(2**35)]
+    ddf = read_hdf5(spark, p, dataset="distances")
+    assert ddf.schema["vec"].dataType.simpleString() == "array<double>"
+    assert {r["id"]: r["vec"] for r in ddf.collect()}[0] == [1e-12, 2.5]
+
+
+def test_write_hdf5_dataset_count_guard(tmp_path):
+    """>8 datasets exceeds the single-SNOD layout and must fail loudly,
+    not with an opaque struct.error."""
+    import numpy as np
+    import pytest as _pytest
+
+    from jvector_spark.sources.hdf5_lite import write_hdf5
+
+    sets = {f"d{i}": np.ones(3, dtype=np.float32) for i in range(9)}
+    with _pytest.raises(NotImplementedError, match="8 datasets"):
+        write_hdf5(str(tmp_path / "many.hdf5"), sets)
+
+
 # ---------------------------------------------------------------------------
 # SIFT-small golden-dataset harness (r6 verdict item 7; ref siftsmall/,
 # SiftSmall.java:134-145, SiftLoader.java). The reference repo ships only
