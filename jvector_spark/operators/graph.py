@@ -748,9 +748,14 @@ def graph_search(
             # space and recall is >= the beam's (it scans whole probed
             # partitions instead of approximating within them). r7
             # VERDICT item 3: auto must not hand a user the 10x penalty.
+            # The matched pool is the caller's RERANK budget (overquery*k),
+            # not the beam width ef — ef is a traversal concept (candidate
+            # frontier), and mapping from it doubled the fused rerank pool
+            # at default knobs (r8: auto 266.5 s vs direct fused 238.0 s
+            # at the 1M bench shape).
             return index.search(
                 queries_df, k, n_probe=n_probe,
-                overquery=max(overquery, ef / max(k, 1)),
+                overquery=max(overquery, rerank_k / max(k, 1)),
                 query_id_col=query_id_col, query_vec_col=query_vec_col,
                 probe_ratio=probe_ratio, m_hint=m_hint, telemetry=telemetry,
             )
