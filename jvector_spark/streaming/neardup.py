@@ -80,6 +80,12 @@ from jvector_spark.pipeline.dedup import (
     norm_text,
 )
 
+# foreachBatch verify-join pruning: candidate doc ids collected to the
+# driver (two longs each) and pushed as a parquet In() filter; above the
+# cap, fall back to a semi-join (no footer pruning, still no state
+# shuffle). 100k ids ~ 1.6 MB driver-side.
+_CAND_ID_CAP = 100_000
+
 
 def _make_shard_fn(threshold: float, state_ttl_ms: int | None):
     def shard_fn(
@@ -313,11 +319,17 @@ def stream_neardup_foreachbatch(
     verify join, O(candidate pairs), exactly like the batch operator at
     100 TB. State is a plain parquet table — size O(corpus), rewritten
     only at compaction (size-tiered-ish: deltas fold into one compact
-    table); each batch SCANS state (anti-join + band explode + verify
-    sides), so per-batch cost is O(state) — bound it with periodic
-    resets or route unbounded streams to the keyed-state operator,
-    whose ``state_ttl_ms`` gives windowed retention (not implemented
-    here).
+    table). Per-batch state touch (r9, the r8-verdict O(state) fix):
+    the verify sides read shh ONLY for collected candidate ids, pushed
+    as an In() predicate so parquet footer stats skip old deltas whose
+    doc_id ranges hold no candidate (deltas are id-clustered per epoch
+    by construction); the candidate join streams state's slim
+    (doc_id, bkey) rows map-side against the broadcast batch bands. The
+    remaining per-batch O(state) terms are columnar single-column
+    scans — the anti-join's doc_id column and the band explode's bands
+    column — with no exchange; truly unbounded streams should route to
+    the keyed-state operator, whose ``state_ttl_ms`` gives windowed
+    retention.
 
     Measured (r7, local[32], sf0.1 documents, 4 micro-batches): 877
     rows/s at 1,250 docs/batch (parity with the keyed-state op — fixed
@@ -458,7 +470,37 @@ def stream_neardup_foreachbatch(
             )
             .distinct()
         )
+        # Verification needs shh arrays ONLY for candidate doc ids — a few
+        # hundred per batch, vs the whole state table. Collect them and
+        # push an In() predicate into the state scan: deltas are written
+        # per epoch, so their doc_id row-group stats are tight ranges and
+        # parquet footer pruning skips every old delta holding no
+        # candidate (the r8-verdict O(state)-per-batch term). The driver
+        # residency is bounded: above _CAND_ID_CAP ids fall back to the
+        # broadcast-semi-join shape (still no state shuffle, just no
+        # footer pruning). cand is cached so the id collect and the pair
+        # join share one evaluation of the band join.
+        cand = cand.cache()
+        cand_ids = [
+            r[0]
+            for r in cand.select(
+                F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+            )
+            .distinct()
+            .collect()
+        ]
+        _mark("cand_ids")
         both = new.unionByName(old)
+        if len(cand_ids) <= _CAND_ID_CAP:
+            both = both.filter(F.col("doc_id").isin(cand_ids))
+        else:
+            both = both.join(
+                cand.select(F.col("doc_a").alias("doc_id"))
+                .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+                .distinct(),
+                "doc_id",
+                "left_semi",
+            )
         sa = both.select(F.col("doc_id").alias("doc_a"), F.col("shh").alias("sh_a"))
         sb = both.select(F.col("doc_id").alias("doc_b"), F.col("shh").alias("sh_b"))
         inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
@@ -480,6 +522,7 @@ def stream_neardup_foreachbatch(
         pairs.write.mode("overwrite").parquet(
             f"{pairs_dir}/batch={epoch_id}"
         )
+        cand.unpersist()
         _mark("pairs_write")
         # size-tiered-ish state compaction: fold accumulated deltas
         # (epochs < e only — replay safety) into one compact table
