@@ -252,6 +252,284 @@ def _build_partition_graph(
     return neighbors, entry
 
 
+def _exact_sims_gathered(
+    met: str,
+    q: np.ndarray,
+    c: np.ndarray,
+    q_nn: np.ndarray,
+    c_nn: np.ndarray,
+) -> np.ndarray:
+    """q (B, d) vs per-row gathered candidates c (B, C, d) -> (B, C)
+    similarities in the engine's normalized score space (same formulas
+    as ``_knn_candidates``). ``q_nn``/``c_nn`` are precomputed squared
+    norms aligned with q / c."""
+    dots = np.einsum("bd,bcd->bc", q, c)
+    if met == "DOT_PRODUCT":
+        return ((1.0 + dots) / 2.0).astype(np.float32)
+    if met == "EUCLIDEAN":
+        d2 = np.maximum(q_nn[:, None] + c_nn - 2.0 * dots, 0.0)
+        return (1.0 / (1.0 + d2)).astype(np.float32)
+    qn = np.sqrt(np.maximum(q_nn, 1e-30))
+    cn = np.sqrt(np.maximum(c_nn, 1e-30))
+    return ((1.0 + dots / (qn[:, None] * cn)) / 2.0).astype(np.float32)
+
+
+# Above this many rows a partition's graph builds incrementally: the
+# exact candidate pass is O(n_p^2) GEMM and crosses over with the
+# beam-insert path around ~64k rows (measured d=64; higher dims cross
+# earlier).
+_INCR_BUILD_THRESHOLD = 65_536
+
+
+def _build_partition_graph_incremental(
+    x: np.ndarray,
+    degree: int,
+    alpha: float,
+    overflow: float,
+    ef_c: int,
+    met: str,
+    seed_n: int = 8192,
+    batch: int = 2048,
+    n_entries: int = 16,
+) -> tuple[list[np.ndarray], np.ndarray]:
+    """Batched-insert Vamana build for LARGE partitions — the scale twin
+    of :func:`_build_partition_graph` (same diversity rule, same
+    backlink/overflow/enforceDegree semantics, same medoid entry).
+
+    The exact builder's candidate pass is O(n_p^2) GEMM; this one is the
+    reference's actual build loop (``GraphIndexBuilder.java:436``
+    ``addGraphNode``: search the partial graph for the new node's
+    candidates, RobustPrune them, insert forward + backlink edges),
+    batched over the insert axis so every hop is a vectorized
+    multi-query beam step — O(n_p x ef_c x degree x d) total. Nodes in
+    the same insert batch do not see each other as candidates (the
+    standard concurrent-insert relaxation; the reference's parallel
+    build has the same property within its simd lanes' in-flight set —
+    backlinks from LATER batches supply the missing edges).
+
+    Entry points: the exact builder stores the single partition medoid —
+    right for a homogeneous kmeans cell. A LARGE partition holds many
+    cluster fragments, and single-entry best-first search can terminate
+    before crossing a low-similarity gap (measured: 12-island corpus,
+    single entry -> recall collapses to ~1/islands for the exact builder,
+    ~0.74 incremental). This builder therefore seeds every insert beam
+    AND the stored graph with ``n_entries`` ordinal-strided rows (ids are
+    cluster-agnostic, so the stride is a uniform sample) — the
+    single-layer analog of the reference's hierarchy entry levels
+    (``GraphIndexBuilder.java:98`` addHierarchy / level sampling
+    :562-575): a few well-spread entries replace the upper layers'
+    long-range descent. The edges file's per-row ``entry`` flag already
+    carries multiple entries; search seeds its beam with all of them.
+    """
+    n = len(x)
+    if n <= max(seed_n, degree + 1):
+        nbrs, e = _build_partition_graph(x, degree, alpha, overflow, ef_c, met)
+        return nbrs, np.array([e], dtype=np.int64)
+    cap = max(degree, int(math.ceil(degree * overflow)))
+    # reserve append-only slots for the orphan-reconnection pass (kept
+    # OUT of the build-time overflow budget so insert/backlink semantics
+    # match the exact builder; only reconnection writes them)
+    _recon_extra = 8
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    nn_all = np.einsum("ij,ij->i", x, x)
+
+    # seed graph: exact build on the first seed_n rows (they arrive in
+    # id order — no bias: cluster membership is independent of id)
+    nbrs0, _ = _build_partition_graph(
+        x[:seed_n], degree, alpha, overflow, ef_c, met
+    )
+    nbr_id = np.full((n, cap + _recon_extra), -1, dtype=np.int64)
+    nbr_sc = np.full((n, cap + _recon_extra), -np.inf, dtype=np.float32)
+    cnt = np.zeros(n, dtype=np.int64)
+    for i, nb in enumerate(nbrs0):
+        t = min(len(nb), cap)
+        nbr_id[i, :t] = nb[:t]
+        cnt[i] = t
+    valid0 = nbr_id[:seed_n] >= 0
+    g0 = np.maximum(nbr_id[:seed_n], 0)
+    nbr_sc[:seed_n] = np.where(
+        valid0,
+        _exact_sims_gathered(met, x[:seed_n], x[g0], nn_all[:seed_n], nn_all[g0]),
+        np.float32(-np.inf),
+    )
+
+    def diverse(idx: np.ndarray, sc: np.ndarray, valid: np.ndarray) -> np.ndarray:
+        v = x[np.maximum(idx, 0)]
+        return _retain_diverse_batch(_pair_sims(met, v), sc, valid, degree, alpha)
+
+    for b0 in range(seed_n, n, batch):
+        b1 = min(b0 + batch, n)
+        bsz = b1 - b0
+        qx = x[b0:b1]
+        q_nn = nn_all[b0:b1]
+        # ordinal-strided entry spread over everything inserted so far
+        entries = np.unique(
+            np.linspace(0, b0 - 1, num=min(n_entries, b0)).astype(np.int64)
+        )
+
+        def score_fn(aq: np.ndarray, cand: np.ndarray) -> np.ndarray:
+            safe = np.maximum(cand, 0)
+            return _exact_sims_gathered(met, qx[aq], x[safe], q_nn[aq], nn_all[safe])
+
+        beams = _batch_beam(score_fn, nbr_id, entries, bsz, b0, ef_c)
+        valid_b = beams >= 0
+        safe_b = np.maximum(beams, 0)
+        sc_b = np.where(
+            valid_b,
+            _exact_sims_gathered(met, qx, x[safe_b], q_nn, nn_all[safe_b]),
+            np.float32(-np.inf),
+        )
+        sel = diverse(beams, sc_b, valid_b)
+        # forward edges (RobustPruned beam results)
+        add = sel.sum(axis=1)
+        rows = np.repeat(np.arange(bsz), add)
+        cols = np.arange(int(sel.sum())) - np.repeat(np.cumsum(add) - add, add)
+        nbr_id[b0 + rows, cols] = beams[sel]
+        nbr_sc[b0 + rows, cols] = sc_b[sel]
+        cnt[b0:b1] = add
+
+        # backlinks: dst gains an edge to its new neighbor
+        bl_dst, bl_src, bl_sc = beams[sel], (b0 + rows), sc_b[sel]
+        order = np.argsort(bl_dst, kind="stable")
+        bl_dst, bl_src, bl_sc = bl_dst[order], bl_src[order], bl_sc[order]
+        uniq, starts, adds = np.unique(
+            bl_dst, return_index=True, return_counts=True
+        )
+        fits = cnt[uniq] + adds <= cap
+        fit_dst, take = uniq[fits], adds[fits]
+        if len(fit_dst):
+            r2 = np.repeat(fit_dst, take)
+            off = np.arange(int(take.sum())) - np.repeat(
+                np.cumsum(take) - take, take
+            )
+            flat = np.concatenate(
+                [np.arange(s0, s0 + t) for s0, t in zip(starts[fits], take)]
+            )
+            base = np.repeat(cnt[fit_dst], take)
+            nbr_id[r2, base + off] = bl_src[flat]
+            nbr_sc[r2, base + off] = bl_sc[flat]
+            cnt[fit_dst] += take
+        over = uniq[~fits]
+        if len(over):
+            # over-cap nodes: merge + enforceDegree (diversity re-prune)
+            o_starts, o_adds = starts[~fits], adds[~fits]
+            wmax = int((cnt[over] + o_adds).max())
+            m_id = np.full((len(over), wmax), -1, dtype=np.int64)
+            m_sc = np.full((len(over), wmax), -np.inf, dtype=np.float32)
+            for gi, (j, s0, a) in enumerate(zip(over, o_starts, o_adds)):
+                c0 = cnt[j]
+                m_id[gi, :c0] = nbr_id[j, :c0]
+                m_sc[gi, :c0] = nbr_sc[j, :c0]
+                m_id[gi, c0:c0 + a] = bl_src[s0:s0 + a]
+                m_sc[gi, c0:c0 + a] = bl_sc[s0:s0 + a]
+            sel2 = diverse(m_id, m_sc, m_id >= 0)
+            nbr_id[over] = -1
+            nbr_sc[over] = -np.inf
+            k2 = sel2.sum(axis=1)
+            r3 = np.repeat(over, k2)
+            c3 = np.arange(int(sel2.sum())) - np.repeat(np.cumsum(k2) - k2, k2)
+            nbr_id[r3, c3] = m_id[sel2]
+            nbr_sc[r3, c3] = m_sc[sel2]
+            cnt[over] = k2
+
+    # stored entries: the medoid (the exact builder's rule) plus the
+    # ordinal-strided spread — search seeds its beam with all of them
+    mean = x.mean(axis=0, dtype=np.float64).astype(x.dtype)[None, :]
+    if met == "EUCLIDEAN":
+        d_ = nn_all - 2.0 * (x @ mean.T).ravel()
+        medoid = int(np.argmin(d_))
+    elif met == "DOT_PRODUCT":
+        medoid = int(np.argmax((x @ mean.T).ravel()))
+    else:
+        nr = np.sqrt(np.maximum(nn_all, 1e-30))
+        medoid = int(np.argmax((x @ mean.T).ravel() / nr))
+    spread = np.linspace(0, n - 1, num=min(n_entries, n)).astype(np.int64)
+    entries_out = np.unique(np.concatenate([[medoid], spread]))
+
+    # Reconnect orphaned nodes (reference precedent: GraphIndexBuilder's
+    # reconnectOrphanedNodes — CHANGELOG.md #335/#359): backlink pruning
+    # at hub nodes can drop a node's ONLY in-edge, leaving it
+    # unreachable from every entry (measured on a 12-island corpus:
+    # ~16% orphans -> recall capped at ~0.73). Each pass BFSes
+    # reachability from the entries, then links every orphan from its
+    # best REACHABLE forward target — APPEND-ONLY into the reserved
+    # reconnection slots, so fixes are monotone (no eviction ping-pong)
+    # and the loop converges; an orphan with no reachable target links
+    # through its nearest entry instead.
+    def _bfs_orphans() -> tuple[np.ndarray, np.ndarray]:
+        reach = np.zeros(n, dtype=bool)
+        reach[entries_out] = True
+        frontier = entries_out
+        while len(frontier):
+            nxt = nbr_id[frontier].ravel()
+            nxt = nxt[nxt >= 0]
+            nxt = np.unique(nxt)
+            nxt = nxt[~reach[nxt]]
+            if not len(nxt):
+                break
+            reach[nxt] = True
+            frontier = nxt
+        return reach, np.flatnonzero(~reach)
+
+    width = cap + _recon_extra
+    residue = np.empty(0, dtype=np.int64)
+    for _ in range(8):
+        reach, orphans = _bfs_orphans()
+        residue = orphans
+        if not len(orphans):
+            break
+        fixed_any = False
+        leftover = []
+        for u in orphans:
+            m = (nbr_id[u] >= 0) & reach[np.maximum(nbr_id[u], 0)]
+            v = -1
+            if m.any():
+                # best reachable forward target WITH append room
+                js = np.argsort(-np.where(m, nbr_sc[u], -np.inf))
+                for j in js[: int(m.sum())]:
+                    t_ = int(nbr_id[u, j])
+                    if cnt[t_] < width:
+                        v, s = t_, float(nbr_sc[u, j])
+                        break
+            if v < 0:
+                sims = _exact_sims_gathered(
+                    met, x[u:u + 1], x[entries_out][None, :, :],
+                    nn_all[u:u + 1], nn_all[entries_out][None, :],
+                )[0]
+                for j in np.argsort(-sims):
+                    t_ = int(entries_out[j])
+                    if cnt[t_] < width and t_ != u:
+                        v, s = t_, float(sims[j])
+                        if cnt[u] < width:  # forward edge for u too
+                            nbr_id[u, cnt[u]] = v
+                            nbr_sc[u, cnt[u]] = s
+                            cnt[u] += 1
+                        break
+            if v < 0:
+                leftover.append(int(u))
+                continue
+            nbr_id[v, cnt[v]] = u
+            nbr_sc[v, cnt[v]] = np.float32(s)
+            cnt[v] += 1
+            fixed_any = True
+        if not fixed_any:
+            residue = np.asarray(leftover, dtype=np.int64)
+            break
+    if len(residue):
+        # append slots around the residue are exhausted — promote a
+        # bounded few to entries (entries seed every beam, so a flagged
+        # orphan is reachable by definition)
+        entries_out = np.unique(
+            np.concatenate([entries_out, residue[:16]])
+        )
+
+    # per-row score-desc order (T3 sorted-neighbor contract)
+    order = np.argsort(-nbr_sc, axis=1, kind="stable")
+    nbr_id = np.take_along_axis(nbr_id, order, axis=1)
+    neighbors = [nbr_id[i][nbr_id[i] >= 0] for i in range(n)]
+    return neighbors, entries_out
+
+
 # ----------------------------------------------------------- build (Spark)
 def _graph_dir(index, seg_name: str) -> str:
     return os.path.join(index._segments[seg_name]["dir"], "graph")
@@ -274,6 +552,7 @@ def build_graph(
     ef_construction: int | None = None,
     segments: list[str] | None = None,
     rebuild: bool = False,
+    method: str = "auto",
 ) -> None:
     """Build per-partition Vamana graphs for the index's segments (M3/M4).
 
@@ -285,7 +564,16 @@ def build_graph(
     GraphIndexBuilder.java:98 ``alpha = dimension <= 3 ? 2.0 : 1.2``).
     Slim (``store_fp32='none'``) segments build from dequantized NVQ
     reconstructions — the highest-resolution stored payload, the same
-    contract compaction uses."""
+    contract compaction uses.
+
+    ``method``: ``"exact"`` = O(n_p^2) blocked-GEMM candidate lists;
+    ``"incremental"`` = the reference's batched insert loop
+    (``GraphIndexBuilder.java:436``), O(n_p x ef_c x degree); ``"auto"``
+    (default) picks incremental above ``_INCR_BUILD_THRESHOLD`` rows —
+    the deliberately-coarse-layout path (few large partitions for bulk
+    traversal)."""
+    if method not in ("auto", "exact", "incremental"):
+        raise ValueError(f"unknown graph build method {method!r}")
     ef_c = int(ef_construction or 2 * degree)
     manifest = index.manifest
     met = manifest.metric
@@ -300,11 +588,11 @@ def build_graph(
         data = index._segment_data(seg_name)
         cols = ["part_id", "id"] + (["nvq", "nvq_params"] if slim else ["vec"])
         b = index.spark.sparkContext.broadcast(
-            (degree, alpha, overflow, ef_c, met, packed, slim, dim)
+            (degree, alpha, overflow, ef_c, met, packed, slim, dim, method)
         )
 
         def build(pdf: pd.DataFrame) -> pd.DataFrame:
-            deg, al, ov, efc, m_, pk, sl, d_ = b.value
+            deg, al, ov, efc, m_, pk, sl, d_, mth = b.value
             part = int(pdf["part_id"].iloc[0])
             pdf = pdf.sort_values("id", kind="stable").reset_index(drop=True)
             if sl:
@@ -324,14 +612,26 @@ def build_graph(
                 ).copy()
             else:
                 x = kernels.as_matrix(pdf["vec"], dtype=np.float32)
-            nbrs, entry = _build_partition_graph(x, deg, al, ov, efc, m_)
+            if mth == "incremental" or (
+                mth == "auto" and len(x) > _INCR_BUILD_THRESHOLD
+            ):
+                nbrs, entry = _build_partition_graph_incremental(
+                    x, deg, al, ov, efc, m_
+                )
+            else:
+                nbrs, entry = _build_partition_graph(x, deg, al, ov, efc, m_)
             ids = pdf["id"].to_numpy(dtype=np.int64)
+            # exact builder: one medoid entry; incremental: multi-entry
+            # spread (the edges format's per-row flag carries either)
+            entry_mask = np.isin(
+                np.arange(len(ids)), np.atleast_1d(np.asarray(entry))
+            )
             return pd.DataFrame(
                 {
                     "part_id": np.full(len(ids), part, dtype=np.int32),
                     "id": ids,
                     "neighbors": [ids[nb] for nb in nbrs],  # GLOBAL ids
-                    "entry": np.arange(len(ids)) == entry,
+                    "entry": entry_mask,
                 }
             )
 
@@ -353,6 +653,7 @@ def build_graph(
                     "overflow": overflow,
                     "ef_construction": ef_c,
                     "metric": met,
+                    "method": method,
                 },
                 f,
             )
