@@ -1340,6 +1340,42 @@ def _ann_ivf_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 _oracle("ann_ivf_graph", _gate_oracle(n_results=10))
 
 
+@_register("ann_ivf_graph_incremental")
+def _ann_ivf_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batched-insert) Vamana build end-to-end (new r9): the
+    reference's actual build loop — search the partial graph for each new
+    node's candidates, RobustPrune, insert forward + backlink edges
+    (graph/GraphIndexBuilder.java:436 addGraphNode) — plus multi-entry
+    spread and the orphan-reconnection pass (reconnectOrphanedNodes
+    precedent, CHANGELOG.md #335/#359). O(n_p) per partition vs the
+    exact builder's O(n_p^2): the build path for deliberately COARSE
+    layouts (large partitions for bulk traversal). Recall-gated like
+    ann_ivf_graph: per-query recall@10 vs the exact oracle >= 0.5."""
+    import tempfile
+
+    from jvector_spark.operators import exact
+    from jvector_spark.operators.graph import graph_meta
+    from jvector_spark.operators.index import IVFIndexBuilder
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    tmp = tempfile.mkdtemp(prefix="jvs_entry_graph_incr_")
+    idx = IVFIndexBuilder(metric="COSINE", pq_m=8, n_partitions=4).fit(
+        corpus, tmp
+    )
+    idx.build_graph(degree=16, ef_construction=32, method="incremental")
+    assert graph_meta(idx, idx.manifest.segments[0].name)["method"] == (
+        "incremental"
+    )
+    queries = corpus.filter(F.col("id") < 16).selectExpr("id as qid", "vec")
+    res = idx.search_graph(queries, k=10, n_probe=4, ef_search=64)
+    gt = exact.knn_join(corpus, queries, k=10, metric="COSINE", strategy="numpy")
+    return _recall_gate(res, gt, min_hits=5)
+
+
+_oracle("ann_ivf_graph_incremental", _gate_oracle(n_results=10))
+
+
 @_register("ann_ivf_anisotropic")
 def _ann_ivf_anisotropic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search with ANISOTROPIC PQ codebooks on the dot-product corpus
@@ -2113,16 +2149,13 @@ _oracle("events_sessionize", _events_sessionize_oracle())
 # most stable operators) go last and absorb the cap. New rows added in a
 # round belong in _GATE_FIRST until they have a green driver row.
 _GATE_FIRST = [
-    # new in r8 — no driver row yet
-    "hdf5_roundtrip",  # S3 pure-python HDF5 source (closes the last §2.1 partial)
-    "ann_ivf_spill_auto",  # spill='auto' payload-driven resolution
-    # r7-new rows keep one more in-window round (1 green row each)
-    "ann_ivf_graph",
-    "ann_ivf_slim",
-    "ann_ivf_pqm_auto",
-    "ann_ivf_adaptive",
-    "split_by_key",
-    "shuffle_corpus",
+    # new in r9 — no driver row yet
+    "ann_ivf_graph_incremental",  # batched-insert Vamana build (coarse layouts)
+    # r8: hdf5_roundtrip was the one RED row (non-Arrow createDataFrame,
+    # fixed in sources/hdf5.py) — stays front-of-window until green twice
+    "hdf5_roundtrip",
+    "ann_ivf_spill_auto",  # 1 green driver row (r8)
+    # r7-new rows with 2 green rows (r7+r8) moved to the mid section
 ]
 # multi-round-green stable rows rotated out of the 50-row window this
 # round (every one has >= 2 green driver rows + a pytest twin; the
@@ -2147,6 +2180,9 @@ _GATE_LAST = [
     "fvecs_roundtrip",
     "ordinal_renumber",
     "knn_join_wide",
+    # rotated out in r9 (the new ann_ivf_graph_incremental row takes a
+    # window slot): green r7+r8, keyed-window pytest twin in test_events
+    "events_sessionize",
 ]
 
 
