@@ -80,25 +80,71 @@ __all__ = ["build_graph", "graph_search"]
 
 _ALPHA_STEP = 0.2  # VamanaDiversityProvider.java:78 (currentAlpha += 0.2f)
 
+# Per-process scratch buffers for the numpy hot loops, keyed by role.
+# Fresh large allocations are NOT cheap: page-fault + zeroing of a new
+# 64 MB buffer measured 1.5-2.7 s on the build host (the GEMM filling it:
+# 0.04 s) — per-call allocation turned the incremental graph build into
+# an allocator benchmark. Buffers grow geometrically and are reused
+# across calls (python workers are single-threaded; the pool is bounded
+# by the handful of roles below x the largest shape seen by the worker).
+_SCRATCH: dict = {}
+
+
+def _scratch(role: str, shape: tuple, dtype) -> np.ndarray:
+    need = 1
+    for s in shape:
+        need *= int(s)
+    key = (role, np.dtype(dtype).str)
+    buf = _SCRATCH.get(key)
+    if buf is None or buf.size < need:
+        buf = np.empty(int(need * 1.25) + 16, dtype=dtype)
+        _SCRATCH[key] = buf
+    return buf[:need].reshape(shape)
+
+
+def _take_rows(role: str, x: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """Gather x's rows at ``idx`` (negatives clamp to 0) into per-role
+    scratch — ``x[np.maximum(idx, 0)]`` without the fresh allocation."""
+    out = _scratch(role, idx.shape + (x.shape[1],), x.dtype)
+    np.take(x, idx, axis=0, mode="clip", out=out)
+    return out
+
 
 # --------------------------------------------------------------- numpy core
 def _pair_sims(met: str, v: np.ndarray) -> np.ndarray:
     """(B, C, d) candidate vectors -> (B, C, C) pairwise similarity in the
     engine's normalized (0,1] score space (kernels.similarity semantics).
 
-    np.matmul dispatches to BATCHED GEMM; the einsum('bcd,bed->bce') it
-    replaces fell back to a non-BLAS loop (measured: the d=1024 graph
-    build spent ~100 s here — the diversity pass is n x C^2 x d flops and
-    dominates the build at high dim)."""
-    dots = np.matmul(v, v.transpose(0, 2, 1))
+    Implementation notes (both matter — measured on the build host):
+    a python loop of 2-D GEMMs per batch row (np.matmul's batched path
+    and einsum both fall off the BLAS fast path here), writing into a
+    REUSED scratch buffer with in-place epilogues (a fresh (B, C, C)
+    allocation costs 30-70x the GEMMs that fill it on this host's
+    page-fault path). Returns a view of per-role scratch: consume it
+    before the next _pair_sims call."""
+    b_n, c_n, _ = v.shape
+    dots = _scratch("pair_dots", (b_n, c_n, c_n), v.dtype)
+    for b in range(b_n):
+        np.dot(v[b], v[b].T, out=dots[b])
     if met == "DOT_PRODUCT":
-        return (1.0 + dots) / 2.0
+        dots += 1.0
+        dots *= 0.5
+        return dots
     nn = np.einsum("bcd,bcd->bc", v, v)
     if met == "EUCLIDEAN":
-        d2 = np.maximum(nn[:, :, None] + nn[:, None, :] - 2.0 * dots, 0.0)
-        return 1.0 / (1.0 + d2)
+        dots *= -2.0
+        dots += nn[:, :, None]
+        dots += nn[:, None, :]
+        np.maximum(dots, 0.0, out=dots)
+        dots += 1.0
+        np.reciprocal(dots, out=dots)
+        return dots
     nrm = np.sqrt(np.maximum(nn, 1e-30))
-    return (1.0 + dots / (nrm[:, :, None] * nrm[:, None, :])) / 2.0
+    dots /= nrm[:, :, None]
+    dots /= nrm[:, None, :]
+    dots += 1.0
+    dots *= 0.5
+    return dots
 
 
 def _retain_diverse_batch(
@@ -194,7 +240,7 @@ def _build_partition_graph(
         sel = np.zeros_like(valid)
         for lo in range(0, len(idx), diversity_block):
             hi = min(lo + diversity_block, len(idx))
-            v = x[np.maximum(idx[lo:hi], 0)]
+            v = _take_rows("prune_v", x, idx[lo:hi])
             sel[lo:hi] = _retain_diverse_batch(
                 _pair_sims(met, v), sc[lo:hi], valid[lo:hi], degree, alpha
             )
@@ -349,12 +395,15 @@ def _build_partition_graph_incremental(
     g0 = np.maximum(nbr_id[:seed_n], 0)
     nbr_sc[:seed_n] = np.where(
         valid0,
-        _exact_sims_gathered(met, x[:seed_n], x[g0], nn_all[:seed_n], nn_all[g0]),
+        _exact_sims_gathered(
+            met, x[:seed_n], _take_rows("sc_v", x, g0),
+            nn_all[:seed_n], nn_all[g0],
+        ),
         np.float32(-np.inf),
     )
 
     def diverse(idx: np.ndarray, sc: np.ndarray, valid: np.ndarray) -> np.ndarray:
-        v = x[np.maximum(idx, 0)]
+        v = _take_rows("div_v", x, idx)
         return _retain_diverse_batch(_pair_sims(met, v), sc, valid, degree, alpha)
 
     for b0 in range(seed_n, n, batch):
@@ -369,14 +418,19 @@ def _build_partition_graph_incremental(
 
         def score_fn(aq: np.ndarray, cand: np.ndarray) -> np.ndarray:
             safe = np.maximum(cand, 0)
-            return _exact_sims_gathered(met, qx[aq], x[safe], q_nn[aq], nn_all[safe])
+            return _exact_sims_gathered(
+                met, qx[aq], _take_rows("hop_v", x, cand),
+                q_nn[aq], nn_all[safe],
+            )
 
         beams = _batch_beam(score_fn, nbr_id, entries, bsz, b0, ef_c)
         valid_b = beams >= 0
         safe_b = np.maximum(beams, 0)
         sc_b = np.where(
             valid_b,
-            _exact_sims_gathered(met, qx, x[safe_b], q_nn, nn_all[safe_b]),
+            _exact_sims_gathered(
+                met, qx, _take_rows("sc_v", x, beams), q_nn, nn_all[safe_b]
+            ),
             np.float32(-np.inf),
         )
         sel = diverse(beams, sc_b, valid_b)
@@ -687,10 +741,16 @@ def _traverse_scores(
         )
         return (1.0 - pop / float(bdim)).astype(np.float32)
     _, luts32, _mag_lut, m = stage1
-    sel = codes[safe]  # (A, C, m)
-    partial = luts32[
-        qsel[:, None, None], np.arange(m)[None, None, :], sel
-    ].sum(axis=2, dtype=np.float32)
+    # reused scratch + per-subspace accumulation: the one-shot fancy
+    # gather materialized TWO fresh (A, C, m) intermediates per hop —
+    # pure page-fault cost at bulk shapes (see _scratch)
+    sel = _scratch("trav_sel", safe.shape + (m,), codes.dtype)
+    np.take(codes, safe, axis=0, out=sel)  # (A, C, m)
+    partial = _scratch("trav_partial", safe.shape, np.float32)
+    partial[:] = 0.0
+    qcol = qsel[:, None]
+    for i in range(m):
+        partial += luts32[qcol, i, sel[:, :, i]]
     qn = q_norms[qsel].astype(np.float32)
     if qc_part is not None:  # residual decomposition (pq_residual)
         full = partial + qc_part[:, None].astype(np.float32)
@@ -732,7 +792,11 @@ def _batch_beam(
     beam_id = np.full((n_q, ef), -1, dtype=np.int64)
     beam_sc = np.full((n_q, ef), -np.inf, dtype=np.float32)
     beam_ex = np.ones((n_q, ef), dtype=bool)  # padding counts as expanded
-    visited = np.zeros((n_q, n_local), dtype=bool)
+    # reused scratch: a fresh (n_q, n_local) bool costs seconds of page
+    # faults at bulk shapes on the build host; memset on resident pages
+    # does not
+    visited = _scratch("beam_visited", (n_q, n_local), bool)
+    visited[:] = False
     e = entries[: min(len(entries), ef)]
     seed = np.tile(e, (n_q, 1))
     beam_sc[:, : len(e)] = score_fn(np.arange(n_q), seed)
@@ -898,6 +962,12 @@ def _traverse_rerank(
 
     # chunk the query axis so visited (Qc, n_local) stays bounded
     qc_chunk = max(1, int((128 << 20) // max(n_local, 1)))
+    # rerank sub-chunk: the (Qr, uniq) mask/score matrices are dense and
+    # uniq grows toward min(n_local, Qr x ef) — on LARGE partitions
+    # (coarse layouts) a whole qc_chunk's combined beam covers most of
+    # the partition and the matrices blow past worker memory (measured:
+    # worker OOM-crash at n_local ~40k, 3.3k queries/chunk). Bound
+    # Qr x uniq to ~2^25 f32 cells (128 MB), min 64 queries per pass.
     out = []
     for lo in range(0, n_q, qc_chunk):
         hi = min(lo + qc_chunk, n_q)
@@ -907,37 +977,44 @@ def _traverse_rerank(
             nbr_mat, entries, hi - lo, n_local, ef,
             counters=tel_acc, expand=bw,
         )
-        uniq = np.unique(beams[beams >= 0])
-        if len(uniq) == 0:
-            continue
-        # membership mask: each query reranks only ITS beam
-        mask = np.zeros((hi - lo, len(uniq)), dtype=bool)
-        for qi in range(hi - lo):
-            bm = beams[qi][beams[qi] >= 0]
-            mask[qi, np.searchsorted(uniq, bm)] = True
-        oq, oi, osc = _fused_block_topk(
-            met, kk, ef,
-            q_ids[sub], q_mat[sub],
-            s1_sel[1][sub] if s1_sel[0] == "pq" else None,
-            s1_sel[2] if s1_sel[0] == "pq" else None,
-            q_nrm[sub], ids[uniq], codes[uniq],
-            vec_rows=(
-                None if nvq_c is not None
-                else data_pdf["vec"].iloc[uniq].reset_index(drop=True)
-            ),
-            nvq=(
-                (nvq_c,
-                 data_pdf["nvq"].iloc[uniq].reset_index(drop=True),
-                 data_pdf["nvq_params"].iloc[uniq].reset_index(drop=True))
-                if nvq_c is not None else None
-            ),
-            bq=(s1_sel[1][sub], s1_sel[2]) if s1_sel[0] == "bq" else None,
-            mask=mask,
-            counters=tel_acc,
-            residual=(qc_vec[sub], rsq[uniq]) if qc_vec is not None else None,
-            strict_mask=True,  # results come ONLY from this query's beam
-        )
-        out.append(pd.DataFrame({"qid": oq, "id": oi, "score": osc}))
+        r_chunk = max(64, int((1 << 25) // max(min(n_local, (hi - lo) * ef), 1)))
+        for r0 in range(lo, hi, r_chunk):
+            r1 = min(r0 + r_chunk, hi)
+            rsub = np.arange(r0, r1)
+            rbeams = beams[r0 - lo: r1 - lo]
+            uniq = np.unique(rbeams[rbeams >= 0])
+            if len(uniq) == 0:
+                continue
+            # membership mask: each query reranks only ITS beam
+            mask = np.zeros((r1 - r0, len(uniq)), dtype=bool)
+            for qi in range(r1 - r0):
+                bm = rbeams[qi][rbeams[qi] >= 0]
+                mask[qi, np.searchsorted(uniq, bm)] = True
+            oq, oi, osc = _fused_block_topk(
+                met, kk, ef,
+                q_ids[rsub], q_mat[rsub],
+                s1_sel[1][rsub] if s1_sel[0] == "pq" else None,
+                s1_sel[2] if s1_sel[0] == "pq" else None,
+                q_nrm[rsub], ids[uniq], codes[uniq],
+                vec_rows=(
+                    None if nvq_c is not None
+                    else data_pdf["vec"].iloc[uniq].reset_index(drop=True)
+                ),
+                nvq=(
+                    (nvq_c,
+                     data_pdf["nvq"].iloc[uniq].reset_index(drop=True),
+                     data_pdf["nvq_params"].iloc[uniq].reset_index(drop=True))
+                    if nvq_c is not None else None
+                ),
+                bq=(s1_sel[1][rsub], s1_sel[2]) if s1_sel[0] == "bq" else None,
+                mask=mask,
+                counters=tel_acc,
+                residual=(
+                    (qc_vec[rsub], rsq[uniq]) if qc_vec is not None else None
+                ),
+                strict_mask=True,  # results come ONLY from this query's beam
+            )
+            out.append(pd.DataFrame({"qid": oq, "id": oi, "score": osc}))
     return pd.concat(out, ignore_index=True) if out else _empty_result()
 
 
@@ -1323,6 +1400,22 @@ def _graph_search_distributed(
             queries_df, info, n_probe, query_id_col, query_vec_col,
             metric=met, probe_ratio=probe_ratio,
         )
+        # COARSE layouts put the whole query load on a handful of
+        # (partition) groups — far fewer tasks than cores (measured:
+        # 6 tasks on 32 cores at n_partitions=8). Salt the group key by
+        # query hash so every partition's queries spread across enough
+        # tasks to fill the cluster; each salted group re-reads its
+        # partition (tens of MB, trivial next to the traversal) and the
+        # union of per-group top-k sets still contains the global top-k
+        # per (query, partition), so results are identical.
+        par = index.spark.sparkContext.defaultParallelism
+        group_salt = max(
+            1, int(math.ceil(2.0 * par / max(manifest.n_partitions, 1)))
+        )
+        if group_salt > 1:
+            assigned = assigned.withColumn(
+                "_gs", F.pmod(F.xxhash64(F.col("qid")), F.lit(group_salt))
+            )
         cents = info["centroids"] if res_mode else None
         b = index.spark.sparkContext.broadcast(
             (pq, met, k_ret, ef, beam_width, use_nvq, manifest.dim,
@@ -1392,8 +1485,9 @@ def _graph_search_distributed(
 
             return bulk
 
+        group_cols = ["part_id"] + (["_gs"] if group_salt > 1 else [])
         parts_out.append(
-            assigned.groupby("part_id").applyInPandas(
+            assigned.groupby(*group_cols).applyInPandas(
                 _make_bulk(b, tel_acc, dirs),
                 schema="qid long, id long, score double",
             )

@@ -96,11 +96,11 @@ def main() -> None:
         cidx.build_graph(degree=32, ef_construction=64)
         res["coarse_graph_build_wall"] = round(time.perf_counter() - t0, 1)
 
-        for np_, ef in [(4, 64), (6, 64), (6, 100), (8, 100)]:
-            tag = f"coarse_np{np_}_ef{ef}"
+        for np_, ef, bw in [(4, 64, 8), (6, 100, 8), (8, 100, 8)]:
+            tag = f"coarse_np{np_}_ef{ef}_bw{bw}"
             t0 = time.perf_counter()
             r = cidx.search_graph(
-                qall, 10, n_probe=np_, ef_search=ef,
+                qall, 10, n_probe=np_, ef_search=ef, beam_width=bw,
                 strategy="distributed", m_hint=n,
             ).persist()
             n_out = r.count()
