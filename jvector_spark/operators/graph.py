@@ -778,6 +778,7 @@ def _batch_beam(
     ef: int,
     counters=None,
     expand: int | None = None,
+    return_scores: bool = False,
 ) -> np.ndarray:
     """Vectorized multi-query best-first beam search (GraphSearcher.java
     beam semantics, batched over the query axis): every hop expands each
@@ -853,7 +854,10 @@ def _batch_beam(
         beam_id[aq] = np.take_along_axis(all_id, order, axis=1)
         beam_sc[aq] = np.take_along_axis(all_sc, order, axis=1)
         beam_ex[aq] = np.take_along_axis(all_ex, order, axis=1)
-    return np.where(beam_sc > -np.inf, beam_id, -1)
+    masked = np.where(beam_sc > -np.inf, beam_id, -1)
+    if return_scores:
+        return masked, beam_sc
+    return masked
 
 
 def _empty_result() -> pd.DataFrame:
@@ -911,7 +915,9 @@ def _decode_partition(
     entries = np.flatnonzero(edge_pdf["entry"].to_numpy())
     if len(entries) == 0:
         entries = np.array([0])
-    if is_bq:
+    if width is None:  # exact steering: stage-1 codes never touched
+        codes = None
+    elif is_bq:
         codes = np.frombuffer(
             b"".join(data_pdf["codes"]), dtype=np.uint64
         ).reshape(n_local, width)
@@ -920,7 +926,7 @@ def _decode_partition(
             b"".join(data_pdf["codes"]), dtype=np.uint8
         ).reshape(n_local, width).astype(np.int64)
     mags = None
-    if need_mags and not is_bq:
+    if need_mags and not is_bq and codes is not None:
         mags = np.sqrt(
             np.maximum(mag_lut[np.arange(width), codes].sum(axis=1), 1e-30)
         ).astype(np.float32)
@@ -953,6 +959,55 @@ def _traverse_rerank(
     data_pdf, ids, nbr_mat, entries, codes, mags, rsq = part_pack
     n_local = len(ids)
     n_q = len(q_ids)
+
+    if s1_sel[0] == "exact":
+        # EXACT steering (steer='exact'): the beam scores hops from the
+        # stored fp32 vectors, so beam scores ARE the final exact scores
+        # — no second-pass rerank, and within-partition beam recall is
+        # graph-limited instead of code-limited (measured d=64/m=8 on a
+        # 40k-row coarse partition: PQ-steered bulk recall 0.47 vs 0.92
+        # exact-steered at the same ef/wall — stage-1 codes are too
+        # coarse to steer LONG traversals across big mixed partitions).
+        # At d<=~128 the gathered-vector hop costs the same as the LUT
+        # hop (both allocator/bandwidth-bound, ~2.6 s per 2000 queries).
+        pk, dim = s1_sel[1], s1_sel[2]
+        if pk:
+            xm = np.frombuffer(
+                b"".join(data_pdf["vec"]), np.float32
+            ).reshape(n_local, dim)
+        else:
+            xm = kernels.as_matrix(data_pdf["vec"], dtype=np.float32)
+        xnn = np.einsum("ij,ij->i", xm, xm)
+        q32 = q_mat.astype(np.float32, copy=False)
+        qnn = np.einsum("ij,ij->i", q32, q32)
+
+        def score_exact(aq: np.ndarray, cand: np.ndarray) -> np.ndarray:
+            return _exact_sims_gathered(
+                met, q32[aq], _take_rows("trav_x", xm, cand),
+                qnn[aq], xnn[np.maximum(cand, 0)],
+            )
+
+        qc_chunk = max(1, int((128 << 20) // max(n_local, 1)))
+        out = []
+        take = min(kk, ef)
+        for lo in range(0, n_q, qc_chunk):
+            hi = min(lo + qc_chunk, n_q)
+            sub = np.arange(lo, hi)
+            beams, bsc = _batch_beam(
+                lambda a, c: score_exact(sub[a], c),
+                nbr_mat, entries, hi - lo, n_local, ef,
+                counters=tel_acc, expand=bw, return_scores=True,
+            )
+            tid = beams[:, :take]  # beam rows are score-desc
+            tsc = bsc[:, :take]
+            valid = tid >= 0
+            cnts = valid.sum(axis=1)
+            out.append(pd.DataFrame({
+                "qid": np.repeat(q_ids[sub], cnts),
+                "id": ids[tid[valid]],
+                "score": tsc[valid].astype(np.float64),
+            }))
+        return pd.concat(out, ignore_index=True) if out else _empty_result()
 
     def score_fn(aq: np.ndarray, cand: np.ndarray) -> np.ndarray:
         return _traverse_scores(
@@ -1032,6 +1087,7 @@ def graph_search(
     beam_width: int | None = None,
     strategy: str = "auto",
     m_hint: int | None = None,
+    steer: str = "pq",
 ) -> DataFrame:
     """Graph-traversal ANN over the index's per-partition Vamana graphs.
 
@@ -1080,6 +1136,16 @@ def graph_search(
     Predicates / accept lists are not supported on the traversal route —
     use ``IVFIndex.search(predicate=..., accept_ids=...)``.
 
+    ``steer`` picks the beam's stage-1 scorer: ``"pq"`` (default — the
+    reference's compressed-first-pass search) or ``"exact"`` (stored
+    fp32 vectors score the hops AND the results, no second pass;
+    requires a non-slim index). Exact steering is the COARSE-layout bulk
+    path: on large mixed partitions the m-byte codes are too coarse to
+    steer long traversals (measured zipf-1.5, 8x~12k partitions:
+    PQ-steered bulk recall 0.47 vs 0.92 within-partition exact-steered
+    at the same ef), and at d<=~128 the exact hop costs the same as the
+    LUT hop.
+
     ``ef_search`` defaults to ``max(2k, overquery*k)`` (the beam width /
     per-partition candidate pool — GraphSearcher's rerankK analog).
     ``beam_width`` is DiskANN's W: nodes expanded per hop; >1 cuts the
@@ -1110,6 +1176,14 @@ def graph_search(
     rerank_k = max(k, int(round(overquery * k)))
     k_ret = min(ef, max(k, rerank_k))  # rerank pool per partition
     use_nvq = manifest.rerank == "nvq" or index._slim
+    if steer not in ("pq", "exact"):
+        raise ValueError(f"unknown steer {steer!r} (use 'pq' or 'exact')")
+    if steer == "exact" and use_nvq:
+        raise ValueError(
+            "steer='exact' needs stored fp32 vectors — this index is "
+            "slim/NVQ-reranked (store_fp32='none' or rerank='nvq'); "
+            "use the default PQ steering"
+        )
     if strategy == "auto":
         if not query_side_is_big(queries_df, m_hint):
             strategy = "broadcast"
@@ -1164,13 +1238,14 @@ def graph_search(
         scanned = _graph_search_distributed(
             index, queries_df, met, emit_k, ef, n_probe,
             query_id_col, query_vec_col, probe_ratio, beam_width,
-            use_nvq, data_cols, tel_acc,
+            use_nvq, data_cols, tel_acc, steer_exact=steer == "exact",
         )
     elif strategy == "broadcast":
         scanned = _graph_search_broadcast(
             index, queries_df, met, emit_k, ef, n_probe,
             query_id_col, query_vec_col, probe_ratio, beam_width,
             use_nvq, data_cols, tel_acc, _partition_score_bounds,
+            steer_exact=steer == "exact",
         )
     else:
         raise ValueError(f"unknown search strategy {strategy!r}")
@@ -1254,7 +1329,7 @@ def _read_partition(dirs: tuple, part: int):
 def _graph_search_broadcast(
     index, queries_df, met, k_ret, ef, n_probe,
     query_id_col, query_vec_col, probe_ratio, beam_width,
-    use_nvq, data_cols, tel_acc, score_bounds,
+    use_nvq, data_cols, tel_acc, score_bounds, steer_exact=False,
 ) -> DataFrame | None:
     manifest = index.manifest
     qrows = collect_point_query_batch(
@@ -1288,7 +1363,12 @@ def _graph_search_broadcast(
             continue
         from jvector_spark.operators.quantize.bq import BinaryQuantizer
 
-        if isinstance(pq, BinaryQuantizer):
+        if steer_exact:
+            res_mode = False  # stage-1 codes unused
+            stage1 = ("exact", manifest.vec_format == "packed_f32",
+                      manifest.dim, None)
+            need_mags = False
+        elif isinstance(pq, BinaryQuantizer):
             stage1 = ("bq", pq.encode_numpy(qmat), pq.dim, pq.words)
             need_mags = False
         else:
@@ -1340,11 +1420,12 @@ def _graph_search_broadcast(
                         if pack is None:
                             continue
                         qsel = np.asarray(q_idx)
-                        s1_sel = (
-                            ("pq", s1[1][qsel], s1[2], s1[3])
-                            if s1[0] == "pq"
-                            else ("bq", s1[1][qsel], s1[2], s1[3])
-                        )
+                        if s1[0] == "exact":
+                            s1_sel = s1  # no per-query stage-1 payload
+                        elif s1[0] == "pq":
+                            s1_sel = ("pq", s1[1][qsel], s1[2], s1[3])
+                        else:
+                            s1_sel = ("bq", s1[1][qsel], s1[2], s1[3])
                         out = _traverse_rerank(
                             pack, m_, kk, ef_, bw,
                             q_ids[qsel], q_mat[qsel], q_nrm[qsel],
@@ -1377,7 +1458,7 @@ def _graph_search_broadcast(
 def _graph_search_distributed(
     index, queries_df, met, k_ret, ef, n_probe,
     query_id_col, query_vec_col, probe_ratio, beam_width,
-    use_nvq, data_cols, tel_acc,
+    use_nvq, data_cols, tel_acc, steer_exact=False,
 ) -> DataFrame | None:
     """Bulk graph route: query replicas shuffle to their probed
     partitions (the ONLY exchange — Q x n_probe rows); each (partition,
@@ -1395,7 +1476,10 @@ def _graph_search_distributed(
         from jvector_spark.operators.quantize.bq import BinaryQuantizer
 
         is_bq = isinstance(pq, BinaryQuantizer)
+        if steer_exact:  # stage-1 codes unused: no LUTs, no residual math
+            res_mode = False
         need_mags = met == "COSINE" and not res_mode and not is_bq
+        need_mags = need_mags and not steer_exact
         assigned = index._assign_probes(
             queries_df, info, n_probe, query_id_col, query_vec_col,
             metric=met, probe_ratio=probe_ratio,
@@ -1419,7 +1503,7 @@ def _graph_search_distributed(
         cents = info["centroids"] if res_mode else None
         b = index.spark.sparkContext.broadcast(
             (pq, met, k_ret, ef, beam_width, use_nvq, manifest.dim,
-             res_mode, cents, need_mags, packed)
+             res_mode, cents, need_mags, packed, steer_exact)
         )
         dirs = _seg_dirs(
             index, seg.name, data_cols + (["rsq"] if res_mode else [])
@@ -1428,14 +1512,19 @@ def _graph_search_distributed(
         def _make_bulk(b, tel_acc, dirs):
             def bulk(key, qpdf: pd.DataFrame) -> pd.DataFrame:
                 (pq_, m_, kk, ef_, bw, unvq, dim, res_m, cents_, nm,
-                 pk) = b.value
+                 pk, sx) = b.value
                 part = int(key[0])
                 data_pdf, edge_pdf = _read_partition(dirs, part)
                 if data_pdf is None or len(qpdf) == 0:
                     return _empty_result()
-                width = pq_.words if hasattr(pq_, "words") else pq_.m
                 is_bq_ = hasattr(pq_, "words")
-                mag_lut = None if is_bq_ else pq_.magnitude_lut()
+                width = (
+                    None if sx
+                    else (pq_.words if is_bq_ else pq_.m)
+                )
+                mag_lut = (
+                    None if (is_bq_ or sx) else pq_.magnitude_lut()
+                )
                 pack = _decode_partition(
                     data_pdf, edge_pdf, is_bq_, width, nm, mag_lut, res_m
                 )
@@ -1463,7 +1552,9 @@ def _graph_search_distributed(
                 for lo in range(0, len(q_ids), step):
                     hi = min(lo + step, len(q_ids))
                     qm = qmat[lo:hi]
-                    if is_bq_:
+                    if sx:
+                        s1_sel = ("exact", pk, dim, None)
+                    elif is_bq_:
                         s1_sel = ("bq", pq_.encode_numpy(qm), pq_.dim,
                                   pq_.words)
                     else:

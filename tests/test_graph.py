@@ -233,6 +233,25 @@ def test_build_graph_incremental_method_e2e(spark, sf_dir):
     assert _recall(rows, gt.collect()) >= 0.9
 
 
+def test_graph_search_exact_steer(spark, graph_index):
+    """steer='exact': fp32-steered beams, no second pass — recall is
+    graph-limited, and the broadcast/distributed routes agree
+    bit-for-bit (same kernel, same score space)."""
+    idx, corpus = graph_index
+    q = corpus.limit(8).selectExpr("id as qid", "vec")
+    gt = exact.knn_join(corpus, q, 5, metric="COSINE", strategy="numpy")
+    r_b = idx.search_graph(q, 5, n_probe=8, ef_search=64, steer="exact")
+    rows_b = r_b.collect()
+    assert _recall(rows_b, gt.collect()) >= 0.9
+    r_d = idx.search_graph(
+        q, 5, n_probe=8, ef_search=64, steer="exact",
+        strategy="distributed", m_hint=10**9,
+    )
+    assert sorted(map(tuple, rows_b)) == sorted(map(tuple, r_d.collect()))
+    with pytest.raises(ValueError, match="steer"):
+        idx.search_graph(q, 5, steer="cosine-ish")
+
+
 def test_graph_search_recall_and_exact_scores(spark, graph_index):
     idx, corpus = graph_index
     queries = corpus.filter(F.col("id") < 16).selectExpr("id as qid", "vec")

@@ -96,11 +96,21 @@ def main() -> None:
         cidx.build_graph(degree=32, ef_construction=64)
         res["coarse_graph_build_wall"] = round(time.perf_counter() - t0, 1)
 
-        for np_, ef, bw in [(4, 64, 8), (6, 100, 8), (8, 100, 8)]:
-            tag = f"coarse_np{np_}_ef{ef}_bw{bw}"
+        # beam_width=1 (the default at these ef): profiled 4-10x faster
+        # than w=8 per query batch — wider hops inflate per-hop argsort
+        # and gather cost more than they save in hop count here.
+        # steer='exact': PQ-steered coarse traversal measured 0.47 @
+        # 842 s (np4/ef64) and 0.55 @ 1214 s (np6/ef100) at 100k — the
+        # m-byte codes can't steer long traversals across big mixed
+        # partitions; fp32 steering costs the same per hop at d=64.
+        for np_, ef, steer in [
+            (4, 64, "exact"), (6, 100, "exact"), (8, 100, "exact"),
+            (6, 100, "pq"),  # the negative-result point, kept measured
+        ]:
+            tag = f"coarse_np{np_}_ef{ef}_{steer}"
             t0 = time.perf_counter()
             r = cidx.search_graph(
-                qall, 10, n_probe=np_, ef_search=ef, beam_width=bw,
+                qall, 10, n_probe=np_, ef_search=ef, steer=steer,
                 strategy="distributed", m_hint=n,
             ).persist()
             n_out = r.count()
