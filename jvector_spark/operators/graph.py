@@ -320,6 +320,64 @@ def _exact_sims_gathered(
     return ((1.0 + dots / (qn[:, None] * cn)) / 2.0).astype(np.float32)
 
 
+def _exact_sims_block(
+    met: str,
+    q: np.ndarray,
+    c: np.ndarray,
+    q_nn: np.ndarray,
+    c_nn: np.ndarray,
+) -> np.ndarray:
+    """q (B, d) vs a SHARED candidate block c (P, d) -> (B, P): the
+    seed-scoring twin of :func:`_exact_sims_gathered` (same normalized
+    score space, same formulas). One broadcast einsum instead of a
+    (B, P, d) per-pair gather — seed candidates are identical for every
+    query, so the gathered form would move ~P/ef times the bytes of a
+    beam hop for zero extra information.
+
+    Deliberately ``einsum`` and NOT a BLAS ``q @ c.T``: einsum's default
+    (non-optimized) path reduces each (b, p) pair over d in a fixed
+    order, BIT-IDENTICAL to the gathered hop kernel — so a row scored at
+    seed time equals the same row scored at hop time, and the broadcast /
+    distributed routes (which chunk queries differently) stay
+    bit-for-bit equal. A BLAS GEMM's reduction order depends on the
+    batch shape (measured: last-ULP drift -> route-parity test failure)."""
+    dots = np.einsum("bd,pd->bp", q, c)
+    if met == "DOT_PRODUCT":
+        return ((1.0 + dots) / 2.0).astype(np.float32)
+    if met == "EUCLIDEAN":
+        d2 = np.maximum(q_nn[:, None] + c_nn[None, :] - 2.0 * dots, 0.0)
+        return (1.0 / (1.0 + d2)).astype(np.float32)
+    qn = np.sqrt(np.maximum(q_nn, 1e-30))
+    cn = np.sqrt(np.maximum(c_nn, 1e-30))
+    return (
+        (1.0 + dots / (qn[:, None] * cn[None, :])) / 2.0
+    ).astype(np.float32)
+
+
+def _pilot_entries(entries: np.ndarray, n_local: int, ef: int) -> np.ndarray:
+    """Search-time pilot set: stored entry rows + ordinal-strided rows.
+
+    The hierarchy analog, applied at SEARCH time (ref
+    ``GraphIndexBuilder.java:98`` addHierarchy / ``GraphSearcher.java``
+    upper-layer descent): HNSW's upper layers are a progressively coarser
+    SAMPLE of the corpus that walks the query near its neighborhood
+    before the layer-0 beam starts. A strided ordinal sample of the
+    partition is the same object (ids are cluster-agnostic), and scoring
+    it is ONE (Q, d) x (d, P) GEMM — cheaper than the ~hops x degree
+    sequential hop scores it replaces (measured at the 40k-row coarse
+    shape: 145 hops -> ~40 with 256 pilots; wall and visited both drop).
+
+    Capped at ``n_local // 16`` so small partitions (standard fine
+    layouts) keep their graph-route character instead of degenerating
+    into an exhaustive scan — at the cap the seed scores touch <= 6% of
+    the partition."""
+    n_pil = min(max(4 * ef, 64), max(len(entries), n_local // 16))
+    if n_pil <= len(entries):
+        return entries
+    pil = np.linspace(0, n_local - 1, num=n_pil).astype(np.int64)
+    return np.unique(np.concatenate([np.asarray(entries, np.int64), pil]))
+
+
 # Above this many rows a partition's graph builds incrementally: the
 # exact candidate pass is O(n_p^2) GEMM and crosses over with the
 # beam-insert path around ~64k rows (measured d=64; higher dims cross
@@ -411,9 +469,17 @@ def _build_partition_graph_incremental(
         bsz = b1 - b0
         qx = x[b0:b1]
         q_nn = nn_all[b0:b1]
-        # ordinal-strided entry spread over everything inserted so far
+        # ordinal-strided PILOT spread over everything inserted so far
+        # (wider than the n_entries stored in the graph: insert beams pay
+        # one block GEMM for per-query entries and save the long medoid
+        # descent — the same hierarchy analog the search path uses)
         entries = np.unique(
-            np.linspace(0, b0 - 1, num=min(n_entries, b0)).astype(np.int64)
+            np.linspace(0, b0 - 1, num=min(max(4 * ef_c, 64), b0)).astype(
+                np.int64
+            )
+        )
+        e_sc = _exact_sims_block(
+            met, qx, _take_rows("pil_b", x, entries), q_nn, nn_all[entries]
         )
 
         def score_fn(aq: np.ndarray, cand: np.ndarray) -> np.ndarray:
@@ -423,7 +489,9 @@ def _build_partition_graph_incremental(
                 q_nn[aq], nn_all[safe],
             )
 
-        beams = _batch_beam(score_fn, nbr_id, entries, bsz, b0, ef_c)
+        beams = _batch_beam(
+            score_fn, nbr_id, entries, bsz, b0, ef_c, seed_sc=e_sc
+        )
         valid_b = beams >= 0
         safe_b = np.maximum(beams, 0)
         sc_b = np.where(
@@ -779,6 +847,7 @@ def _batch_beam(
     counters=None,
     expand: int | None = None,
     return_scores: bool = False,
+    seed_sc: np.ndarray | None = None,
 ) -> np.ndarray:
     """Vectorized multi-query best-first beam search (GraphSearcher.java
     beam semantics, batched over the query axis): every hop expands each
@@ -788,6 +857,14 @@ def _batch_beam(
     best-first termination). ``expand`` is DiskANN's beamwidth W — >1
     trades a few percent extra visited rows for W-fold fewer sequential
     hops (the Python-loop constant); defaults to ``max(1, ef // 64)``.
+
+    ``entries`` may exceed ``ef`` (pilot seeding, ``_pilot_entries``):
+    each query keeps its own top-``ef`` of the seed scores. ``seed_sc``
+    (n_q, len(entries)) lets the caller supply those scores from one
+    block GEMM (``_exact_sims_block``) — the seed candidates are shared
+    across queries, so the per-(q, c) gathered form wastes bandwidth.
+    Pilots that miss the kept beam stay marked visited: they scored
+    under ef in-beam rows, so best-first would never expand them.
     Returns (n_q, ef) local ordinals, -1 padded."""
     w = int(expand) if expand else max(1, ef // 64)
     beam_id = np.full((n_q, ef), -1, dtype=np.int64)
@@ -798,12 +875,33 @@ def _batch_beam(
     # does not
     visited = _scratch("beam_visited", (n_q, n_local), bool)
     visited[:] = False
-    e = entries[: min(len(entries), ef)]
-    seed = np.tile(e, (n_q, 1))
-    beam_sc[:, : len(e)] = score_fn(np.arange(n_q), seed)
-    beam_id[:, : len(e)] = seed
-    beam_ex[:, : len(e)] = False
-    visited[:, e] = True
+    entries = np.asarray(entries, dtype=np.int64)
+    if seed_sc is not None or len(entries) > ef:
+        sc = (
+            seed_sc
+            if seed_sc is not None
+            else score_fn(np.arange(n_q), np.tile(entries, (n_q, 1)))
+        )
+        p = len(entries)
+        if p > ef:
+            top = np.argpartition(-sc, ef - 1, axis=1)[:, :ef]
+            beam_id[:] = entries[top]
+            beam_sc[:] = np.take_along_axis(sc, top, axis=1)
+            beam_ex[:] = False
+        else:
+            beam_id[:, :p] = entries[None, :]
+            beam_sc[:, :p] = sc
+            beam_ex[:, :p] = False
+        visited[:, entries] = True
+    else:
+        e = entries[: min(len(entries), ef)]
+        seed = np.tile(e, (n_q, 1))
+        beam_sc[:, : len(e)] = score_fn(np.arange(n_q), seed)
+        beam_id[:, : len(e)] = seed
+        beam_ex[:, : len(e)] = False
+        visited[:, e] = True
+    if counters is not None:  # seed scores are visits too (recall-per-IO)
+        counters[0].add(int(n_q * min(len(entries), n_local)))
     max_hops = 8 * ef + 16  # safety rail; best-first converges in ~ef/w hops
     qall = np.arange(n_q)
     deg = nbr_mat.shape[1]
@@ -990,13 +1088,19 @@ def _traverse_rerank(
         qc_chunk = max(1, int((128 << 20) // max(n_local, 1)))
         out = []
         take = min(kk, ef)
+        pil = _pilot_entries(entries, n_local, ef)
         for lo in range(0, n_q, qc_chunk):
             hi = min(lo + qc_chunk, n_q)
             sub = np.arange(lo, hi)
+            psc = _exact_sims_block(
+                met, q32[sub], _take_rows("pil_x", xm, pil),
+                qnn[sub], xnn[pil],
+            )
             beams, bsc = _batch_beam(
                 lambda a, c: score_exact(sub[a], c),
-                nbr_mat, entries, hi - lo, n_local, ef,
+                nbr_mat, pil, hi - lo, n_local, ef,
                 counters=tel_acc, expand=bw, return_scores=True,
+                seed_sc=psc,
             )
             tid = beams[:, :take]  # beam rows are score-desc
             tsc = bsc[:, :take]
@@ -1024,12 +1128,13 @@ def _traverse_rerank(
     # worker OOM-crash at n_local ~40k, 3.3k queries/chunk). Bound
     # Qr x uniq to ~2^25 f32 cells (128 MB), min 64 queries per pass.
     out = []
+    pil = _pilot_entries(entries, n_local, ef)
     for lo in range(0, n_q, qc_chunk):
         hi = min(lo + qc_chunk, n_q)
         sub = np.arange(lo, hi)
         beams = _batch_beam(
             lambda a, c: score_fn(sub[a], c),
-            nbr_mat, entries, hi - lo, n_local, ef,
+            nbr_mat, pil, hi - lo, n_local, ef,
             counters=tel_acc, expand=bw,
         )
         r_chunk = max(64, int((1 << 25) // max(min(n_local, (hi - lo) * ef), 1)))

@@ -18,8 +18,11 @@ from jvector_spark.operators import exact
 from jvector_spark.operators.graph import (
     _batch_beam,
     _build_partition_graph,
+    _exact_sims_block,
+    _exact_sims_gathered,
     _knn_candidates,
     _pair_sims,
+    _pilot_entries,
     _retain_diverse_batch,
     graph_meta,
 )
@@ -582,3 +585,78 @@ def test_graph_search_distributed_bulk(spark, sf_dir):
         k=5, metric="COSINE", strategy="numpy",
     ).collect()
     assert _recall(sample, gt) >= 0.7
+
+
+def test_pilot_entries_caps():
+    """Pilot set: strided spread capped at n_local//16 (small partitions
+    keep graph-route character), always a superset of stored entries."""
+    ent = np.array([5, 900], dtype=np.int64)
+    # large partition: 4*ef pilots
+    pil = _pilot_entries(ent, 100_000, 64)
+    assert len(pil) <= 256 + len(ent)
+    assert set(ent).issubset(set(pil.tolist()))
+    assert pil.max() < 100_000
+    # small partition: cap n_local//16 binds (but never below entries)
+    pil_s = _pilot_entries(ent, 320, 64)
+    assert len(pil_s) <= max(320 // 16, len(ent)) + len(ent)
+    # tiny: unchanged entries
+    assert np.array_equal(_pilot_entries(ent, 16, 64), ent)
+
+
+def test_exact_sims_block_bitwise_matches_gathered():
+    """Seed scores must be BIT-identical to hop scores (route parity:
+    the broadcast/distributed routes chunk queries differently, so any
+    shape-dependent reduction order would drift the reported scores)."""
+    rng = np.random.default_rng(0)
+    c = rng.normal(size=(113, 64)).astype(np.float32)
+    cn = np.einsum("ij,ij->i", c, c)
+    for b_n in (1, 3, 257):
+        q = rng.normal(size=(b_n, 64)).astype(np.float32)
+        qn = np.einsum("ij,ij->i", q, q)
+        for met in ("COSINE", "DOT_PRODUCT", "EUCLIDEAN"):
+            blk = _exact_sims_block(met, q, c, qn, cn)
+            gat = _exact_sims_gathered(
+                met, q,
+                np.broadcast_to(c, (b_n, 113, 64)).copy(),
+                qn, np.broadcast_to(cn, (b_n, 113)).copy(),
+            )
+            assert np.array_equal(blk, gat)
+
+
+def test_batch_beam_pilot_seeding_topef():
+    """entries > ef: each query's beam seeds from ITS top-ef pilots, and
+    the pilot-seeded beam finds the same best rows as the medoid-seeded
+    one on a connected graph."""
+    rng = np.random.default_rng(3)
+    n, d, ef = 2000, 16, 16
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    xnn = np.einsum("ij,ij->i", x, x)
+    nbrs, entry = _build_partition_graph(x, 12, 1.2, 1.2, 32, "COSINE")
+    width = max(len(a) for a in nbrs)
+    nbr_mat = np.full((n, width), -1, np.int64)
+    for i, a in enumerate(nbrs):
+        nbr_mat[i, : len(a)] = a
+    q = x[:8]
+    qnn = xnn[:8]
+
+    def score_fn(aq, cand):
+        return _exact_sims_gathered(
+            "COSINE", q[aq], x[np.maximum(cand, 0)], qnn[aq],
+            xnn[np.maximum(cand, 0)],
+        )
+
+    ents = np.atleast_1d(np.asarray(entry, dtype=np.int64))
+    base, base_sc = _batch_beam(
+        score_fn, nbr_mat, ents, 8, n, ef, return_scores=True
+    )
+    pil = _pilot_entries(ents, n, ef)
+    assert len(pil) > ef  # the seeding path under test
+    psc = _exact_sims_block("COSINE", q, x[pil], qnn, xnn[pil])
+    seeded, seeded_sc = _batch_beam(
+        score_fn, nbr_mat, pil, 8, n, ef, seed_sc=psc, return_scores=True
+    )
+    # each query's own row is its best hit on both paths (self top-1)
+    assert np.array_equal(base[:, 0], np.arange(8))
+    assert np.array_equal(seeded[:, 0], np.arange(8))
+    # pilot seeding never lands a WORSE beam: per-query best-5 mean score
+    assert float(seeded_sc[:, :5].mean()) >= float(base_sc[:, :5].mean()) - 1e-6

@@ -19,6 +19,11 @@ the fused route on the standard layout at matched wall.
 
     python tools/bulk_coarse_probe.py [n] [zipf_s] [out.json]
 
+Env knobs (the 1M run costs each point its own wall — pick points):
+  PROBE_POINTS   comma list "np:ef:steer" (default the 100k A/B set)
+  PROBE_FUSED    "0" skips the fused-layout B arm (r8 bench already
+                 carries its 1M numbers)
+
 Prints one JSON line with all measured points.
 """
 
@@ -90,11 +95,17 @@ def main() -> None:
             n_partitions=n_parts,
         ).fit(corpus, f"{xdir}/cidx")
         res["coarse_build_wall"] = round(time.perf_counter() - t0, 1)
+        print(f"coarse build: {res['coarse_build_wall']}s", file=sys.stderr)
         sizes = [s.n_rows for s in cidx.manifest.segments]
         res["coarse_n_partitions"] = n_parts
         t0 = time.perf_counter()
         cidx.build_graph(degree=32, ef_construction=64)
         res["coarse_graph_build_wall"] = round(time.perf_counter() - t0, 1)
+        print(
+            f"coarse graph build: {res['coarse_graph_build_wall']}s "
+            f"(gt {res['gt_wall']}s)",
+            file=sys.stderr,
+        )
 
         # beam_width=1 (the default at these ef): profiled 4-10x faster
         # than w=8 per query batch — wider hops inflate per-hop argsort
@@ -103,11 +114,21 @@ def main() -> None:
         # 842 s (np4/ef64) and 0.55 @ 1214 s (np6/ef100) at 100k — the
         # m-byte codes can't steer long traversals across big mixed
         # partitions; fp32 steering costs the same per hop at d=64.
-        for np_, ef, steer in [
-            (4, 64, "exact"), (6, 100, "exact"), (8, 100, "exact"),
-            (6, 100, "pq"),  # the negative-result point, kept measured
-        ]:
+        pts_env = os.environ.get("PROBE_POINTS", "")
+        if pts_env:
+            pts = [
+                (int(a), int(b), c)
+                for a, b, c in (p.split(":") for p in pts_env.split(","))
+            ]
+        else:
+            pts = [
+                (4, 64, "exact"), (6, 100, "exact"), (8, 100, "exact"),
+                (6, 100, "pq"),  # the negative-result point, kept measured
+            ]
+        for pt_i, (np_, ef, steer) in enumerate(pts):
             tag = f"coarse_np{np_}_ef{ef}_{steer}"
+            if tag in res["points"]:  # repeated point (warm-wall probe)
+                tag = f"{tag}_rep{pt_i}"
             t0 = time.perf_counter()
             r = cidx.search_graph(
                 qall, 10, n_probe=np_, ef_search=ef, steer=steer,
@@ -124,6 +145,17 @@ def main() -> None:
             print(f"{tag}: recall={rec} wall={wall}s", file=sys.stderr)
 
         # ---------------- fused route on the standard layout ------------
+        if os.environ.get("PROBE_FUSED", "1") == "0":
+            gt.unpersist()
+            res["coarse_partition_rows_mean"] = (
+                float(np.mean(sizes)) if sizes else 0
+            )
+            line = json.dumps(res)
+            print(line)
+            if out_path:
+                with open(out_path, "w") as f:
+                    f.write(line)
+            return
         t0 = time.perf_counter()
         fidx = IVFIndexBuilder(
             metric="COSINE", pq_m=8, spill=2, fine_factor=8,
