@@ -316,14 +316,29 @@ def _fused_block_topk(
         # (n_q, r_w) bool: which selected candidates the query's own mask
         # admits — refilled (out-of-mask) slots get dropped after rerank
         valid_all = np.take_along_axis(mask, cand_idx, axis=1)
-    uniq = np.unique(cand_idx.ravel())
+    block_mat = isinstance(vec_rows, np.ndarray)
+    uniq = (
+        np.unique(cand_idx.ravel())
+        if (counters is not None or not block_mat)
+        else None
+    )
     if stages is not None:
         now = time.perf_counter()
         stages["topk"].add(int((now - t_mark) * 1e6))
         t_mark = now
     if counters is not None:
         counters[1].add(int(len(uniq)))  # stage-2 reranked rows
-    if nvq is not None:
+    if block_mat:
+        # r9 fast path: the caller pre-decoded the WHOLE row block once
+        # (tile/batch-level), so each chunk gathers candidate rows with a
+        # plain numpy index instead of a per-chunk pandas .iloc +
+        # bytes-join + frombuffer (profiled: the rerank stage was 3,238
+        # kernel core-seconds of the 1M bulk search, mostly that Python
+        # object churn — rows re-gather across every 512-query chunk).
+        # f32 block values cast to f64 per gathered chunk below — exact,
+        # so rerank scores are bit-identical.
+        x = vec_rows
+    elif nvq is not None:
         nvq_codec, nvq_series, params_series = nvq
         nvq_rows = np.frombuffer(
             b"".join(nvq_series.iloc[uniq]), dtype=np.uint8
@@ -341,7 +356,9 @@ def _fused_block_topk(
     # per-row lexsort exactly, ties included.
     n_q, r_w = cand_idx.shape
     top = min(k, r_w)
-    pos = np.searchsorted(uniq, cand_idx)  # (Q, R) -> rows of x
+    # block_mat: cand_idx indexes the full block directly; otherwise map
+    # into the compacted uniq gather
+    pos = cand_idx if block_mat else np.searchsorted(uniq, cand_idx)
     cand_ids_all = ids[cand_idx]
     out_q = np.repeat(q_ids, top)
     out_i = np.empty((n_q, top), dtype=np.int64)
@@ -353,6 +370,8 @@ def _fused_block_topk(
         hi = min(lo + qc, n_q)
         qm = q_mat[lo:hi]
         xs = x[pos[lo:hi]]  # (Qc, R, d)
+        if xs.dtype != np.float64:
+            xs = xs.astype(np.float64)  # f32 storage -> f64 exact
         dotp = np.einsum("qd,qrd->qr", qm, xs)
         if met == "EUCLIDEAN":
             aa = np.einsum("qd,qd->q", qm, qm)
@@ -821,6 +840,22 @@ class IVFIndexBuilder:
         """
         from jvector_spark.operators.quantize.kmeans import kmeans_pp
 
+        # JVS_BUILD_TRACE=1: per-phase driver walls to stderr (measurement
+        # aid, guide §1 — zero overhead when off)
+        import sys as _sys
+
+        _trace_on = os.environ.get("JVS_BUILD_TRACE") == "1"
+        _t_mark = [time.perf_counter()]
+
+        def _tr(phase: str) -> None:
+            if _trace_on:
+                now = time.perf_counter()
+                print(
+                    f"[build-trace] {phase}: {now - _t_mark[0]:.2f}s",
+                    file=_sys.stderr,
+                )
+                _t_mark[0] = now
+
         spark = df.sparkSession
         df = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
         par = spark.sparkContext.defaultParallelism
@@ -838,12 +873,35 @@ class IVFIndexBuilder:
             # not the 400 MB JVM shuffle it adds.)
             df = df.repartition(par)
 
-        # ---- job 1: count + sample in one pass ----
-        n, sample = self._sample_and_count(df)
-        dim = sample.shape[1]
+        # ---- jobs 1+2: count, then a bounded bottom-k sample fetch ----
+        # The cap is sized from what the trainers actually consume
+        # (kmeans Lloyd's set 128/centroid, fine_level 16/fine-centroid,
+        # codec prefix _CODEC_TRAIN_CAP) instead of always fetching
+        # self.sample_cap: at 100k x 1024-d with explicit n_partitions the
+        # default 128k cap shipped the ENTIRE corpus to the driver
+        # (profiled ~25 s of a 100 s build) to train on at most 65,536
+        # rows of it. The sample stays exact-uniform and key-sorted.
+        from jvector_spark.operators.sample import bottom_k_sample
+
+        n = int(df.count())
+        if n == 0:
+            raise ValueError("cannot build an index over an empty DataFrame")
         n_parts = self.n_partitions or max(1, min(MAX_CENTROIDS, int(math.sqrt(max(n, 1)))))
+        eff_cap = min(
+            self.sample_cap,
+            max(
+                _CODEC_TRAIN_CAP,
+                128 * n_parts,
+                16 * self.fine_factor * n_parts,
+                20_000,
+            ),
+        )
+        sample = bottom_k_sample(df, eff_cap, self.seed, n)
+        _tr("count + sample jobs")
+        dim = sample.shape[1]
 
         centroids = kmeans_pp(sample, n_parts, self.kmeans_iterations, self.seed)
+        _tr("kmeans_pp (driver)")
         # Codec-training view of the sample: the sample is sorted by its
         # uniform bottom-k key (operators/sample.py), so a PREFIX is itself
         # an exact-uniform subsample — 64k rows bound the driver-side PQ
@@ -949,6 +1007,7 @@ class IVFIndexBuilder:
                     train_mat, m=self.pq_m, **fit_kw
                 )
 
+        _tr("codec fit (driver)")
         seg_dir = os.path.join(path, "segments", seg_name)
         os.makedirs(seg_dir, exist_ok=True)
 
@@ -989,6 +1048,7 @@ class IVFIndexBuilder:
                 fine_of = [
                     np.flatnonzero(fine_owner == c) for c in range(len(centroids))
                 ]
+        _tr("fine_level (driver)")
         b = spark.sparkContext.broadcast((centroids, pq, nvq, fine, fine_of))
         # per-partition pruning stats (X4/ScoreTracker analog): Euclidean
         # radius, angular radius, max/min norm — rigorous score bounds let
@@ -1005,6 +1065,21 @@ class IVFIndexBuilder:
         def assign_encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from pyspark import TaskContext
 
+            ph: dict[str, float] | None = (
+                {} if os.environ.get("JVS_BUILD_TRACE") == "1" else None
+            )
+            ph_cpu: dict[str, float] = {}
+            cpu_mark = [time.process_time()]
+
+            def _ph(phase: str, t0: float) -> float:
+                now = time.perf_counter()
+                if ph is not None:
+                    ph[phase] = ph.get(phase, 0.0) + (now - t0)
+                    cnow = time.process_time()
+                    ph_cpu[phase] = ph_cpu.get(phase, 0.0) + (cnow - cpu_mark[0])
+                    cpu_mark[0] = cnow
+                return now
+
             cents, codec, nvq_codec, fine_cents, fine_of_ = b.value
             # candidate selection + codec encode run in f32 (the values
             # being stored ARE f32, so f32 reads are lossless; BLAS moves
@@ -1019,7 +1094,10 @@ class IVFIndexBuilder:
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
+                t0 = time.perf_counter()
+                cpu_mark[0] = time.process_time()
                 x = kernels.as_matrix(pdf["vec"], dtype=np.float32)
+                t0 = _ph("as_matrix", t0)
                 d = -2.0 * x @ cents32.T + cc32[None, :]  # dist^2 - ||x||^2 (argmin-safe)
                 if spill == 1:
                     pm = np.argmin(d, axis=1)[:, None]
@@ -1027,6 +1105,7 @@ class IVFIndexBuilder:
                     pm = np.argpartition(d, spill - 1, axis=1)[:, :spill]
                 rep = np.repeat(np.arange(len(x)), spill)
                 p = pm.ravel()  # partition of each stored copy
+                t0 = _ph("assign_gemm", t0)
                 # stats on the float32 values that will actually be stored,
                 # so the bounds hold exactly for what search later reads.
                 # PRIMARY copies only (r5): a spilled second-choice copy can
@@ -1038,29 +1117,62 @@ class IVFIndexBuilder:
                 # partition bound covers it, so any row with score >= t is
                 # found there; spilled copies in pruned partitions are the
                 # same rows (search dedups by id).
-                x32 = x.astype(np.float64)  # x is already the stored f32 values
-                xx = np.einsum("ij,ij->i", x32, x32)
+                # r9 optimization (guide §1.2 "don't compute things you
+                # throw away"): the stats pass used to run a SECOND full
+                # (n, k) f64 GEMM just to gather the assigned columns —
+                # profiled at ~1/3 of the encode task's CPU at d=1024.
+                # Only the per-copy dot with ITS assigned centroid is
+                # needed: O(n·spill·d) einsum instead of O(n·k·d) GEMM.
+                # The per-partition maxima then reduce via ONE sort +
+                # reduceat instead of a Python loop over unique parts.
+                # Same f64 arithmetic over the same stored f32 values
+                # (summation order differs at the ulp level; oracle- and
+                # parity-verified — the bounds remain covering because
+                # search recomputes scores, never reuses these dots).
+                x64 = x.astype(np.float64)  # x is already the stored f32 values
+                xx = np.einsum("ij,ij->i", x64, x64)
                 xn = np.sqrt(xx)
-                d32 = -2.0 * x32 @ cents.T + cc[None, :]
-                r2 = np.maximum(d32[rep, p] + xx[rep], 0.0)
-                dot_pc = (cc[p] - d32[rep, p]) / 2.0
+                dot_pc = np.einsum("ij,ij->i", x64[rep], cents[p])
+                r2 = np.maximum(xx[rep] - 2.0 * dot_pc + cc[p], 0.0)
                 cosang = dot_pc / np.maximum(xn[rep] * cn[p], 1e-30)
                 ang = np.arccos(np.clip(cosang, -1.0, 1.0))
                 if spill == 1:
                     primary = np.ones(len(rep), dtype=bool)
                 else:
-                    prim_col = np.argmin(d32[rep, p].reshape(len(x), spill), axis=1)
+                    d_sel = cc[p] - 2.0 * dot_pc  # dist^2 - ||x||^2, per copy
+                    prim_col = np.argmin(d_sel.reshape(len(x), spill), axis=1)
                     primary = np.zeros(len(rep), dtype=bool)
                     primary[np.arange(len(x)) * spill + prim_col] = True
+                xnr = xn[rep]
+                order_p = np.argsort(p, kind="stable")
+                ps = p[order_p]
+                starts_p = np.flatnonzero(np.r_[True, ps[1:] != ps[:-1]])
+                uniq_p = ps[starts_p]
+                prim_s = primary[order_p]
+                r2_max = np.maximum.reduceat(
+                    np.where(prim_s, r2[order_p], -np.inf), starts_p
+                )
+                ang_max = np.maximum.reduceat(
+                    np.where(prim_s, ang[order_p], -np.inf), starts_p
+                )
+                xn_max = np.maximum.reduceat(
+                    np.where(prim_s, xnr[order_p], -np.inf), starts_p
+                )
+                xn_min = np.minimum.reduceat(
+                    np.where(prim_s, xnr[order_p], np.inf), starts_p
+                )
+                has_prim = np.maximum.reduceat(
+                    prim_s.astype(np.float64), starts_p
+                )
+                cnts_p = np.diff(np.r_[starts_p, len(ps)])
                 stats = {}
-                for part in np.unique(p):
-                    mask = primary & (p == part)
-                    if mask.any():
+                for i, part in enumerate(uniq_p):
+                    if has_prim[i] > 0:
                         stats[int(part)] = (
-                            float(np.sqrt(r2[mask].max())),
-                            float(ang[mask].max()),
-                            float(xn[rep][mask].max()),
-                            float(xn[rep][mask].min()),
+                            float(np.sqrt(r2_max[i])),
+                            float(ang_max[i]),
+                            float(xn_max[i]),
+                            float(xn_min[i]),
                             1.0,
                         )
                     else:
@@ -1068,8 +1180,9 @@ class IVFIndexBuilder:
                         # (identity under max/max/max/min merge), no primary
                         stats[int(part)] = (0.0, 0.0, 0.0, np.inf, 0.0)
                 acc.add(stats)
-                for part, cnt in zip(*np.unique(p, return_counts=True)):
+                for part, cnt in zip(uniq_p, cnts_p):
                     task_counts[int(part)] = task_counts.get(int(part), 0) + int(cnt)
+                t0 = _ph("stats", t0)
                 rsq = None
                 if residual:
                     # per-COPY residual codes: a spilled copy's residual is
@@ -1086,6 +1199,7 @@ class IVFIndexBuilder:
                     codes = codec.encode_numpy(x)
                     code_bytes = [c.tobytes() for c in codes]
                     codes_rows = [code_bytes[i] for i in rep]
+                t0 = _ph("pq_encode", t0)
                 # dict order MUST mirror the output schema (mapInPandas
                 # matches columns positionally)
                 out = {"id": pdf["id"].to_numpy(dtype=np.int64)[rep]}
@@ -1098,11 +1212,13 @@ class IVFIndexBuilder:
                         out["vec"] = pdf["vec"].iloc[rep].reset_index(drop=True)
                 out["codes"] = codes_rows
                 out["part_id"] = p.astype(np.int32)
+                t0 = _ph("emit_vec", t0)
                 if nvq_codec is not None:
                     nvq_codes, nvq_params = nvq_codec.encode_numpy(x)
                     nvq_bytes = [c.tobytes() for c in nvq_codes]
                     out["nvq"] = [nvq_bytes[i] for i in rep]
                     out["nvq_params"] = [nvq_params[i] for i in rep]
+                t0 = _ph("nvq_encode", t0)
                 if fine_cents is not None:
                     if fine_of_ is not None:
                         # candidate fine cells come from the row's
@@ -1126,13 +1242,27 @@ class IVFIndexBuilder:
                         fd = -2.0 * x @ f32c.T + fc[None, :]
                         sub = np.argmin(fd, axis=1)
                     out["sub_id"] = sub.astype(np.int32)[rep]
+                t0 = _ph("fine_assign", t0)
                 if rsq is not None:  # keep column order aligned with schema
                     out["rsq"] = rsq
                 yield pd.DataFrame(out)
+                _ph("emit_df", t0)
             # ONE add per task, after the batch loop (pid-keyed overwrite
             # merge -> retry-idempotent; see _TaskPartCountParam)
             ctx = TaskContext.get()
             cnt_acc.add({(ctx.partitionId() if ctx else 0): task_counts})
+            if ph is not None:
+                import sys as _s
+
+                ctx_id = ctx.partitionId() if ctx else -1
+                print(
+                    f"[encode-trace] task {ctx_id}: "
+                    + " ".join(
+                        f"{k}={v:.2f}s/cpu{ph_cpu.get(k, 0.0):.2f}s"
+                        for k, v in ph.items()
+                    ),
+                    file=_s.stderr,
+                )
 
         schema = _DATA_SCHEMA
         if packed:
@@ -1181,6 +1311,7 @@ class IVFIndexBuilder:
             .partitionBy("part_id")
             .parquet(os.path.join(seg_dir, "data.parquet"))
         )
+        _tr("encode+write job")
 
         stat_rows = acc.value
         part_counts = np.zeros(len(centroids), dtype=np.int64)
@@ -2471,10 +2602,33 @@ class IVFIndex:
                 cs["rsq"].to_numpy(np.float32) if res_cents is not None else None
             )
             res_cent = res_cents[int(key[0])] if res_cents is not None else None
-            cs_vec = None if nvq_c is not None else cs["vec"]
-            nvq_pack = (
-                (nvq_c, cs["nvq"], cs["nvq_params"]) if nvq_c is not None else None
-            )
+            # r9: decode the tile's rerank payload ONCE when the expected
+            # candidate coverage reaches the tile size (bulk corpus-as-
+            # queries tiles re-gather the same rows in every 512-query
+            # chunk — the per-chunk pandas iloc + bytes-join was 3,238 of
+            # 14,540 kernel core-seconds at the 1M bulk shape); sparse
+            # point-query tiles keep the compacted per-chunk gather.
+            # fp32 blocks stay f32 here (lossless storage values) and are
+            # cast to f64 per gathered chunk — scores are bit-identical.
+            cs_vec, nvq_pack = None, None
+            block_cover = len(qs) * keep >= len(cs)
+            if nvq_c is not None:
+                if block_cover:
+                    nvq_rows_t = np.frombuffer(
+                        b"".join(cs["nvq"]), dtype=np.uint8
+                    ).reshape(len(cs), nvq_c.dim)
+                    nvq_params_t = np.stack(
+                        [np.asarray(v, dtype=np.float64) for v in cs["nvq_params"]]
+                    )
+                    cs_vec = nvq_c.decode_numpy(nvq_rows_t, nvq_params_t)
+                else:
+                    nvq_pack = (nvq_c, cs["nvq"], cs["nvq_params"])
+            else:
+                cs_vec = (
+                    kernels.as_matrix(cs["vec"], dtype=np.float32)
+                    if block_cover
+                    else cs["vec"]
+                )
             subs_rows = (
                 cs["sub_id"].to_numpy(dtype=np.int64) if n_fine_ else None
             )

@@ -75,9 +75,15 @@ def _kmeans_fast(
         counts = np.bincount(assign, minlength=k)
         # segment-sum via sort + reduceat (ONE pass over the matrix)
         # instead of d separate bincount passes — the d-iteration Python
-        # loop was ~1 s/round at d=1024
+        # loop was ~1 s/round at d=1024. The sums accumulate in the INPUT
+        # dtype (f32 for training samples): profiling the d=1024 build
+        # showed the per-round f64 convert-copy (points[order].astype) was
+        # 18.8 s of a 26 s kmeans_pp wall for no quality effect — segment
+        # means average <= a few thousand unit-scale values, ~1e-4 relative
+        # f32 error, far inside the cluster-assignment noise floor
+        # (regression-gated: test_kmeans_fast_mse_within_tolerance).
         order = np.argsort(assign, kind="stable")
-        sorted_pts = points[order].astype(np.float64, copy=False)
+        sorted_pts = points[order]
         a_sorted = assign[order]
         starts = np.flatnonzero(np.r_[True, a_sorted[1:] != a_sorted[:-1]])
         seg_sums = np.add.reduceat(sorted_pts, starts, axis=0)

@@ -170,12 +170,26 @@ class ProductQuantizer(VectorCompressor):
         # run the scoring BLAS in the input dtype (f32 encode passes halve
         # moved bytes; codebooks stay f64 at rest)
         books = self.codebooks.astype(mat.dtype, copy=False)
-        x = np.ascontiguousarray(mat.reshape(n, self.m, self.dsub).transpose(1, 0, 2))
+        books_t = [np.ascontiguousarray(books[i].T) for i in range(self.m)]
         half_bn = 0.5 * np.einsum("mkd,mkd->mk", books, books)
-        for i in range(self.m):
-            s = x[i] @ books[i].T
-            s -= half_bn[i][None, :]
-            codes[:, i] = np.argmax(s, axis=1)
+        # r9: chunk the ROW axis so each (rows, k) score block stays
+        # cache-resident through its argmax instead of streaming
+        # n x m x k x 4 bytes of scores to DRAM (at m=128 that is ~130 GB
+        # per 1M rows — the encode was bandwidth-bound, guide §2.3 "shuffle
+        # fewer bytes" applied to the memory bus). The per-row math is
+        # unchanged (same GEMM per row block, same argmax), so codes are
+        # identical. Strided row-slices of `mat` feed BLAS directly (lda
+        # carries the stride; the old up-front (m, n, dsub) transpose-copy
+        # measured no faster under concurrency and costs a full extra pass).
+        itemsize = mat.dtype.itemsize
+        chunk = max(64, min(n, (1 << 19) // max(self.clusters * itemsize, 1)))
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            block = mat[lo:hi]
+            for i in range(self.m):
+                s = block[:, i * self.dsub : (i + 1) * self.dsub] @ books_t[i]
+                s -= half_bn[i][None, :]
+                codes[lo:hi, i] = np.argmax(s, axis=1)
         return codes
 
     def encode(

@@ -569,14 +569,35 @@ def embedding_neardup(
             return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
                 {"id_a": "int64", "id_b": "int64", "cos": "float64"}
             )
-        la = kernels.as_matrix(left["v"])
-        rb = kernels.as_matrix(right["v"])
+        # r9 two-phase scoring (guide §1.2: the f64 (m, n) cosine matrix +
+        # its full-matrix np.round copy were ~2/3 of this operator's wall
+        # — ~42 GB of f64 traffic per 100k corpus for ~312 surviving
+        # pairs). Phase 1: f32 GEMM pre-filter with a 1e-3 margin (f32
+        # cosine error at d<=4096 is <~1e-5, so no true pair can be
+        # missed); phase 2: exact f64 rescore of the surviving pairs only
+        # — decoded from the same stored f32 values, so scores and the
+        # ROUND(x,6) >= t decision are unchanged (oracle-verified).
+        la32 = kernels.as_matrix(left["v"], dtype=np.float32)
+        rb32 = kernels.as_matrix(right["v"], dtype=np.float32)
+        cos32 = kernels.cosine(la32, rb32)
+        ia, ib = np.nonzero(cos32 >= threshold - 1e-3)
+        if len(ia) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+            )
+        a64 = la32[ia].astype(np.float64)
+        b64 = rb32[ib].astype(np.float64)
+        dots = np.einsum("ij,ij->i", a64, b64)
+        na = np.sqrt(np.einsum("ij,ij->i", a64, a64))
+        nb = np.sqrt(np.einsum("ij,ij->i", b64, b64))
+        denom = na * nb
+        denom[denom == 0.0] = 1.0
         # round BEFORE thresholding — matches the oracle's ROUND(x,6) >= t
-        cos = np.round(kernels.cosine(la, rb), 6)
-        ia, ib = np.nonzero(cos >= threshold)
+        vals = np.round(dots / denom, 6)
+        keep2 = vals >= threshold
+        ia, ib, vals = ia[keep2], ib[keep2], vals[keep2]
         ids_a = left["id"].to_numpy()[ia]
         ids_b = right["id"].to_numpy()[ib]
-        vals = cos[ia, ib]
         if b1 == b2:
             # same-block matrix contains both orientations + the diagonal
             keep = ids_a < ids_b
