@@ -263,15 +263,22 @@ def _fused_block_topk(
         # Approx scores only PICK rerank candidates (phase 2 re-scores
         # exactly in f64), so the narrower accumulator cannot change any
         # returned score.
+        # r9: each finished (rows, Q) block is transposed INTO a
+        # C-contiguous (Q, n) output while it is still cache-warm, instead
+        # of returning the F-ordered `.T` view of an (n, Q) buffer — the
+        # downstream full-matrix passes (mask np.where, topk np.partition,
+        # boundary-tie scan) run ~3x faster on C-contiguous rows
+        # (measured: partition 251 -> 84 ms, where 161 -> 50 ms per
+        # 512 x 16k tile) and the blocked transpose itself is cheaper
+        # than the plain row-write (962 vs 1271 ms/tile, bit-identical).
         lut_t = np.ascontiguousarray(luts.astype(np.float32).transpose(1, 2, 0))
-        accT = np.empty((len(ids), len(q_ids)), dtype=np.float32)
+        partial = np.empty((len(q_ids), len(ids)), dtype=np.float32)
         for lo in range(0, len(ids), 4096):
             hi = min(lo + 4096, len(ids))
             acc = lut_t[0][code_idx[lo:hi, 0]]  # fancy index -> fresh copy
             for mm in range(1, m):
                 acc += lut_t[mm][code_idx[lo:hi, mm]]
-            accT[lo:hi] = acc
-        partial = accT.T
+            partial[:, lo:hi] = acc.T
         if residual is not None:
             qc_dot, rsq = residual
             full = partial + qc_dot.astype(np.float32)[:, None]
