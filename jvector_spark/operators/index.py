@@ -923,10 +923,17 @@ class IVFIndexBuilder:
             # nearest-coarse assignment of the sample (the same rule the
             # encode pass uses for the PRIMARY copy); f32 throughout — the
             # sample is f32 storage values, and mixing dtypes would upcast
-            # a full sample-sized copy
+            # a full sample-sized copy. r9: routed through the THREADED
+            # chunked assigner (kmeans._nearest_chunked) — the inline
+            # single GEMM ran on this numpy build's 2-thread BLAS and
+            # profiled at 7.3 s of the 1M build's codec-fit phase
+            # (guide §5: serial driver data work).
+            from jvector_spark.operators.quantize.kmeans import (
+                _nearest_chunked,
+            )
+
             c_s = centroids.astype(s_t.dtype)
-            cc_s = np.einsum("ij,ij->i", c_s, c_s)
-            a = np.argmin(-2.0 * s_t @ c_s.T + cc_s[None, :], axis=1)
+            a = _nearest_chunked(s_t, c_s, None)
             res = s_t - c_s[a]
             if residual == "auto":
                 # Residual codes win exactly when the coarse clustering

@@ -11,6 +11,9 @@ the driver.
 
 from __future__ import annotations
 
+import os
+from concurrent.futures import ThreadPoolExecutor
+
 import numpy as np
 
 
@@ -82,6 +85,10 @@ def _kmeans_fast(
         # means average <= a few thousand unit-scale values, ~1e-4 relative
         # f32 error, far inside the cluster-assignment noise floor
         # (regression-gated: test_kmeans_fast_mse_within_tolerance).
+        # (A threaded chunk-split of this gather + reduceat was tried and
+        # measured SLOWER — numpy advanced indexing holds the GIL, so the
+        # chunks serialize and only pay thread overhead; the BLAS-backed
+        # assignment passes above are where threading wins.)
         order = np.argsort(assign, kind="stable")
         sorted_pts = points[order]
         a_sorted = assign[order]
@@ -122,18 +129,52 @@ def _init_pp_fast(points: np.ndarray, k: int, rng: np.random.Generator) -> np.nd
 
 _ASSIGN_CHUNK = 16_384  # bounds the (chunk, k) distance block to ~hundreds MB
 
+# r9 (guide §5: the driver should do almost no serial data work): this
+# numpy build's BLAS is compiled with MAX_THREADS=2, so every driver-side
+# training GEMM ran on <= 2 of the host's cores while the executors sat
+# idle between jobs. The chunk loops below were ALREADY independent
+# per-chunk writes into disjoint output slices — running the existing
+# chunks on a thread pool keeps each chunk's arithmetic byte-identical
+# (same shapes, same kernels; only the wall-clock interleaving changes)
+# and scales the assignment passes to the driver's cores. Only ever used
+# driver-side (kmeans_pp / fine_level / codec fit); executor kernels keep
+# their 32-way task parallelism instead.
+_DRIVER_THREADS = max(
+    1, int(os.environ.get("JVS_DRIVER_THREADS", min(16, os.cpu_count() or 1)))
+)
+_chunk_pool: ThreadPoolExecutor | None = None
+
+
+def _pool() -> ThreadPoolExecutor:
+    global _chunk_pool
+    if _chunk_pool is None:
+        _chunk_pool = ThreadPoolExecutor(max_workers=_DRIVER_THREADS)
+    return _chunk_pool
+
+
+def _run_chunked(work, n: int) -> None:
+    """Run ``work(lo, hi)`` over row chunks, threaded when it pays."""
+    chunks = [(lo, min(lo + _ASSIGN_CHUNK, n)) for lo in range(0, n, _ASSIGN_CHUNK)]
+    if len(chunks) <= 1 or _DRIVER_THREADS == 1:
+        for lo, hi in chunks:
+            work(lo, hi)
+        return
+    list(_pool().map(lambda c: work(c[0], c[1]), chunks))
+
 
 def _nearest_chunked(
     points: np.ndarray, cent: np.ndarray, pp: np.ndarray
 ) -> np.ndarray:
     cc = np.einsum("ij,ij->i", cent, cent)
     out = np.empty(len(points), dtype=np.int64)
-    for lo in range(0, len(points), _ASSIGN_CHUNK):
-        hi = lo + _ASSIGN_CHUNK
+
+    def work(lo: int, hi: int) -> None:
         d = points[lo:hi] @ cent.T
         d *= -2.0
         d += cc[None, :]
         out[lo:hi] = np.argmin(d, axis=1)  # pp term is row-constant
+
+    _run_chunked(work, len(points))
     return out
 
 
@@ -142,12 +183,14 @@ def _min_dist_chunked(
 ) -> np.ndarray:
     cc = np.einsum("ij,ij->i", cent, cent)
     out = np.empty(len(points), dtype=np.float64)
-    for lo in range(0, len(points), _ASSIGN_CHUNK):
-        hi = lo + _ASSIGN_CHUNK
+
+    def work(lo: int, hi: int) -> None:
         d = points[lo:hi] @ cent.T
         d *= -2.0
         d += cc[None, :]
         out[lo:hi] = d.min(axis=1) + pp[lo:hi]
+
+    _run_chunked(work, len(points))
     return np.maximum(out, 0.0)
 
 
@@ -198,8 +241,18 @@ def fine_level(
                 short += 1
     out = []
     owners = []
-    for cell, k_c in zip(nonempty, quota):
-        sub = points[assign == cell]
+    # r9: one stable argsort groups the sample by cell; per-cell rows come
+    # from a contiguous slice instead of a full boolean scan + gather per
+    # cell (n_coarse passes over the sample — ~1 s at the 1M shape).
+    # Stable sort preserves within-cell row order, so each ``sub`` is
+    # bit-identical to the points[assign == cell] it replaces (same rows,
+    # same order, same RNG consumption downstream).
+    order_by_cell = np.argsort(assign, kind="stable")
+    a_sorted = assign[order_by_cell]
+    cell_starts = np.searchsorted(a_sorted, nonempty, side="left")
+    cell_ends = np.searchsorted(a_sorted, nonempty, side="right")
+    for cell, k_c, s_, e_ in zip(nonempty, quota, cell_starts, cell_ends):
+        sub = points[order_by_cell[s_:e_]]
         k_c = int(min(k_c, len(sub)))
         if k_c >= len(sub):
             out.append(sub.astype(np.float64))
