@@ -3063,10 +3063,21 @@ class IVFIndex:
             (s for s in self.manifest.segments if s.name in set(sel)),
             key=lambda s: s.n_rows,
         )
+        _trace_on = os.environ.get("JVS_BUILD_TRACE") == "1"
+        _t_c = time.perf_counter()
         fresh = builder._build_segment(
             live, self.path, seg_name, "id", "vec", manifest=fresh,
             warm_pq=self._segments[largest.name]["pq"],
         )
+        if _trace_on:
+            import sys as _sys
+
+            print(
+                f"[build-trace] compact:segment_rebuild: "
+                f"{time.perf_counter() - _t_c:.2f}s",
+                file=_sys.stderr,
+            )
+            _t_c = time.perf_counter()
         import shutil
 
         t = os.path.join(self.path, "tombstones.parquet")
@@ -3091,6 +3102,14 @@ class IVFIndex:
                 ef_construction=rebuild_graph["ef_construction"],
                 segments=[seg_name],
             )
+            if _trace_on:
+                import sys as _sys
+
+                print(
+                    f"[build-trace] compact:graph_rebuild: "
+                    f"{time.perf_counter() - _t_c:.2f}s",
+                    file=_sys.stderr,
+                )
         # refresh SELF too: callers holding this object (streaming ingest's
         # foreachBatch closure, the IPC API) would otherwise keep a manifest
         # pointing at the GC'd segment dirs — an append after a dropped

@@ -86,6 +86,15 @@ from jvector_spark.pipeline.dedup import (
 # shuffle). 100k ids ~ 1.6 MB driver-side.
 _CAND_ID_CAP = 100_000
 
+# Pruning only pays once state is a multiple of the running batch: the
+# candidate-id collect is an extra job per batch (cand must materialize
+# early) and the In() scan replans the verify joins — measured r9 at the
+# bench's fb32x shape (state <= 3 deltas) as a 19 -> 31 s regression,
+# while the 12-batch trend probe (state up to 11 deltas) needs the prune
+# to stay flat. Below this state/delta byte ratio the batch keeps the
+# plain full-scan verify (r8 path, no extra job).
+_PRUNE_STATE_OVER_DELTA = 6.0
+
 
 def _make_shard_fn(threshold: float, state_ttl_ms: int | None):
     def shard_fn(
@@ -320,10 +329,13 @@ def stream_neardup_foreachbatch(
     100 TB. State is a plain parquet table — size O(corpus), rewritten
     only at compaction (size-tiered-ish: deltas fold into one compact
     table). Per-batch state touch (r9, the r8-verdict O(state) fix):
-    the verify sides read shh ONLY for collected candidate ids, pushed
-    as an In() predicate so parquet footer stats skip old deltas whose
-    doc_id ranges hold no candidate (deltas are id-clustered per epoch
-    by construction); the candidate join streams state's slim
+    once state bytes reach ``_PRUNE_STATE_OVER_DELTA`` times the running
+    delta's, the verify sides read shh ONLY for collected candidate ids,
+    pushed as an In() predicate so parquet footer stats skip old deltas
+    whose doc_id ranges hold no candidate (deltas are id-clustered per
+    epoch by construction); below that ratio the plain full-scan verify
+    is cheaper than the prune's extra collect job (measured r9, fb32x
+    shape). The candidate join streams state's slim
     (doc_id, bkey) rows map-side against the broadcast batch bands. The
     remaining per-batch O(state) terms are columnar single-column
     scans — the anti-join's doc_id column and the band explode's bands
@@ -480,27 +492,54 @@ def stream_neardup_foreachbatch(
         # broadcast-semi-join shape (still no state shuffle, just no
         # footer pruning). cand is cached so the id collect and the pair
         # join share one evaluation of the band join.
-        cand = cand.cache()
-        cand_ids = [
-            r[0]
-            for r in cand.select(
-                F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
-            )
-            .distinct()
-            .collect()
-        ]
-        _mark("cand_ids")
+        #
+        # The prune is CONDITIONAL on state actually dwarfing the batch
+        # (byte ratio from driver-side file stats — no job): its collect
+        # is an extra per-batch job and its filter replans the verify
+        # joins, which costs more than the skipped scan saves while
+        # state is only a few deltas deep (measured r9, fb32x shape).
+        def _dir_bytes(dirs: list[str]) -> int:
+            total = 0
+            for d in dirs:
+                for root, _, names in _os.walk(d):
+                    for nm in names:
+                        if not nm.startswith(("_", ".")):
+                            try:
+                                total += _os.path.getsize(
+                                    _os.path.join(root, nm)
+                                )
+                            except OSError:
+                                pass
+            return total
+
+        delta_bytes = _dir_bytes([f"{state_dir}/delta={epoch_id}"])
+        state_bytes = _dir_bytes(paths)
+        prune = (
+            delta_bytes > 0
+            and state_bytes >= _PRUNE_STATE_OVER_DELTA * delta_bytes
+        )
         both = new.unionByName(old)
-        if len(cand_ids) <= _CAND_ID_CAP:
-            both = both.filter(F.col("doc_id").isin(cand_ids))
-        else:
-            both = both.join(
-                cand.select(F.col("doc_a").alias("doc_id"))
-                .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
-                .distinct(),
-                "doc_id",
-                "left_semi",
-            )
+        if prune:
+            cand = cand.cache()
+            cand_ids = [
+                r[0]
+                for r in cand.select(
+                    F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+                )
+                .distinct()
+                .collect()
+            ]
+            _mark("cand_ids")
+            if len(cand_ids) <= _CAND_ID_CAP:
+                both = both.filter(F.col("doc_id").isin(cand_ids))
+            else:
+                both = both.join(
+                    cand.select(F.col("doc_a").alias("doc_id"))
+                    .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+                    .distinct(),
+                    "doc_id",
+                    "left_semi",
+                )
         sa = both.select(F.col("doc_id").alias("doc_a"), F.col("shh").alias("sh_a"))
         sb = both.select(F.col("doc_id").alias("doc_b"), F.col("shh").alias("sh_b"))
         inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
@@ -522,7 +561,8 @@ def stream_neardup_foreachbatch(
         pairs.write.mode("overwrite").parquet(
             f"{pairs_dir}/batch={epoch_id}"
         )
-        cand.unpersist()
+        if prune:
+            cand.unpersist()
         _mark("pairs_write")
         # size-tiered-ish state compaction: fold accumulated deltas
         # (epochs < e only — replay safety) into one compact table

@@ -111,6 +111,43 @@ def main() -> None:
                 f"reranked={tel.reranked_rows} stages={tel.stage_seconds}",
                 file=sys.stderr,
             )
+        elif mode == "compact1m":
+            # the bench's large_compact_1m shape: 1M index (graphs built)
+            # + 50k appended segment (graph built) + 1k deletes, then
+            # compact(). JVS_BUILD_TRACE=1 attributes the merged-segment
+            # rebuild phases; the graph rebuild is the remainder.
+            from pyspark.sql import functions as F
+
+            from jvector_spark.operators.index import IVFIndex  # noqa: F401
+
+            xl_n = 1_000_000
+            _probe.gen_corpus(xdir + "/xl", xl_n, 64, 1000, seed=11)
+            xcorpus = spark.read.parquet(f"{xdir}/xl/corpus.parquet")
+            t0 = time.perf_counter()
+            IVFIndexBuilder(
+                metric="COSINE", pq_m=8, spill=2, fine_factor=8,
+                n_partitions=16, pq_residual=True,
+            ).fit(xcorpus.limit(4096), f"{xdir}/xl/warm_idx")
+            t0 = _t("warm-up build", t0)
+            xidx = IVFIndexBuilder(
+                metric="COSINE", pq_m=8, spill=2, fine_factor=8,
+                n_partitions=1000, pq_residual=True,
+            ).fit(xcorpus, f"{xdir}/xl/idx")
+            t0 = _t("1m build (untimed here)", t0)
+            xidx.build_graph(degree=16, ef_construction=32)
+            t0 = _t("initial graph build 1m", t0)
+            n_app = 50_000
+            app = xcorpus.filter(F.col("id") < n_app).selectExpr(
+                f"id + {xl_n} as id", "vec"
+            )
+            xidx.append(app)
+            xidx.build_graph(degree=16, ef_construction=32)
+            del_ids = list(range(0, 100_000, 100))
+            xidx.delete(del_ids)
+            t0 = _t("append+graph+delete", t0)
+            spark.sparkContext.setJobDescription("profile: compact 1m")
+            xidx.compact()
+            _t("TIMED compact 1m", t0)
         elif mode == "dedup":
             import numpy as np
             import pyarrow as pa
