@@ -281,6 +281,7 @@ def stream_neardup_foreachbatch(
     compact_every: int = 16,
     trigger: dict | None = None,
     on_batch=None,
+    prune: str = "auto",
 ):
     """Streaming MinHash near-dup as a ``foreachBatch`` JOIN against a
     compacted parquet state table — the THROUGHPUT path (the keyed-state
@@ -343,6 +344,14 @@ def stream_neardup_foreachbatch(
     the keyed-state operator, whose ``state_ttl_ms`` gives windowed
     retention.
 
+    ``prune``: ``"auto"`` (default) applies the candidate-id state
+    pruning only once state bytes reach ``_PRUNE_STATE_OVER_DELTA`` x
+    the running delta's; ``"always"`` / ``"never"`` force one path —
+    ``"always"`` is what the state-growth gates use, so the flatness
+    they assert is the pruned path's, not an artifact of the onset
+    step between the two regimes. All three settings produce identical
+    pairs.
+
     Measured (r7, local[32], sf0.1 documents, 4 micro-batches): 877
     rows/s at 1,250 docs/batch (parity with the keyed-state op — fixed
     per-trigger cost dominates tiny batches) and 3,738 rows/s at 40k
@@ -357,6 +366,8 @@ def stream_neardup_foreachbatch(
     """
     import os as _os
 
+    if prune not in ("auto", "always", "never"):
+        raise ValueError(f"prune must be auto/always/never, got {prune!r}")
     rows_per_band = n_hashes // bands
     state_schema = "doc_id long, shh array<long>, bands array<string>"
 
@@ -512,14 +523,17 @@ def stream_neardup_foreachbatch(
                                 pass
             return total
 
-        delta_bytes = _dir_bytes([f"{state_dir}/delta={epoch_id}"])
-        state_bytes = _dir_bytes(paths)
-        prune = (
-            delta_bytes > 0
-            and state_bytes >= _PRUNE_STATE_OVER_DELTA * delta_bytes
-        )
+        if prune == "auto":
+            delta_bytes = _dir_bytes([f"{state_dir}/delta={epoch_id}"])
+            state_bytes = _dir_bytes(paths)
+            do_prune = (
+                delta_bytes > 0
+                and state_bytes >= _PRUNE_STATE_OVER_DELTA * delta_bytes
+            )
+        else:
+            do_prune = prune == "always"
         both = new.unionByName(old)
-        if prune:
+        if do_prune:
             cand = cand.cache()
             cand_ids = [
                 r[0]
@@ -561,7 +575,7 @@ def stream_neardup_foreachbatch(
         pairs.write.mode("overwrite").parquet(
             f"{pairs_dir}/batch={epoch_id}"
         )
-        if prune:
+        if do_prune:
             cand.unpersist()
         _mark("pairs_write")
         # size-tiered-ish state compaction: fold accumulated deltas

@@ -87,6 +87,7 @@ def main() -> None:
             threshold=0.5,
             compact_every=4,
             on_batch=on_batch,
+            prune="always",  # probe the pruned path's state scaling
         )
         q.awaitTermination()
         # drop batch 0 (JVM/codegen warm-up) from the trend stats
