@@ -579,8 +579,24 @@ def embedding_neardup(
         # ROUND(x,6) >= t decision are unchanged (oracle-verified).
         la32 = kernels.as_matrix(left["v"], dtype=np.float32)
         rb32 = kernels.as_matrix(right["v"], dtype=np.float32)
-        cos32 = kernels.cosine(la32, rb32)
-        ia, ib = np.nonzero(cos32 >= threshold - 1e-3)
+        # r9: the (m, n) score/denominator/mask matrices run in reused
+        # scratch (kernels.scratch) — a fresh ~150 MB triple per block
+        # pair serialized the 32 workers on the kernel mmap/page-zero
+        # path (same pathology measured on the graph build). Same ops,
+        # same operand order as kernels.cosine -> bit-identical scores.
+        m_, n_ = len(la32), len(rb32)
+        cos32 = kernels.scratch("dedup_cos", (m_, n_), np.float32)
+        np.matmul(la32, rb32.T, out=cos32)
+        na32 = np.sqrt(np.einsum("ij,ij->i", la32, la32))
+        nb32 = np.sqrt(np.einsum("ij,ij->i", rb32, rb32))
+        den32 = kernels.scratch("dedup_den", (m_, n_), np.float32)
+        np.multiply(na32[:, None], nb32[None, :], out=den32)
+        mask = kernels.scratch("dedup_mask", (m_, n_), np.bool_)
+        np.equal(den32, 0.0, out=mask)
+        den32[mask] = 1.0
+        cos32 /= den32
+        np.greater_equal(cos32, threshold - 1e-3, out=mask)
+        ia, ib = np.nonzero(mask)
         if len(ia) == 0:
             return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
                 {"id_a": "int64", "id_b": "int64", "cos": "float64"}
