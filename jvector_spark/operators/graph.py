@@ -104,10 +104,15 @@ def _block_pool():
     if _POOL is None:
         from concurrent.futures import ThreadPoolExecutor
 
+        # default: a quarter of the host's cores, 2..8 — big-partition
+        # tasks are rare within a stage, so a few threads fill the tail
+        # without oversubscribing hosts where many tasks run concurrently
+        # (the straggler regime this pool exists for has idle cores).
+        dflt = max(2, min(8, (os.cpu_count() or 8) // 4))
         try:
-            w = max(1, int(os.environ.get("JVS_TASK_THREADS", "8")))
+            w = max(1, int(os.environ.get("JVS_TASK_THREADS", str(dflt))))
         except ValueError:
-            w = 8
+            w = dflt
         _POOL = ThreadPoolExecutor(max_workers=w, thread_name_prefix="jvs-blk")
     return _POOL
 
