@@ -446,14 +446,21 @@ def main() -> None:
                 # near-dup crossover: exact blocked all-pairs vs the SAME
                 # corpus through the index's bound-pruned threshold search
                 # (the dedup_embedding_ivf shape; index already built above)
-                t0 = time.perf_counter()
-                n_pairs_exact = (
-                    embedding_neardup(
-                        lcorpus, threshold=0.98, id_col="id", vec_col="vec",
-                        n_blocks=16,
-                    ).count()
-                )
-                timings["large_dedup_exact_100k"] = round(time.perf_counter() - t0, 3)
+                # min-of-2, same rule as the headline list: the first
+                # call in a session pays one-time codegen/allocator
+                # warm-up an order of magnitude above the operator's
+                # steady wall (r9 isolated: 121 s then 7.9/7.6 s)
+                dwalls = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    n_pairs_exact = (
+                        embedding_neardup(
+                            lcorpus, threshold=0.98, id_col="id",
+                            vec_col="vec", n_blocks=16,
+                        ).count()
+                    )
+                    dwalls.append(time.perf_counter() - t0)
+                timings["large_dedup_exact_100k"] = round(min(dwalls), 3)
                 t0 = time.perf_counter()
                 n_pairs_ivf = (
                     lidx.threshold_search(
