@@ -179,6 +179,164 @@ def _bq_hamming_block(q_words: np.ndarray, c_words: np.ndarray, dim: int) -> np.
     return 1.0 - pop / float(dim)
 
 
+def _blockwise_adc_topk(
+    met: str,
+    rerank_k: int,
+    luts: np.ndarray,
+    mag_lut,
+    q_norms: np.ndarray,
+    ids: np.ndarray,
+    code_idx: np.ndarray,
+    mask=None,
+    residual=None,
+    timed: bool = False,
+    block: int = 4096,
+):
+    """Fused blockwise ADC + metric epilogue + mask + running top-K merge.
+
+    Replaces the full (Q, n) approximate-score materialization of the PQ
+    phase-1: each 4096-row block's scores are accumulated, normalized,
+    masked and reduced to the block's exact top-``rerank_k`` while still
+    cache-resident, and a running (Q, K) candidate buffer is merged per
+    block. A 512q x 16k tile used to make ~6 full passes over a 32 MB
+    score matrix (epilogue copy, np.where copy, partition copy, compare
+    mask, tie scan) — under 32-way worker concurrency those passes were
+    memory-bandwidth-bound (the adc+topk stages were 928+1,144 of 2,449
+    kernel core-seconds at the 1M bulk shape); here only the candidate
+    buffers ever leave cache.
+
+    BIT-IDENTICAL to the full-matrix path it replaces, by construction:
+
+    - the per-4096-row ADC accumulation (transposed-f32 LUT gathers, same
+      block boundaries, same summation order) is unchanged;
+    - every epilogue runs the SAME elementwise ops with the SAME operand
+      association as the full-matrix expressions (in-place on the block);
+    - selection of the k best under the strict total order (score desc,
+      id asc) is associative, so merging per-block exact top-k
+      (``kernels.topk_per_row``, the same selection the full matrix got)
+      yields exactly the full matrix's candidate set; the merge resolves
+      ties by the same packed (inverted-f32-bits, id-rank) key
+      ``topk_per_row`` itself uses, with id-rank assigned by a STABLE
+      argsort over ``ids`` so duplicate ids keep column order — the
+      full-matrix lexsort's exact rule.
+
+    Equivalence is regression-pinned by ``tests/test_search.py``'s
+    blockwise-vs-full-matrix suite (all metrics, residual mode, masks,
+    starved rows, duplicate ids, boundary ties).
+
+    Returns ``(cand_idx, adc_us, topk_us)`` — cand_idx (Q, K) int64
+    column indices sorted by (score desc, id asc); timings are 0 unless
+    ``timed``.
+    """
+    n = len(ids)
+    q_n = luts.shape[0]
+    m = code_idx.shape[1]
+    k_run = min(rerank_k, n)
+    cols = np.arange(m)
+    lut_t = np.ascontiguousarray(luts.astype(np.float32).transpose(1, 2, 0))
+    # query-side epilogue constants (computed once, exactly as the
+    # full-matrix expressions did)
+    if residual is not None:
+        qc_dot, rsq = residual
+        qc32 = qc_dot.astype(np.float32)
+        if met == "EUCLIDEAN":
+            q2 = (q_norms * q_norms).astype(np.float32)
+        elif met == "COSINE":
+            sden = np.sqrt(np.maximum(rsq, 1e-30))
+            qden = np.maximum(q_norms, 1e-30).astype(np.float32)
+    elif met == "COSINE":
+        qden = np.maximum(q_norms[:, None], 1e-30).astype(np.float32)[:, 0]
+    # global tie key: rank of each column in id-ascending order (stable,
+    # so duplicate ids keep column order — the full-matrix rule); unique
+    # per column, so the packed-key sort below is deterministic
+    if n == 0 or k_run == 0:
+        return np.empty((q_n, 0), dtype=np.int64), 0, 0
+    id_rank = np.empty(n, dtype=np.uint64)
+    id_rank[np.argsort(ids, kind="stable")] = np.arange(n, dtype=np.uint64)
+    neg_inf = np.float32(-np.inf)
+    run_s: np.ndarray | None = None
+    run_c: np.ndarray | None = None
+    adc_us = 0
+    topk_us = 0
+    t0 = time.perf_counter() if timed else 0.0
+    for lo in range(0, n, block):
+        hi = min(lo + block, n)
+        w = hi - lo
+        cb = code_idx[lo:hi]
+        # fancy-index gathers (NOT np.take(out=...): its checked-out path
+        # measured 2x slower than numpy's mapiter fast path at this shape)
+        acc = lut_t[0][cb[:, 0]]  # fresh (w, Q) copy, as the old path made
+        for mm in range(1, m):
+            acc += lut_t[mm][cb[:, mm]]
+        blk = kernels.scratch("fadc_blk", (q_n, w), np.float32)
+        blk[...] = acc.T  # C-contiguous (Q, w) while cache-warm
+        tmp = kernels.scratch("fadc_tmp", (q_n, w), np.float32)
+        if residual is not None:
+            blk += qc32[:, None]  # full = partial + qc_dot
+            rb = rsq[lo:hi]
+            if met == "EUCLIDEAN":
+                # d2 = (q2 + rsq) - 2*full ; approx = 1/(1+d2)
+                np.add(q2[:, None], rb[None, :], out=tmp)
+                np.multiply(blk, np.float32(2.0), out=blk)
+                np.subtract(tmp, blk, out=blk)
+                np.maximum(blk, 0.0, out=blk)
+                np.add(blk, np.float32(1.0), out=blk)
+                np.divide(np.float32(1.0), blk, out=blk)
+            elif met == "DOT_PRODUCT":
+                np.add(blk, np.float32(1.0), out=blk)
+                np.divide(blk, np.float32(2.0), out=blk)
+            else:  # COSINE: rsq is the reconstructed squared magnitude
+                np.multiply(sden[lo:hi][None, :], qden[:, None], out=tmp)
+                np.divide(blk, tmp, out=blk)
+                np.add(blk, np.float32(1.0), out=blk)
+                np.divide(blk, np.float32(2.0), out=blk)
+        elif met == "EUCLIDEAN":
+            np.add(blk, np.float32(1.0), out=blk)
+            np.divide(np.float32(1.0), blk, out=blk)
+        elif met == "DOT_PRODUCT":
+            np.add(blk, np.float32(1.0), out=blk)
+            np.divide(blk, np.float32(2.0), out=blk)
+        else:  # COSINE
+            mags_b = np.sqrt(
+                np.maximum(mag_lut[cols, cb].sum(axis=1), 1e-30)
+            ).astype(np.float32)
+            np.multiply(mags_b[None, :], qden[:, None], out=tmp)
+            np.divide(blk, tmp, out=blk)
+            np.add(blk, np.float32(1.0), out=blk)
+            np.divide(blk, np.float32(2.0), out=blk)
+        if timed:
+            now = time.perf_counter()
+            adc_us += int((now - t0) * 1e6)
+            t0 = now
+        if mask is not None:
+            inv = kernels.scratch("fadc_minv", (q_n, w), np.bool_)
+            np.logical_not(mask[:, lo:hi], out=inv)
+            np.copyto(blk, neg_inf, where=inv)
+        idx_l, val_l = kernels.topk_per_row(blk, k_run, ids=ids[lo:hi])
+        gc = idx_l + lo  # block-local -> tile-global column index
+        if run_s is None:
+            run_s, run_c = val_l, gc
+        else:
+            cat_s = np.concatenate([run_s, val_l], axis=1)
+            cat_c = np.concatenate([run_c, gc], axis=1)
+            # pack (score desc, id-rank asc) into one uint64 — the same
+            # IEEE-monotone construction topk_per_row's tie path uses
+            u = cat_s.view(np.uint32)
+            sign = u & np.uint32(0x80000000)
+            inv_bits = np.where(sign, u, np.uint32(0x7FFFFFFF) - u)
+            key = inv_bits.astype(np.uint64)
+            key <<= np.uint64(32)
+            key |= id_rank[cat_c]
+            order = np.argsort(key, axis=1, kind="stable")[:, :k_run]
+            run_s = np.take_along_axis(cat_s, order, axis=1)
+            run_c = np.take_along_axis(cat_c, order, axis=1)
+        if timed:
+            now = time.perf_counter()
+            topk_us += int((now - t0) * 1e6)
+            t0 = now
+    return run_c, adc_us, topk_us
+
+
 def _fused_block_topk(
     met: str,
     k: int,
@@ -248,76 +406,31 @@ def _fused_block_topk(
     if bq is not None:
         q_words, bq_dim = bq
         approx = _bq_hamming_block(q_words, code_idx, bq_dim)
+        if stages is not None:
+            now = time.perf_counter()
+            stages["adc"].add(int((now - t_mark) * 1e6))
+            t_mark = now
+        if mask is not None:
+            approx = np.where(mask, approx, approx.dtype.type(-np.inf))
+        cand_idx, _ = kernels.topk_per_row(approx, rerank_k, ids=ids)
     else:
-        m = code_idx.shape[1]
-        cols = np.arange(m)
-        if met == "COSINE" and residual is None:
-            mags = np.sqrt(
-                np.maximum(mag_lut[cols, code_idx].sum(axis=1), 1e-30)
-            ).astype(np.float32)
-        # ADC accumulation in TRANSPOSED f32 layout: lut_t[mm] is a
-        # (256, Q) C-contiguous table, so indexing it by each row's code
-        # gathers whole contiguous Q-vectors (cache-line runs) instead of
-        # the strided (Q, n) column gather it replaces — ~20x faster at
-        # tile shape (512q x 16k rows), f32 halving the memory traffic.
-        # Approx scores only PICK rerank candidates (phase 2 re-scores
-        # exactly in f64), so the narrower accumulator cannot change any
-        # returned score.
-        # r9: each finished (rows, Q) block is transposed INTO a
-        # C-contiguous (Q, n) output while it is still cache-warm, instead
-        # of returning the F-ordered `.T` view of an (n, Q) buffer — the
-        # downstream full-matrix passes (mask np.where, topk np.partition,
-        # boundary-tie scan) run ~3x faster on C-contiguous rows
-        # (measured: partition 251 -> 84 ms, where 161 -> 50 ms per
-        # 512 x 16k tile) and the blocked transpose itself is cheaper
-        # than the plain row-write (962 vs 1271 ms/tile, bit-identical).
-        lut_t = np.ascontiguousarray(luts.astype(np.float32).transpose(1, 2, 0))
-        partial = np.empty((len(q_ids), len(ids)), dtype=np.float32)
-        for lo in range(0, len(ids), 4096):
-            hi = min(lo + 4096, len(ids))
-            acc = lut_t[0][code_idx[lo:hi, 0]]  # fancy index -> fresh copy
-            for mm in range(1, m):
-                acc += lut_t[mm][code_idx[lo:hi, mm]]
-            partial[:, lo:hi] = acc.T
-        if residual is not None:
-            qc_dot, rsq = residual
-            full = partial + qc_dot.astype(np.float32)[:, None]
-            if met == "EUCLIDEAN":
-                d2 = (
-                    (q_norms * q_norms).astype(np.float32)[:, None]
-                    + rsq[None, :]
-                    - 2.0 * full
-                )
-                np.maximum(d2, 0.0, out=d2)
-                approx = 1.0 / (1.0 + d2)
-            elif met == "DOT_PRODUCT":
-                approx = (1.0 + full) / 2.0
-            else:  # COSINE: rsq is the reconstructed squared magnitude
-                denom = (
-                    np.sqrt(np.maximum(rsq, 1e-30))[None, :]
-                    * np.maximum(q_norms, 1e-30).astype(np.float32)[:, None]
-                )
-                approx = (1.0 + full / denom) / 2.0
-        elif met == "EUCLIDEAN":
-            approx = 1.0 / (1.0 + partial)
-        elif met == "DOT_PRODUCT":
-            approx = (1.0 + partial) / 2.0
-        else:
-            approx = (
-                1.0
-                + partial
-                / (
-                    mags[None, :]
-                    * np.maximum(q_norms[:, None], 1e-30).astype(np.float32)
-                )
-            ) / 2.0
-    if stages is not None:
-        now = time.perf_counter()
-        stages["adc"].add(int((now - t_mark) * 1e6))
-        t_mark = now
-    if mask is not None:
-        approx = np.where(mask, approx, approx.dtype.type(-np.inf))
-    cand_idx, _ = kernels.topk_per_row(approx, rerank_k, ids=ids)
+        # ADC accumulation in TRANSPOSED f32 layout (lut_t gathers whole
+        # contiguous Q-vectors per code — ~20x the strided column gather,
+        # f32 halving the traffic; approx scores only PICK candidates,
+        # phase 2 re-scores exactly in f64, so the narrow accumulator
+        # cannot change any returned score), fused per 4096-row block
+        # with the metric epilogue, the fine-cell mask and a running
+        # exact top-K merge — no (Q, n) matrix is ever materialized.
+        # Candidate set and order are bit-identical to the full-matrix
+        # path (see _blockwise_adc_topk).
+        cand_idx, adc_us, topk_us = _blockwise_adc_topk(
+            met, rerank_k, luts, mag_lut, q_norms, ids, code_idx,
+            mask=mask, residual=residual, timed=stages is not None,
+        )
+        if stages is not None:
+            stages["adc"].add(adc_us)
+            stages["topk"].add(topk_us)
+            t_mark = time.perf_counter()
     strict = mask is not None and strict_mask
     if strict:
         # (n_q, r_w) bool: which selected candidates the query's own mask

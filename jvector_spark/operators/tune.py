@@ -36,6 +36,109 @@ if TYPE_CHECKING:  # pragma: no cover
     from jvector_spark.operators.index import IVFIndex
 
 
+def _speculative_shape_walk(
+    shapes: list,
+    ladder: list,
+    eval_point,
+    target_recall: float,
+    max_evals: int,
+    plateau_eps: float,
+) -> tuple[list[dict], dict | None]:
+    """Run the cheapest-first shape walk with SPECULATIVE shape ladders.
+
+    The sequential walk leaves the cluster idle inside every per-eval
+    fixed cost (job submit, broadcast, collect — ~1-2 s per lattice point
+    at bench scale, x ~39 points). Ladder steps WITHIN a shape depend on
+    that shape's own previous recalls, but different shapes' ladders are
+    independent — so up to ``JVS_TUNE_SPECULATE`` (default 3) shape
+    ladders run concurrently (guide §2.6: overlap independent jobs;
+    Spark's FIFO scheduler back-fills the tail of one eval's job with the
+    next one's tasks) and their results are COMMITTED in walk order:
+
+    - each ladder walks its own plateau/abandon rules from its own evals
+      (identical decisions to the sequential walk);
+    - the committed ``evaluated`` list is truncated at ``max_evals`` and
+      at the first target hit, exactly where the sequential walk stopped
+      — speculative evals past that point are discarded, never recorded;
+    - therefore the returned (evaluated, best) are IDENTICAL to the
+      sequential walk's (``test_tune.py`` pins parity), only the wall
+      changes.
+
+    ``eval_point(shape, rung) -> (point_dict, raw_recall)``;
+    raw (unrounded) recall drives the decisions, the dict is recorded.
+    A shared stop event bounds post-stop waste to one in-flight eval per
+    worker. ``JVS_TUNE_SPECULATE=1`` forces the sequential path.
+    """
+    import os
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = max(1, int(os.environ.get("JVS_TUNE_SPECULATE", "3")))
+    stop = threading.Event()
+
+    def walk_shape(shape) -> list[tuple[dict, float]]:
+        pts: list[tuple[dict, float]] = []
+        prev_rec: float | None = None
+        gain: float | None = None
+        for j, rung in enumerate(ladder):
+            if stop.is_set():
+                break  # walk already committed a stop — result discarded
+            if prev_rec is not None and gain is not None:
+                if gain < plateau_eps:
+                    break  # saturated ladder: widen probes, not rerank
+                steps_left = len(ladder) - j
+                if prev_rec + max(gain, 0.0) * steps_left < target_recall:
+                    break  # coverage-bounded shape: can't reach target
+            point, rec = eval_point(shape, rung)
+            pts.append((point, rec))
+            if rec >= target_recall:
+                break
+            gain = rec - prev_rec if prev_rec is not None else None
+            prev_rec = rec
+        return pts
+
+    evaluated: list[dict] = []
+    best: dict | None = None
+    if workers == 1:
+        for shape in shapes:
+            for point, rec in walk_shape(shape):
+                if len(evaluated) >= max_evals:
+                    return evaluated, best
+                evaluated.append(point)
+                if rec >= target_recall:
+                    return evaluated, point
+        return evaluated, best
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        futs = {}
+        done = False
+        try:
+            nxt = 0
+            while nxt < len(shapes) and len(futs) < workers:
+                futs[nxt] = pool.submit(walk_shape, shapes[nxt])
+                nxt += 1
+            for i in range(len(shapes)):
+                if done:
+                    break
+                pts = futs.pop(i).result()
+                if nxt < len(shapes):
+                    futs[nxt] = pool.submit(walk_shape, shapes[nxt])
+                    nxt += 1
+                for point, rec in pts:
+                    if len(evaluated) >= max_evals:
+                        done = True
+                        break
+                    evaluated.append(point)
+                    if rec >= target_recall:
+                        best = point
+                        done = True
+                        break
+        finally:
+            stop.set()
+            for f in futs.values():
+                f.cancel()
+    return evaluated, best
+
+
 def tune_search(
     index: "IVFIndex",
     queries_df: DataFrame | None = None,
@@ -132,8 +235,6 @@ def tune_search(
     )
     ladder = sorted(overquery_grid)
 
-    evaluated: list[dict] = []
-    best: dict | None = None
     # Ladder-abandon rule: overquery gains DIMINISH along a shape's ladder
     # (each step multiplies the rerank pool; every measured grid shows
     # shrinking increments), so `recall + last_gain * steps_left` is an
@@ -144,44 +245,28 @@ def tune_search(
     # shapes reach it), and without this rule they eat the whole eval
     # budget before the walk reaches a shape that can pass.
     plateau_eps = 0.005
-    done = False
-    for frac, np_, npf, ratio in shapes:
-        if done:
-            break
-        prev_rec: float | None = None
-        gain: float | None = None
-        for j, oq in enumerate(ladder):
-            if len(evaluated) >= max_evals:
-                done = True
-                break
-            if prev_rec is not None and gain is not None:
-                if gain < plateau_eps:
-                    break  # saturated ladder: wider probes, not deeper rerank
-                steps_left = len(ladder) - j
-                if prev_rec + max(gain, 0.0) * steps_left < target_recall:
-                    break  # coverage-bounded shape: can't reach the target
-            t0 = time.perf_counter()
-            res = index.search(
-                qdf, k, n_probe=np_, overquery=oq, n_probe_fine=npf,
-                probe_ratio=ratio,
-            )
-            rec = recall_at_k(res, gt, k)
-            point = {
-                "n_probe": np_,
-                "n_probe_fine": npf,
-                "overquery": oq,
-                "probe_ratio": ratio,
-                "recall": round(rec, 4),
-                "visited_fraction": round(frac, 6),
-                "wall_s": round(time.perf_counter() - t0, 3),
-            }
-            evaluated.append(point)
-            if rec >= target_recall:
-                best = point
-                done = True
-                break
-            gain = rec - prev_rec if prev_rec is not None else None
-            prev_rec = rec
+
+    def eval_point(shape: tuple, oq: float) -> tuple[dict, float]:
+        frac, np_, npf, ratio = shape
+        t0 = time.perf_counter()
+        res = index.search(
+            qdf, k, n_probe=np_, overquery=oq, n_probe_fine=npf,
+            probe_ratio=ratio,
+        )
+        rec = recall_at_k(res, gt, k)
+        return {
+            "n_probe": np_,
+            "n_probe_fine": npf,
+            "overquery": oq,
+            "probe_ratio": ratio,
+            "recall": round(rec, 4),
+            "visited_fraction": round(frac, 6),
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }, rec
+
+    evaluated, best = _speculative_shape_walk(
+        shapes, ladder, eval_point, target_recall, max_evals, plateau_eps
+    )
     gt.unpersist()
     qdf.unpersist()
     return {
@@ -282,41 +367,23 @@ def tune_graph_search(
         return float(np.minimum(sel, ef * degree).sum() / (len(rows) * total))
 
     shapes = sorted(n_probe_grid, key=lambda np_: io_bound(np_, ef_grid[0]))
-    evaluated: list[dict] = []
-    best: dict | None = None
     plateau_eps = 0.005
-    done = False
-    for np_ in shapes:
-        if done:
-            break
-        prev_rec: float | None = None
-        gain: float | None = None
-        for j, ef in enumerate(ef_grid):
-            if len(evaluated) >= max_evals:
-                done = True
-                break
-            if prev_rec is not None and gain is not None:
-                if gain < plateau_eps:
-                    break
-                if prev_rec + max(gain, 0.0) * (len(ef_grid) - j) < target_recall:
-                    break
-            t0 = time.perf_counter()
-            res = index.search_graph(qdf, k, n_probe=np_, ef_search=ef)
-            rec = recall_at_k(res, gt, k)
-            point = {
-                "n_probe": np_,
-                "ef_search": ef,
-                "recall": round(rec, 4),
-                "visited_bound": round(io_bound(np_, ef), 6),
-                "wall_s": round(time.perf_counter() - t0, 3),
-            }
-            evaluated.append(point)
-            if rec >= target_recall:
-                best = point
-                done = True
-                break
-            gain = rec - prev_rec if prev_rec is not None else None
-            prev_rec = rec
+
+    def eval_point(np_: int, ef: int) -> tuple[dict, float]:
+        t0 = time.perf_counter()
+        res = index.search_graph(qdf, k, n_probe=np_, ef_search=ef)
+        rec = recall_at_k(res, gt, k)
+        return {
+            "n_probe": np_,
+            "ef_search": ef,
+            "recall": round(rec, 4),
+            "visited_bound": round(io_bound(np_, ef), 6),
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }, rec
+
+    evaluated, best = _speculative_shape_walk(
+        shapes, ef_grid, eval_point, target_recall, max_evals, plateau_eps
+    )
     gt.unpersist()
     qdf.unpersist()
     return {

@@ -116,3 +116,84 @@ def test_tune_sweeps_probe_ratio(spark, tmp_path):
     assert {p["probe_ratio"] for p in pts} <= {1.3, None}
     # tighter ratio evaluated first within the single shape
     assert pts[0]["probe_ratio"] == 1.3
+
+
+# ---------------------------------------------------------------------------
+# Speculative shape walk (r9): result-parity with the sequential walk
+# ---------------------------------------------------------------------------
+
+
+def _sequential_walk(shapes, ladder, eval_point, target, max_evals, eps):
+    """Verbatim port of the pre-r9 sequential double loop."""
+    evaluated, best, done = [], None, False
+    for shape in shapes:
+        if done:
+            break
+        prev_rec = gain = None
+        for j, rung in enumerate(ladder):
+            if len(evaluated) >= max_evals:
+                done = True
+                break
+            if prev_rec is not None and gain is not None:
+                if gain < eps:
+                    break
+                if prev_rec + max(gain, 0.0) * (len(ladder) - j) < target:
+                    break
+            point, rec = eval_point(shape, rung)
+            evaluated.append(point)
+            if rec >= target:
+                best = point
+                done = True
+                break
+            gain = rec - prev_rec if prev_rec is not None else None
+            prev_rec = rec
+    return evaluated, best
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("workers", ["2", "4"])
+def test_speculative_walk_matches_sequential(seed, workers, monkeypatch):
+    """Property parity over random recall landscapes: the committed
+    (evaluated, best) must be exactly the sequential walk's, including
+    max_evals truncation and first-target-hit stop."""
+    from jvector_spark.operators.tune import _speculative_shape_walk
+
+    rng = np.random.default_rng(seed)
+    shapes = [(i,) for i in range(8)]
+    ladder = [1.0, 2.0, 4.0, 8.0]
+    # deterministic random landscape: recall per (shape, rung)
+    land = {
+        (s[0], r): float(rng.uniform(0.2, 1.0)) for s in shapes for r in ladder
+    }
+
+    def eval_point(shape, rung):
+        rec = land[(shape[0], rung)]
+        return {"shape": shape[0], "rung": rung, "recall": rec}, rec
+
+    for target, max_evals in [(0.9, 100), (0.95, 7), (1.5, 9), (0.6, 3)]:
+        ref = _sequential_walk(shapes, ladder, eval_point, target, max_evals, 0.005)
+        monkeypatch.setenv("JVS_TUNE_SPECULATE", workers)
+        got = _speculative_shape_walk(
+            shapes, ladder, eval_point, target, max_evals, 0.005
+        )
+        assert got == ref, (seed, workers, target, max_evals)
+
+
+def test_tune_speculative_matches_sequential_on_index(tuned_index, monkeypatch):
+    """End-to-end parity on a real index: identical evaluated lattice
+    points and best config (wall_s is timing, excluded)."""
+    idx, _ = tuned_index
+
+    def strip(out):
+        return (
+            [{k: v for k, v in p.items() if k != "wall_s"} for p in out["evaluated"]],
+            {k: v for k, v in out["best"].items() if k != "wall_s"}
+            if out["best"]
+            else None,
+        )
+
+    monkeypatch.setenv("JVS_TUNE_SPECULATE", "1")
+    seq = idx.tune(k=10, target_recall=0.8, sample=24)
+    monkeypatch.setenv("JVS_TUNE_SPECULATE", "3")
+    spec = idx.tune(k=10, target_recall=0.8, sample=24)
+    assert strip(spec) == strip(seq)
