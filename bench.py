@@ -461,18 +461,26 @@ def main() -> None:
                     )
                     dwalls.append(time.perf_counter() - t0)
                 timings["large_dedup_exact_100k"] = round(min(dwalls), 3)
-                t0 = time.perf_counter()
-                n_pairs_ivf = (
-                    lidx.threshold_search(
-                        lcorpus.selectExpr("id as qid", "vec"),
-                        (1.0 + 0.98) / 2.0, m_hint=n_l,
+                # min-of-2 (r9): as a SINGLE run this entry sampled
+                # whole-session debris, not the operator — committed runs
+                # read 5.0 / 11.8 / 26.9 s while the isolated repro holds
+                # 6.0-10.9 s fresh AND after back-to-back dedup passes
+                # (tools-free probe, r9 item 24). Both runs compute from
+                # parquet; old single-run values stay in the run 1-5
+                # artifacts.
+                iwalls = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    n_pairs_ivf = (
+                        lidx.threshold_search(
+                            lcorpus.selectExpr("id as qid", "vec"),
+                            (1.0 + 0.98) / 2.0, m_hint=n_l,
+                        )
+                        .filter(F.col("qid") < F.col("id"))
+                        .count()
                     )
-                    .filter(F.col("qid") < F.col("id"))
-                    .count()
-                )
-                timings["large_dedup_ivf_search_100k"] = round(
-                    time.perf_counter() - t0, 3
-                )
+                    iwalls.append(time.perf_counter() - t0)
+                timings["large_dedup_ivf_search_100k"] = round(min(iwalls), 3)
                 recalls["large_dedup_pairs_exact"] = float(n_pairs_exact)
                 recalls["large_dedup_pairs_ivf"] = float(n_pairs_ivf)
             finally:
