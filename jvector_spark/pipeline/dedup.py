@@ -584,19 +584,41 @@ def embedding_neardup(
         # pair serialized the 32 workers on the kernel mmap/page-zero
         # path (same pathology measured on the graph build). Same ops,
         # same operand order as kernels.cosine -> bit-identical scores.
+        # r9 item 25: phase 1 is row-chunked (~24 MB score blocks) so a
+        # COLD worker's first block pair zeroes ~55 MB of scratch, not
+        # ~350 MB — in-bench the speculative tune sweep triples the
+        # python-worker pool, so every dedup run kept landing on cold
+        # workers and the min-of-2 still sampled the page-zero stall
+        # (probe: tools/dedup_context_probe.py). Each chunk runs the
+        # SAME ops in the same operand order on the same rows, and the
+        # 1e-3 pre-filter margin already covers any summation-order ulp
+        # — the f64 rescore below recomputes survivors exactly.
         m_, n_ = len(la32), len(rb32)
-        cos32 = kernels.scratch("dedup_cos", (m_, n_), np.float32)
-        np.matmul(la32, rb32.T, out=cos32)
         na32 = np.sqrt(np.einsum("ij,ij->i", la32, la32))
         nb32 = np.sqrt(np.einsum("ij,ij->i", rb32, rb32))
-        den32 = kernels.scratch("dedup_den", (m_, n_), np.float32)
-        np.multiply(na32[:, None], nb32[None, :], out=den32)
-        mask = kernels.scratch("dedup_mask", (m_, n_), np.bool_)
-        np.equal(den32, 0.0, out=mask)
-        den32[mask] = 1.0
-        cos32 /= den32
-        np.greater_equal(cos32, threshold - 1e-3, out=mask)
-        ia, ib = np.nonzero(mask)
+        step = max(256, (6 << 20) // max(n_, 1))
+        ia_parts, ib_parts = [], []
+        for lo in range(0, m_, step):
+            hi = min(lo + step, m_)
+            c_ = hi - lo
+            cos32 = kernels.scratch("dedup_cos", (c_, n_), np.float32)
+            np.matmul(la32[lo:hi], rb32.T, out=cos32)
+            den32 = kernels.scratch("dedup_den", (c_, n_), np.float32)
+            np.multiply(na32[lo:hi, None], nb32[None, :], out=den32)
+            mask = kernels.scratch("dedup_mask", (c_, n_), np.bool_)
+            np.equal(den32, 0.0, out=mask)
+            den32[mask] = 1.0
+            cos32 /= den32
+            np.greater_equal(cos32, threshold - 1e-3, out=mask)
+            ia_c, ib_c = np.nonzero(mask)
+            if len(ia_c):
+                ia_parts.append(ia_c + lo)
+                ib_parts.append(ib_c)
+        if ia_parts:
+            ia = np.concatenate(ia_parts)
+            ib = np.concatenate(ib_parts)
+        else:
+            ia = ib = np.empty(0, dtype=np.int64)
         if len(ia) == 0:
             return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
                 {"id_a": "int64", "id_b": "int64", "cos": "float64"}

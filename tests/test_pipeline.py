@@ -95,6 +95,41 @@ def test_embedding_neardup_threshold(spark):
     assert set(pairs) == {(0, 1)} and pairs[(0, 1)] > 0.99
 
 
+def test_embedding_neardup_chunked_prefilter_matches_full(spark):
+    """r9 item 25: phase-1 scoring is row-chunked (small per-worker
+    scratch). The chunked f32 pre-filter may differ from a full-matrix
+    GEMM by ulps AT the margin boundary, but the final pair set after
+    the exact f64 rescore must be identical — spanning chunk borders,
+    zero-norm rows, and cos==1 ties at the threshold."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n, d = 1200, 16
+    centers = rng.normal(size=(12, d))
+    mat = (centers[rng.integers(0, 12, n)] + 0.02 * rng.normal(size=(n, d))).astype(
+        np.float32
+    )
+    mat[5] = 0.0  # zero-norm row
+    mat[100] = mat[200]  # exact duplicate -> cos == 1.0 tie
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r.id_a, r.id_b): r.cos
+        for r in D.embedding_neardup(emb, threshold=0.98, n_blocks=4).collect()
+    }
+    # reference: exact f64 all-pairs with the oracle's ROUND(x,6) >= t rule
+    m64 = mat.astype(np.float64)
+    nrm = np.sqrt((m64 * m64).sum(1))
+    nrm[nrm == 0.0] = 1.0
+    cos = np.round((m64 @ m64.T) / np.outer(nrm, nrm), 6)
+    ia, ib = np.nonzero(cos >= 0.98)
+    want = {(int(a), int(b)): float(cos[a, b]) for a, b in zip(ia, ib) if a < b}
+    assert got == want
+    assert (100, 200) in got and got[(100, 200)] == 1.0
+
+
 def test_token_stats(docs):
     rows = {r.doc_id: r for r in T.token_stats(docs).collect()}
     assert rows[0].n_tokens == 9

@@ -16,9 +16,12 @@ and prints per-stage walls plus two dedup runs at the end.
 
 from __future__ import annotations
 
+import os
 import sys
 import tempfile
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import pyarrow as pa
@@ -81,6 +84,16 @@ def main() -> None:
         tr = lidx.tune(lqueries, k=10, target_recall=0.9)
         print(f"stage tune: {time.perf_counter() - t0:.1f}s "
               f"(evals={len(tr['evaluated'])})", flush=True)
+
+    if "--gc" in sys.argv:
+        t0 = time.perf_counter()
+        spark.catalog.clearCache()
+        import gc
+
+        gc.collect()
+        spark._jvm.System.gc()
+        time.sleep(2)
+        print(f"stage gc: {time.perf_counter() - t0:.1f}s", flush=True)
 
     for i in range(3):
         t0 = time.perf_counter()
