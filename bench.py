@@ -103,6 +103,11 @@ def _section_reset(spark) -> None:
     gc.collect()
 
 
+def _bench_cpus() -> int:
+    """Core count of this bench run (the driver contract's knob)."""
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
@@ -1014,10 +1019,19 @@ def main() -> None:
         ("xl_ratio_compact_over_build_1m",
          "large_compact_1m", "large_ivf_build_1m", 0.15, 6.0),
         # graph traversal vs fused tile scan at the matched d1024 point
-        # (64 queries, like pool depths): r8 0.65
+        # (64 queries, like pool depths): r8 0.65; r9 runs 1.09-1.35 at
+        # 32 cores (the fused denominator got 1.64x faster, item 21).
+        # The numerator is CPU-bound (per-query beams) and scales with
+        # cores while the denominator is stage-overhead-dominated and
+        # flat, so the ratio rises by construction at low core counts
+        # (measured: 1.35 @ 32c vs 3.24 @ 8c on identical code) — the
+        # driver re-benches at a lower core count, so the high bound is
+        # core-aware rather than calibrated to local[32]. Its job is
+        # catching the 10x wrong-route trap (r7), which both bounds
+        # still do.
         ("xl_ratio_graph_over_fused_search_d1024",
          "large_graph_search_d1024_64q", "large_search_d1024_64q",
-         0.15, 3.0),
+         0.15, 3.0 if _bench_cpus() >= 16 else 6.0),
         # spill=2 (two stored copies) vs the auto default (resolves 1)
         # on the same d1024 corpus: the encode+write stage doubles but
         # count/sample/train phases are shared, and the auto build runs
