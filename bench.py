@@ -630,8 +630,14 @@ def main() -> None:
                     tail3 = sum(trend[-3:]) / 3
                     toh = round(tail3 / head3, 3) if head3 > 0 else -1.0
                     recalls["stream_neardup_trend_tail_over_head"] = toh
+                    # band calibrated to the measured same-code spread
+                    # (r9 runs: 0.925-1.296 — the old 1.35 bound left 4%
+                    # headroom and would coin-flip on host noise). State
+                    # grows ~4x head->tail over the 12 batches, so an
+                    # O(state) per-batch scan reads toh >= ~2; 1.6 still
+                    # catches it while absorbing the noise floor.
                     recalls["stream_neardup_trend_tail_over_head_ok"] = float(
-                        0.0 < toh <= 1.35
+                        0.0 < toh <= 1.6
                     )
                     timings["stream_neardup_trend_12batches"] = round(
                         sum(twalls), 3
@@ -1071,9 +1077,12 @@ def main() -> None:
         # at 0.87-0.90 (r8: 0.896, r9 run1: 0.87), so the old 0.9 low
         # bound tripped on its own calibration point. The gate's real
         # job is the HIGH side (a spill re-encode blow-up); lo relaxed.
+        # r9 observed same-code spread 0.594-2.312 — the 0.5 low bound
+        # left 16% headroom; relaxed to 0.3 (the high side remains the
+        # gate's job, unchanged).
         ("xl_ratio_spill2_over_auto_build_d1024",
          "large_ivf_build_100k_d1024_spill2", "large_ivf_build_100k_d1024",
-         0.5, 4.0),
+         0.3, 4.0),
     ]
     for key, num, den, lo_b, hi_b in RATIO_BANDS:
         if timings.get(num, 0) > 0 and timings.get(den, 0) > 0:
