@@ -1499,7 +1499,10 @@ def graph_search(
     if scanned is None:
         return index.spark.createDataFrame([], "qid long, id long, score double")
     if manifest.spill > 1:
-        scanned = scanned.dropDuplicates(["qid", "id"])  # U3 visited-set dedup
+        # U3 visited-set dedup; repartition(qid) first so the dedup
+        # aggregate and the top-k window below share ONE exchange
+        # (hash(qid) satisfies the (qid, id) clustering — guide §2.4)
+        scanned = scanned.repartition("qid").dropDuplicates(["qid", "id"])
     if t is not None:  # traversed-but-filtered (two-phase delete, F2)
         scanned = scanned.join(t.select("id"), "id", "left_anti")
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))

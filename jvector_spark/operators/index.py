@@ -2058,8 +2058,16 @@ class IVFIndex:
         for d in parts[1:]:
             scanned = scanned.unionByName(d)  # J6: multi-segment merge
         if self.manifest.spill > 1:
-            # U3 visited-set dedup across spilled copies (identical rows)
-            scanned = scanned.dropDuplicates(["qid", "id"])
+            # U3 visited-set dedup across spilled copies (identical rows).
+            # Repartition by qid FIRST so the dedup aggregate and the
+            # top-k window below share ONE exchange: hash(qid) satisfies
+            # the aggregate's (qid, id) clustering requirement, and the
+            # aggregate preserves it for the window — the plain
+            # dropDuplicates paid Exchange(qid, id) + Exchange(qid)
+            # back to back (guide §2.4; duplicates only arise across
+            # part_id tiles, i.e. across tasks, so the lost map-side
+            # partial dedup was removing ~nothing).
+            scanned = scanned.repartition("qid").dropDuplicates(["qid", "id"])
 
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
         return (
@@ -2559,7 +2567,9 @@ class IVFIndex:
         for d in parts[1:]:
             scanned = scanned.unionByName(d)  # J6: multi-segment merge
         if self.manifest.spill > 1:
-            scanned = scanned.dropDuplicates(["qid", "id"])  # U3 dedup
+            # U3 dedup; repartition(qid) first so dedup + window share
+            # one exchange (see _segment_fused_scan's caller for why)
+            scanned = scanned.repartition("qid").dropDuplicates(["qid", "id"])
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
         return (
             scanned.withColumn("rank", F.row_number().over(w))
@@ -2605,13 +2615,19 @@ class IVFIndex:
         (part_id, sub_id) at write time), and pruned rows never enter the
         tile shuffle."""
         data = self.spark.read.parquet(os.path.join(info["dir"], "data.parquet"))
-        # In-plan scan pruning, no driver collect: semi-join against the
-        # probed-partition set (<= MAX_CENTROIDS distinct values, broadcast;
-        # a partition-column join, so dynamic partition pruning can skip
-        # unprobed files entirely).
-        data = data.join(
-            F.broadcast(assigned.select("part_id").distinct()), "part_id", "semi"
-        )
+        # Probed-partition scan pruning as a STATIC partition filter: the
+        # probed set is exactly qb_of's keys, already on the driver (from
+        # the sizing count in persisted mode, from the m_hint
+        # approximation otherwise) — <= MAX_CENTROIDS ints, planner-time
+        # partition pruning on the part_id directory column. The old
+        # broadcast semi-join on assigned.select("part_id").distinct()
+        # re-evaluated the probe-assignment lineage whenever the
+        # assignment was not persisted (m_hint mode): at the 1M
+        # corpus-as-queries shape that broadcast alone re-ran the full
+        # 1M-query mapInPandas pass — 725 of 5,639 executor core-seconds
+        # — to produce ~1000 part_ids the driver already had (guide §2.4;
+        # stage-attributed by tools/bulk_stage_probe.py).
+        data = data.filter(F.col("part_id").isin([int(p) for p in sorted(qb_of)]))
         if sub_filter is not None:
             data = data.filter(F.col("sub_id").isin(sub_filter))
         data = self._apply_liveness(data)  # F2 tombstones
