@@ -1066,10 +1066,18 @@ def main() -> None:
         # d1024 section): the original pre-graph-build entry sits in a
         # different session-state window and false-tripped the gate when
         # run 8's graph window sustained 6x debris the fused window
-        # missed. Both legs now sample the same state.
+        # missed. Both legs now sample the same state — but session-4
+        # measured the converse draw on identical code: the GRAPH leg
+        # sustained 11.8 s min-of-2 (its np8 sibling read 3.4 s, the
+        # adjacent fused leg 3.6 s, and the same section's graph BUILD
+        # ran 10x its run-10 wall) -> ratio 3.31 vs the 3.0 bound, pure
+        # window debris. Observed same-code envelope at >=16 cores is
+        # now 1.09-3.31; hi widened to 5.0 so the gate keeps asserting
+        # its detection target — the 10x wrong-route trap (which reads
+        # >=10) — instead of coin-flipping on the window draw.
         ("xl_ratio_graph_over_fused_search_d1024",
          "large_graph_search_d1024_64q", "large_search_d1024_64q_postgraph",
-         0.15, 3.0 if _bench_cpus() >= 16 else 6.0),
+         0.15, 5.0 if _bench_cpus() >= 16 else 6.0),
         # spill=2 (two stored copies) vs the auto default (resolves 1)
         # on the same d1024 corpus: the encode+write stage doubles but
         # count/sample/train phases are shared, and the auto build runs
