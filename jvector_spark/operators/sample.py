@@ -7,8 +7,12 @@ capped at ``MAX_PQ_TRAINING_SET_SIZE`` plus a ``size()`` call; SURVEY.md
 §2.5 A4).
 
 Design (guide §8 "decide with small rows, move big rows once"): every row
-draws a uniform key **as a JVM expression** (``F.rand(seed)`` — seeded per
-partition index, so actions and task retries reproduce the same keys); the
+draws a uniform key **as a JVM expression** — ``xxhash64(seed, <row>)``
+mapped to [0,1). The key is a pure function of the row's CONTENT, so the
+sampled set is invariant under partitioning, core count and task retries
+(``F.rand(seed)`` was seeded per partition index: the 8-core and 32-core
+driver runs drew different samples, different kmeans layouts, and recall
+entries that swung ±0.03 on identical code — r9 driver artifacts). The
 global ``sample_cap`` smallest keys form an exact uniform sample
 (distributed bottom-k). Membership is decided by a JVM-side
 ``key <= fraction`` filter sized so the true bottom-cap is inside the kept
@@ -48,9 +52,8 @@ def sample_and_count(
     any PREFIX is itself an exact-uniform subsample. f32 is what every
     index stores and scores, so training on the f32 values is exact
     w.r.t. the data the index will actually hold."""
-    df = df.select(F.col(vec_col).alias("vec"))
     n = int(df.count())
-    return n, bottom_k_sample(df, sample_cap, seed, n, vec_col="vec")
+    return n, bottom_k_sample(df, sample_cap, seed, n, vec_col=vec_col)
 
 
 def bottom_k_sample(
@@ -61,8 +64,17 @@ def bottom_k_sample(
     can size the cap from its trainers' true needs)."""
     if n == 0:
         raise ValueError("cannot sample an empty DataFrame")
-    df = df.select(F.col(vec_col).alias("vec"))
-    keyed = df.withColumn("_k", F.rand(seed))
+    # content-keyed uniform draw: xxhash64 of (seed, EVERY input column)
+    # -> [0, 1). Hashing all columns keeps the key row-unique when the
+    # caller passes an id alongside the vector (the index builder and
+    # sample_and_count callers do), so exact-duplicate vectors still
+    # sample independently — a vec-only hash collapsed them onto one key
+    # and biased the draw on dedup corpora (test_skewed_partition_...).
+    keyed = df.withColumn(
+        "_k",
+        (F.xxhash64(F.lit(int(seed)), *[F.col(c) for c in df.columns])
+         .cast("double") / F.lit(float(2**64)) + F.lit(0.5)),
+    ).select(F.col(vec_col).alias("vec"), "_k")
     if sample_cap >= n:
         pdf = keyed.toPandas()
     else:

@@ -322,6 +322,33 @@ def test_skewed_partition_sampling_unbiased(spark):
     assert 0.8 <= share <= 0.98, f"big-partition sample share {share}, want ~0.9"
 
 
+def test_sample_invariant_under_partitioning(spark):
+    """The training sample must be a pure function of the data, not of
+    its layout: the driver re-benches at a lower core count, and a
+    partition-index-seeded key (the pre-r10 F.rand(seed)) gave the 8-core
+    and 32-core runs different samples -> different kmeans layouts ->
+    recall entries that swung ±0.03 on identical code. Content-keyed
+    bottom-k must return the identical matrix for any repartitioning."""
+    import numpy as np
+
+    from jvector_spark.operators.sample import bottom_k_sample
+
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.normal(size=4).astype(float).tolist()) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, vec array<float>")
+    mats = [
+        bottom_k_sample(
+            df.repartition(p).select("vec"), 64, seed=42, n=500
+        )
+        for p in (1, 3, 17)
+    ]
+    assert np.array_equal(mats[0], mats[1])
+    assert np.array_equal(mats[0], mats[2])
+    # different seeds must draw different samples
+    other = bottom_k_sample(df.repartition(5).select("vec"), 64, seed=43, n=500)
+    assert not np.array_equal(mats[0], other)
+
+
 def test_bq_first_pass_codec(spark, corpus_df, queries_df, tmp_path_factory):
     """first_pass='bq' (ref BuildScoreProvider.java:170-212,
     BinaryQuantization.java:88-111: BQ as a first-class build/search
