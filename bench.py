@@ -907,8 +907,13 @@ def main() -> None:
                 # copies need more probes for like coverage). The r7/r8
                 # np8 point stays recorded for round-over-round
                 # continuity.
+                # min-of-3 on BOTH gate legs (r9 ADVICE item 2): the
+                # graph/fused band was widened to 5.0 because min-of-2
+                # legs kept sampling 3.3-3.8x window debris; a third
+                # draw shrinks the min's envelope so the band keeps
+                # detecting real route regressions below the 10x trap.
                 gwalls = []
-                for _ in range(2):
+                for _ in range(3):
                     t0 = time.perf_counter()
                     gres = hidx.search_graph(hq, 10, n_probe=12, ef_search=640)
                     _materialize(gres)
@@ -937,7 +942,7 @@ def main() -> None:
                 # legs absorb the same debris; the original entry stays
                 # recorded unchanged.
                 pwalls = []
-                for _ in range(2):
+                for _ in range(3):  # min-of-3: see the graph-leg note
                     t0 = time.perf_counter()
                     _materialize(hidx.search(
                         hq, 10, n_probe=12, overquery=64.0, n_probe_fine=24

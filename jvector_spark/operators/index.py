@@ -2515,12 +2515,15 @@ class IVFIndex:
             if m_hint is None or derive_subfilter:
                 assigned = _persist_assignment(assigned)
             rows_p = self._part_counts(seg.name)
-            if m_hint is not None:
-                # no sizing job: per-partition query load approximated as
-                # proportional to stored rows (bulk corpus-as-queries
-                # sides mirror the corpus distribution; held-out batches
-                # are small enough that misestimation only shifts tile
-                # granularity, never correctness)
+            if m_hint is not None and not derive_subfilter:
+                # no sizing job (bulk corpus-as-queries): per-partition
+                # query load approximated as proportional to stored rows.
+                # The keys are ALL non-empty partitions — a safe SUPERSET
+                # of the true probed set (downstream pruning on a superset
+                # never drops needed rows; at bulk scale the probed set
+                # saturates the partitions anyway). Held-out batches are
+                # small enough that misestimation only shifts tile
+                # granularity, never correctness.
                 n_assign = int(m_hint) * npb
                 tot = max(int(rows_p.sum()), 1)
                 assign_p = {
@@ -2528,9 +2531,15 @@ class IVFIndex:
                     for p in np.flatnonzero(rows_p)
                 }
             else:
-                # ONE job sizes the tiles AND materializes the checkpoint:
-                # per-partition assignment counts (replaces the plain
-                # count; the total is their sum)
+                # The assignment is persisted (sizing mode, or an m_hint
+                # batch that derives the fine-sub filter): ONE job over
+                # the checkpoint yields the EXACT per-partition counts —
+                # tiles are sized from the observed load and, for sparse
+                # probing (clustered queries, small n_probe), the static
+                # part_id pruning below drops every unprobed partition
+                # instead of the m_hint superset (r9 ADVICE: the superset
+                # let unprobed partitions' rows enter the tile shuffle
+                # replicated qbn times on m_hint+fine batches).
                 assign_p = {
                     int(r["part_id"]): int(r["count"])
                     for r in assigned.groupBy("part_id").count().collect()
@@ -2615,18 +2624,20 @@ class IVFIndex:
         (part_id, sub_id) at write time), and pruned rows never enter the
         tile shuffle."""
         data = self.spark.read.parquet(os.path.join(info["dir"], "data.parquet"))
-        # Probed-partition scan pruning as a STATIC partition filter: the
-        # probed set is exactly qb_of's keys, already on the driver (from
-        # the sizing count in persisted mode, from the m_hint
-        # approximation otherwise) — <= MAX_CENTROIDS ints, planner-time
-        # partition pruning on the part_id directory column. The old
-        # broadcast semi-join on assigned.select("part_id").distinct()
-        # re-evaluated the probe-assignment lineage whenever the
-        # assignment was not persisted (m_hint mode): at the 1M
-        # corpus-as-queries shape that broadcast alone re-ran the full
-        # 1M-query mapInPandas pass — 725 of 5,639 executor core-seconds
-        # — to produce ~1000 part_ids the driver already had (guide §2.4;
-        # stage-attributed by tools/bulk_stage_probe.py).
+        # Probed-partition scan pruning as a STATIC partition filter on
+        # qb_of's keys, already on the driver: the EXACT probed set when
+        # the assignment was persisted (sizing mode, m_hint+fine batches),
+        # and ALL non-empty partitions — a safe superset — in plain
+        # m_hint mode, where pruning exactly would re-evaluate the query
+        # lineage. <= MAX_CENTROIDS ints, planner-time partition pruning
+        # on the part_id directory column. The old broadcast semi-join on
+        # assigned.select("part_id").distinct() re-evaluated the
+        # probe-assignment lineage whenever the assignment was not
+        # persisted (m_hint mode): at the 1M corpus-as-queries shape that
+        # broadcast alone re-ran the full 1M-query mapInPandas pass — 725
+        # of 5,639 executor core-seconds — to produce ~1000 part_ids the
+        # driver already had (guide §2.4; stage-attributed by
+        # tools/bulk_stage_probe.py).
         data = data.filter(F.col("part_id").isin([int(p) for p in sorted(qb_of)]))
         if sub_filter is not None:
             data = data.filter(F.col("sub_id").isin(sub_filter))
@@ -2922,6 +2933,11 @@ class IVFIndex:
         for d in parts[1:]:
             out = out.unionByName(d)
         if self.manifest.spill > 1:
+            # plain dropDuplicates ON PURPOSE (no repartition("qid")
+            # first): unlike the k-NN routes, no qid window follows the
+            # dedup here, so there is no downstream exchange to share —
+            # forcing one would ADD a shuffle (r9 ADVICE asked for this
+            # asymmetry to be documented, not "fixed").
             out = out.dropDuplicates(["qid", "id"])
         return out
 

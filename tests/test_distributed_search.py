@@ -302,6 +302,50 @@ def test_fine_pruning_uncapped_query_side(spark, fine_setup):
     res.unpersist()
 
 
+def test_mhint_fine_batch_prunes_to_probed_partitions(spark, fine_setup):
+    """r9 ADVICE item 1: an m_hint batch that derives the fine-sub filter
+    has its assignment persisted anyway, so the static part_id pruning
+    must use the EXACT probed set from the checkpoint — not the m_hint
+    superset (all non-empty partitions). Clustered queries with a small
+    n_probe probe a strict subset of partitions; the plan's part_id
+    filter must shrink to it, and results must stay bit-identical to the
+    broadcast route."""
+    import contextlib
+    import io
+    import re
+
+    corpus, idx, n = fine_setup
+    # 5 queries x n_probe=2 -> at most 10 probed partitions of 16, so
+    # exact pruning is distinguishable from the all-non-empty superset
+    queries = corpus.orderBy("id").limit(5).selectExpr("id as qid", "vec")
+    oq = float(n) / 10
+    a = idx.search(
+        queries, 10, n_probe=2, n_probe_fine=2, overquery=oq,
+        strategy="distributed", m_hint=5,
+    )
+    b = idx.search(
+        queries, 10, n_probe=2, n_probe_fine=2, overquery=oq,
+        strategy="broadcast",
+    )
+    ga = [(r["qid"], r["rank"], r["id"], round(r["score"], 9)) for r in a.collect()]
+    gb = [(r["qid"], r["rank"], r["id"], round(r["score"], 9)) for r in b.collect()]
+    assert len(ga) > 0
+    assert sorted(ga) == sorted(gb)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        a.explain("formatted")
+    plan = buf.getvalue()
+    m = re.search(r"part_id(?:#\d+)? INSET ((?:\d+, )*\d+)", plan) or re.search(
+        r"part_id(?:#\d+)? IN \(([^)]*)\)", plan
+    )
+    assert m, f"static part_id pruning filter missing from the plan:\n{plan[:2000]}"
+    probed = {int(x) for x in m.group(1).split(",")}
+    assert len(probed) <= 10, (
+        f"m_hint+fine batch did not prune to the probed set: {sorted(probed)}"
+    )
+
+
 def test_adaptive_probe_ratio_parity_and_trim(spark, big_setup):
     """probe_ratio semantics: a huge ratio keeps every capped probe (bit-
     parity with fixed n_probe on BOTH routes); ratio=1.0 keeps only the
