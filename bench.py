@@ -759,6 +759,33 @@ def main() -> None:
                 )
                 xres.unpersist()
 
+                # r10: the high-recall bulk point (r8 verdict item 2's
+                # open target: recall >= 0.75 @ <= 600 s). The r9 bulk-
+                # path work (blockwise fused ADC+topk, plan fixes) made
+                # the deep-rerank knobs affordable: same-session probe on
+                # the deterministic layout measured np4/npf32/oq64 at
+                # recall 0.8000 @ 276.7 s (np4/npf16/oq8 frontier point:
+                # 0.7000 @ 167.1 s; oq128 adds only +0.0016 for +88 s).
+                # The frontier entry above is UNCHANGED — this is an
+                # additional operating point, not a knob move.
+                t0 = time.perf_counter()
+                xres_hr = xidx.search(
+                    qall, 10, n_probe=4, overquery=64.0, n_probe_fine=32,
+                    strategy="distributed", m_hint=xl_n,
+                ).persist()
+                n_out_hr = xres_hr.count()
+                timings["large_bulk_topk_1m_r75"] = round(
+                    time.perf_counter() - t0, 3
+                )
+                recalls["large_bulk_rows_1m_r75"] = float(n_out_hr)
+                recalls["large_bulk_recall@10_1m_r75"] = round(
+                    recall_at_k(
+                        xres_hr.filter(F.col("qid").isin(sample_ids)), gt_x, 10
+                    ),
+                    4,
+                )
+                xres_hr.unpersist()
+
                 # ---- 1M compaction (r7 VERDICT item 8): N segments -> 1
                 # with tombstones dropped and per-partition graphs
                 # REBUILT on the merged segment (ref
@@ -832,9 +859,9 @@ def main() -> None:
                 # factor from the per-copy payload (heavy d=1024 slim
                 # copies -> 1); the published-size comparison is now the
                 # DEFAULT config, not a hand-picked knob (r7 VERDICT item
-                # 7). Search probes np12 (the spill=1 operating point:
-                # r7 A/B measured recall@10 0.7862 @ np12 vs spill=2's
-                # 0.7154 @ np8 at like wall).
+                # 7). Search probes np16 since r10 (spill=1 needs more
+                # probes for like coverage; see the operating-point note
+                # at the timed search below).
                 # Untimed d=1024 warm-up first (see the 1M section's
                 # warm-up note: cold-path first builds read 4-5x).
                 IVFIndexBuilder(
@@ -858,12 +885,21 @@ def main() -> None:
                 )
                 # min-of-2 like the headline list: this point lands right
                 # after the 1M workload's GC tail and a single shot read
-                # 12.3 s vs 2.7 s warm in back-to-back r7 full runs
+                # 12.3 s vs 2.7 s warm in back-to-back r7 full runs.
+                # r10: np16/npf32 (was np12/npf24) — the content-keyed
+                # sampler made layouts deterministic, and the fixed layout
+                # reads 0.7554 at np12 vs the 0.78 reference target; the
+                # same-session probe sweep (tools/r10_recall_probe.py)
+                # measured np14/npf28 0.7708 @ 2.80 s and np16/npf32
+                # 0.7877 @ 2.84 s vs np12's 0.7554 @ 3.13 s — deeper
+                # probing at the SAME wall (the scan prunes to probed
+                # partitions either way; this trades fine-mask misses for
+                # probe coverage).
                 hwalls = []
                 for _ in range(2):
                     t0 = time.perf_counter()
                     hres = hidx.search(
-                        hq, 10, n_probe=12, overquery=64.0, n_probe_fine=24
+                        hq, 10, n_probe=16, overquery=64.0, n_probe_fine=32
                     )
                     _materialize(hres)
                     hwalls.append(time.perf_counter() - t0)
@@ -895,18 +931,18 @@ def main() -> None:
                 timings["large_graph_build_100k_d1024"] = round(
                     time.perf_counter() - t0, 3
                 )
-                # ef=640: m=8 codes at d=1024 are coarse steering, so the
+                # ef: m=8 codes at d=1024 are coarse steering, so the
                 # traversal needs a candidate pool as deep as the fused
-                # point's oq=64 rerank. Measured warm at this shape:
-                # ef640/W10 recall 0.772 @ 6.2 s vs fused np8/oq64 0.715
-                # @ 5.1 s — the graph route wins the recall axis at like
-                # wall once the pool depths match.
-                # r9 (r8 verdict item 3): the headline graph point probes
-                # np12 — matched to the fused point above, which moved to
-                # np12 when the spill=1 auto default landed (fewer stored
-                # copies need more probes for like coverage). The r7/r8
-                # np8 point stays recorded for round-over-round
-                # continuity.
+                # point's oq=64 rerank.
+                # r9 (r8 verdict item 3): the headline graph point is
+                # probe-matched to the fused point above. r10: that point
+                # moved to np16, and the deterministic layout reads
+                # np12/ef640 0.7277 vs the 0.77 target — the same-session
+                # sweep (tools/r10_recall_probe.py) measured np16/ef960
+                # 0.8062 @ 3.60 s vs np12/ef640's 0.7277 @ 3.23 s, so the
+                # headline takes np16/ef960 (matched probes, 1.5x beam).
+                # The r7/r8 np8/ef640 point stays recorded for
+                # round-over-round continuity.
                 # min-of-3 on BOTH gate legs (r9 ADVICE item 2): the
                 # graph/fused band was widened to 5.0 because min-of-2
                 # legs kept sampling 3.3-3.8x window debris; a third
@@ -915,7 +951,7 @@ def main() -> None:
                 gwalls = []
                 for _ in range(3):
                     t0 = time.perf_counter()
-                    gres = hidx.search_graph(hq, 10, n_probe=12, ef_search=640)
+                    gres = hidx.search_graph(hq, 10, n_probe=16, ef_search=960)
                     _materialize(gres)
                     gwalls.append(time.perf_counter() - t0)
                 timings["large_graph_search_d1024_64q"] = round(min(gwalls), 3)
@@ -945,7 +981,7 @@ def main() -> None:
                 for _ in range(3):  # min-of-3: see the graph-leg note
                     t0 = time.perf_counter()
                     _materialize(hidx.search(
-                        hq, 10, n_probe=12, overquery=64.0, n_probe_fine=24
+                        hq, 10, n_probe=16, overquery=64.0, n_probe_fine=32
                     ))
                     pwalls.append(time.perf_counter() - t0)
                 timings["large_search_d1024_64q_postgraph"] = round(
@@ -1175,6 +1211,7 @@ def main() -> None:
         "large_ivf_build_100k",
         "large_ivf_build_1m",
         "large_bulk_topk_1m",
+        "large_bulk_topk_1m_r75",
         "large_compact_1m",
         "large_dedup_exact_100k",
         "large_graph_search_d1024_64q",
@@ -1191,6 +1228,7 @@ def main() -> None:
         "large_recall@100_k100_m16_np16_npf32_oq1",
         "large_recall@100_k100_m16_np16_npf32_oq2",
         "large_bulk_recall@10_1m",
+        "large_bulk_recall@10_1m_r75",
         "large_graph_recall@10_d1024_64q",
         "large_pq_encode_mb",
         "large_spill_resolved_d1024",

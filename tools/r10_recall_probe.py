@@ -67,16 +67,20 @@ def _d1024(spark) -> None:
         print(f"fused np{np_} oq{int(oq)} npf{npf}: recall {rec:.4f} "
               f"wall {min(walls):.2f}s", flush=True)
 
-    # graph points
-    for np_, ef in [(12, 640), (16, 640), (12, 960), (16, 960), (20, 640)]:
+    # graph points ((np, ef, beam_width); W=None -> default ef//64)
+    for np_, ef, bw in [
+        (12, 640, None), (16, 640, None), (12, 960, None), (16, 960, None),
+        (12, 640, 4), (12, 640, 6), (16, 640, 6),
+    ]:
+        kw = {} if bw is None else {"beam_width": bw}
         walls = []
         for _ in range(2):
             t0 = time.perf_counter()
-            r = idx.search_graph(hq, 10, n_probe=np_, ef_search=ef)
+            r = idx.search_graph(hq, 10, n_probe=np_, ef_search=ef, **kw)
             r.count()
             walls.append(time.perf_counter() - t0)
         rec = recall_at_k(r, gt, 10)
-        print(f"graph np{np_} ef{ef}: recall {rec:.4f} "
+        print(f"graph np{np_} ef{ef} W{bw or ef // 64}: recall {rec:.4f} "
               f"wall {min(walls):.2f}s", flush=True)
     gt.unpersist()
 
