@@ -30,7 +30,7 @@ from jvector_spark.operators import exact as _exact  # noqa: E402
 from jvector_spark.operators.index import IVFIndex, IVFIndexBuilder  # noqa: E402
 from jvector_spark.session import get_spark  # noqa: E402
 
-ROOT = "/tmp/jvs_r10_probe"
+ROOT = os.environ.get("JVS_PROBE_ROOT", "/tmp/jvs_r10_probe")
 
 
 def _d1024(spark) -> None:
